@@ -1,0 +1,164 @@
+"""Model and generation configuration.
+
+TPU-native counterpart of the reference's config surface:
+  * model architecture config (the reference reads HF ``config.json`` implicitly
+    through ``transformers.LlamaForCausalLM``),
+  * ``GenerationConfig`` (reference: self_speculation/generator_base.py:33-49).
+
+All fields here are *static* from XLA's point of view: a given
+(ModelConfig, GenerationConfig) pair compiles to one executable; changing
+``exit_layer`` or ``num_speculations`` triggers (cached) recompilation, which is
+the TPU-idiomatic trade for a host-sync-free hot loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any, List, Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class RopeScaling:
+    """Llama-3 style RoPE frequency scaling (HF ``rope_scaling`` dict)."""
+
+    rope_type: str = "default"  # "default" | "llama3" | "linear"
+    factor: float = 1.0
+    low_freq_factor: float = 1.0
+    high_freq_factor: float = 4.0
+    original_max_position_embeddings: int = 8192
+
+    @staticmethod
+    def from_hf(d: Optional[dict]) -> "RopeScaling":
+        if not d:
+            return RopeScaling()
+        return RopeScaling(
+            rope_type=d.get("rope_type", d.get("type", "default")),
+            factor=float(d.get("factor", 1.0)),
+            low_freq_factor=float(d.get("low_freq_factor", 1.0)),
+            high_freq_factor=float(d.get("high_freq_factor", 4.0)),
+            original_max_position_embeddings=int(
+                d.get("original_max_position_embeddings", 8192)
+            ),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Llama-family architecture description (mirrors HF ``config.json``)."""
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    head_dim: int = 128
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: RopeScaling = dataclasses.field(default_factory=RopeScaling)
+    tie_word_embeddings: bool = False
+    bos_token_id: int = 1
+    eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
+    # dtype policy: weights/activations in ``dtype``; logits always fp32.
+    dtype: Any = jnp.bfloat16
+
+    @property
+    def eos_token_ids(self) -> List[int]:
+        e = self.eos_token_id
+        if isinstance(e, (list, tuple)):
+            return [int(x) for x in e]
+        return [int(e)]
+
+    @property
+    def q_heads_per_kv(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @staticmethod
+    def from_hf_dict(d: dict, dtype=jnp.bfloat16) -> "ModelConfig":
+        head_dim = d.get("head_dim") or (
+            d["hidden_size"] // d["num_attention_heads"]
+        )
+        return ModelConfig(
+            vocab_size=d["vocab_size"],
+            hidden_size=d["hidden_size"],
+            intermediate_size=d["intermediate_size"],
+            num_hidden_layers=d["num_hidden_layers"],
+            num_attention_heads=d["num_attention_heads"],
+            num_key_value_heads=d.get(
+                "num_key_value_heads", d["num_attention_heads"]
+            ),
+            head_dim=head_dim,
+            max_position_embeddings=d.get("max_position_embeddings", 4096),
+            rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+            rope_theta=d.get("rope_theta", 10000.0),
+            rope_scaling=RopeScaling.from_hf(d.get("rope_scaling")),
+            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            bos_token_id=d.get("bos_token_id", 1),
+            eos_token_id=d.get("eos_token_id", 2),
+            dtype=dtype,
+        )
+
+    @staticmethod
+    def from_json(path: str, dtype=jnp.bfloat16) -> "ModelConfig":
+        with open(path) as f:
+            return ModelConfig.from_hf_dict(json.load(f), dtype=dtype)
+
+    @staticmethod
+    def from_pretrained(path: str, dtype=jnp.bfloat16) -> "ModelConfig":
+        """Load from a local HF checkpoint directory (``config.json``)."""
+        return ModelConfig.from_json(os.path.join(path, "config.json"), dtype)
+
+
+# Tiny configs for tests (avoid any network / big compiles).
+def tiny_config(
+    num_hidden_layers: int = 4,
+    hidden_size: int = 64,
+    num_attention_heads: int = 4,
+    num_key_value_heads: int = 2,
+    intermediate_size: int = 128,
+    vocab_size: int = 256,
+    max_position_embeddings: int = 256,
+    dtype=jnp.float32,
+    **kw,
+) -> ModelConfig:
+    return ModelConfig(
+        vocab_size=vocab_size,
+        hidden_size=hidden_size,
+        intermediate_size=intermediate_size,
+        num_hidden_layers=num_hidden_layers,
+        num_attention_heads=num_attention_heads,
+        num_key_value_heads=num_key_value_heads,
+        head_dim=hidden_size // num_attention_heads,
+        max_position_embeddings=max_position_embeddings,
+        dtype=dtype,
+        **kw,
+    )
+
+
+@dataclasses.dataclass
+class GenerationConfig:
+    """Generation knobs (reference: self_speculation/generator_base.py:33-49).
+
+    ``max_steps``/``exit_layer``/``num_speculations`` keep the reference's
+    names and defaults so CLI invocations translate one-to-one.
+    """
+
+    max_steps: int = 512
+    exit_layer: int = -1
+    num_speculations: int = -1
+    generation_strategy: str = "autoregressive"  # | "self_speculative"
+    sample: bool = True
+    temperature: float = 0.6
+    top_k: int = 0
+    top_p: float = 0.9
+    no_repeat_ngram_size: Optional[int] = None
+    stop_words: Optional[List[str]] = None
+    stop_token_ids: Optional[List[int]] = None
+    # TPU additions (static shapes):
+    max_prompt_len: int = 0  # 0 -> bucketed automatically
+    max_seq_len: int = 0  # 0 -> model max_position_embeddings

@@ -1,0 +1,220 @@
+"""Pure-functional Llama decoder for TPU.
+
+TPU-native counterpart of the reference's forward-pass engine
+(self_speculation/llama_model_utils.py). Where the reference manually drives
+HF ``model.model.layers[i]`` modules with legacy caches, this module is a
+weight pytree plus jit-compatible functions:
+
+  * ``forward``         — all layers (reference ``forward``, llama_model_utils.py:155-209)
+  * ``forward_early``   — layers ``[0, exit_layer)`` + shared norm/head
+                          (reference ``forward_early``, llama_model_utils.py:213-276)
+  * ``forward_remainder`` — verification pass over the speculation window
+                          (reference ``forward_remainder``, llama_model_utils.py:280-391)
+
+Layer weights are stacked along a leading ``L`` axis so a layer range is a
+static slice and the layer loop is a single ``lax.scan`` (one XLA while-op,
+no per-layer dispatch). The shared final norm + LM head ("shared head" —
+llama_model_utils.py:271-273) is one function applied at any exit depth, with
+fp32 logits for greedy-parity robustness (SURVEY §7 hard parts).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from layerskip_tpu.config import ModelConfig
+from layerskip_tpu.ops.attention import gqa_attention
+from layerskip_tpu.ops.kv_cache import KVCache, write_kv
+from layerskip_tpu.ops.rmsnorm import rms_norm
+from layerskip_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+
+
+@struct.dataclass
+class LayerParams:
+    """Per-layer weights, stacked on a leading [L] axis."""
+
+    attn_norm: jnp.ndarray  # [L, D]
+    wq: jnp.ndarray  # [L, D, Hq*Dh]
+    wk: jnp.ndarray  # [L, D, Hkv*Dh]
+    wv: jnp.ndarray  # [L, D, Hkv*Dh]
+    wo: jnp.ndarray  # [L, Hq*Dh, D]
+    mlp_norm: jnp.ndarray  # [L, D]
+    w_gate: jnp.ndarray  # [L, D, F]
+    w_up: jnp.ndarray  # [L, D, F]
+    w_down: jnp.ndarray  # [L, F, D]
+
+    def slice(self, start: int, end: int) -> "LayerParams":
+        return jax.tree.map(lambda x: x[start:end], self)
+
+
+@struct.dataclass
+class LlamaParams:
+    embed: jnp.ndarray  # [V, D]
+    layers: LayerParams
+    final_norm: jnp.ndarray  # [D]
+    lm_head: Optional[jnp.ndarray]  # [D, V]; None => tied to embed
+
+
+def embed_tokens(params: LlamaParams, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(params.embed, ids, axis=0)
+
+
+def _one_layer(
+    cfg: ModelConfig,
+    lp: LayerParams,  # single layer (no leading L axis)
+    h: jnp.ndarray,  # [B, T, D]
+    k_layer: jnp.ndarray,  # [B, S, Hkv, Dh]
+    v_layer: jnp.ndarray,
+    cos: jnp.ndarray,  # [B, T, Dh]
+    sin: jnp.ndarray,
+    write_pos: jnp.ndarray,  # scalar int32 (== past length for this layer)
+    q_positions: jnp.ndarray,  # [T] absolute query positions
+):
+    b, t, d = h.shape
+    hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
+    q = (x @ lp.wq).reshape(b, t, hq, dh)
+    k = (x @ lp.wk).reshape(b, t, hkv, dh)
+    v = (x @ lp.wv).reshape(b, t, hkv, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)
+    attn = gqa_attention(
+        q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv
+    )
+    h = h + attn.reshape(b, t, hq * dh) @ lp.wo
+
+    x = rms_norm(h, lp.mlp_norm, cfg.rms_norm_eps)
+    h = h + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+    return h, k_layer, v_layer
+
+
+def run_layers(
+    cfg: ModelConfig,
+    layers: LayerParams,  # stacked [Lsub, ...] (any static layer range)
+    h: jnp.ndarray,  # [B, T, D]
+    k: jnp.ndarray,  # [Lsub, B, S, Hkv, Dh]
+    v: jnp.ndarray,
+    past_len: jnp.ndarray,  # scalar int32: past length for THIS layer group
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run a contiguous layer range via lax.scan; returns (h, k, v)."""
+    b, t, _ = h.shape
+    past_len = past_len.astype(jnp.int32)
+    q_positions = past_len + jnp.arange(t, dtype=jnp.int32)
+    inv_freq = rope_inv_freq(cfg)
+    cos, sin = rope_cos_sin(q_positions, inv_freq)  # [T, Dh]
+    cos = jnp.broadcast_to(cos[None], (b, t, cfg.head_dim))
+    sin = jnp.broadcast_to(sin[None], (b, t, cfg.head_dim))
+
+    def body(h, xs):
+        lp, k_layer, v_layer = xs
+        h, k_layer, v_layer = _one_layer(
+            cfg, lp, h, k_layer, v_layer, cos, sin, past_len, q_positions
+        )
+        return h, (k_layer, v_layer)
+
+    h, (k, v) = jax.lax.scan(body, h, (layers, k, v))
+    return h, k, v
+
+
+def lm_logits(params: LlamaParams, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
+    """Shared final norm + LM head, fp32 logits (llama_model_utils.py:271-273)."""
+    h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
+    head = params.lm_head if params.lm_head is not None else params.embed.T
+    return jnp.einsum("btd,dv->btv", h, head, preferred_element_type=jnp.float32)
+
+
+@struct.dataclass
+class ForwardResult:
+    """Counterpart of reference ForwardResult (llama_model_utils.py:14-18).
+
+    ``exit_hidden`` replaces the reference's ``exit_query_cache`` concat-grown
+    list: callers preallocate a [B, W, D] buffer and this module returns the
+    pre-final-norm hidden states to be stashed there.
+    """
+
+    logits: jnp.ndarray  # [B, T, V] fp32
+    cache: KVCache
+    hidden: jnp.ndarray  # [B, T, D] pre-final-norm hidden at the last run layer
+
+
+def forward(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,  # [B, T]
+    cache: KVCache,
+    past_len: jnp.ndarray,  # scalar int32
+) -> ForwardResult:
+    """Full-model forward (reference ``forward``, llama_model_utils.py:155-209)."""
+    h = embed_tokens(params, ids)
+    h, k, v = run_layers(cfg, params.layers, h, cache.k, cache.v, past_len)
+    return ForwardResult(
+        logits=lm_logits(params, cfg, h), cache=KVCache(k=k, v=v), hidden=h
+    )
+
+
+def forward_early(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,  # [B, T]
+    cache: KVCache,
+    draft_len: jnp.ndarray,  # early-layer-group past length
+    exit_layer: int,  # static
+) -> ForwardResult:
+    """Draft pass: layers [0, exit_layer) + shared norm/head
+    (reference ``forward_early``, llama_model_utils.py:213-276).
+
+    Only early layers' KV slices are touched; ``hidden`` is the exit-layer
+    pre-norm activation the engine stashes into its exit-hidden buffer
+    (reference exit_query_cache, llama_model_utils.py:266-269).
+    """
+    h = embed_tokens(params, ids)
+    e = exit_layer
+    ke, ve = cache.k[:e], cache.v[:e]
+    h, ke, ve = run_layers(cfg, params.layers.slice(0, e), h, ke, ve, draft_len)
+    cache = KVCache(k=cache.k.at[:e].set(ke), v=cache.v.at[:e].set(ve))
+    return ForwardResult(logits=lm_logits(params, cfg, h), cache=cache, hidden=h)
+
+
+def forward_remainder(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    last_draft_token: jnp.ndarray,  # [B, 1] — the one token early layers haven't seen
+    exit_hidden: jnp.ndarray,  # [B, W, D] — exit-layer activations of the window prefix
+    cache: KVCache,
+    draft_len: jnp.ndarray,  # early-group past length (== full_len + W)
+    full_len: jnp.ndarray,  # full-group past length
+    exit_layer: int,  # static
+) -> ForwardResult:
+    """Verification pass (reference ``forward_remainder``, llama_model_utils.py:280-391).
+
+    Early layers process exactly one token (the final draft token) against the
+    draft-length past (reference :344,350-362, num_tokens_to_generate=1 :289);
+    full layers process the stitched window ``concat(exit_hidden, h_last)``
+    against the full-length past (reference :363-383). Returns fp32 logits
+    over the whole [B, W+1, V] window.
+    """
+    e = exit_layer
+    # --- early layers: 1 token at position draft_len ---
+    h1 = embed_tokens(params, last_draft_token)  # [B, 1, D]
+    ke, ve = cache.k[:e], cache.v[:e]
+    h1, ke, ve = run_layers(cfg, params.layers.slice(0, e), h1, ke, ve, draft_len)
+    # --- full layers: stitched window at positions full_len .. full_len+W ---
+    full_h = jnp.concatenate([exit_hidden, h1], axis=1)  # [B, W+1, D]
+    lf = cfg.num_hidden_layers
+    kf, vf = cache.k[e:lf], cache.v[e:lf]
+    full_h, kf, vf = run_layers(
+        cfg, params.layers.slice(e, lf), full_h, kf, vf, full_len
+    )
+    cache = KVCache(
+        k=cache.k.at[:e].set(ke).at[e:lf].set(kf),
+        v=cache.v.at[:e].set(ve).at[e:lf].set(vf),
+    )
+    return ForwardResult(
+        logits=lm_logits(params, cfg, full_h), cache=cache, hidden=full_h
+    )

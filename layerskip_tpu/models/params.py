@@ -1,0 +1,137 @@
+"""Weight initialisation and HF checkpoint loading.
+
+TPU-native counterpart of the reference's model loading
+(``AutoModelForCausalLM.from_pretrained(use_safetensors=True,
+torch_dtype=float16, device_map="auto")`` — generate.py:54-67). Here:
+safetensors shards are read host-side and assembled into the stacked-layer
+``LlamaParams`` pytree with a dtype policy (bf16 on TPU by default).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from layerskip_tpu.config import ModelConfig
+from layerskip_tpu.models.llama import LayerParams, LlamaParams
+
+
+def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
+    """Random init (normal(0, 0.02), HF default) — used by tests/benchmarks."""
+    d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    hq, hkv, dh, l = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+        cfg.num_hidden_layers,
+    )
+    keys = jax.random.split(rng, 8)
+
+    def nrm(key, shape):
+        return (0.02 * jax.random.normal(key, shape, jnp.float32)).astype(cfg.dtype)
+
+    layers = LayerParams(
+        attn_norm=jnp.ones((l, d), cfg.dtype),
+        wq=nrm(keys[0], (l, d, hq * dh)),
+        wk=nrm(keys[1], (l, d, hkv * dh)),
+        wv=nrm(keys[2], (l, d, hkv * dh)),
+        wo=nrm(keys[3], (l, hq * dh, d)),
+        mlp_norm=jnp.ones((l, d), cfg.dtype),
+        w_gate=nrm(keys[4], (l, d, f)),
+        w_up=nrm(keys[5], (l, d, f)),
+        w_down=nrm(keys[6], (l, f, d)),
+    )
+    embed = nrm(keys[7], (v, d))
+    lm_head = None if cfg.tie_word_embeddings else jnp.transpose(embed)
+    return LlamaParams(
+        embed=embed, layers=layers, final_norm=jnp.ones((d,), cfg.dtype),
+        lm_head=lm_head,
+    )
+
+
+# ---------------------------------------------------------------------------
+# HF name mapping.
+#
+# HF nn.Linear stores weight as [out, in]; our pytree stores [in, out] so the
+# forward is plain ``x @ w`` (row-major activations hitting the MXU directly).
+# ---------------------------------------------------------------------------
+
+_LAYER_KEY_MAP = {
+    "input_layernorm.weight": ("attn_norm", False),
+    "self_attn.q_proj.weight": ("wq", True),
+    "self_attn.k_proj.weight": ("wk", True),
+    "self_attn.v_proj.weight": ("wv", True),
+    "self_attn.o_proj.weight": ("wo", True),
+    "post_attention_layernorm.weight": ("mlp_norm", False),
+    "mlp.gate_proj.weight": ("w_gate", True),
+    "mlp.up_proj.weight": ("w_up", True),
+    "mlp.down_proj.weight": ("w_down", True),
+}
+
+
+def params_from_flat_dict(
+    tensors: Dict[str, np.ndarray], cfg: ModelConfig
+) -> LlamaParams:
+    """Assemble LlamaParams from a flat HF-style name->array dict (fp32/np)."""
+    l = cfg.num_hidden_layers
+    layer_arrays: Dict[str, list] = {v[0]: [None] * l for v in _LAYER_KEY_MAP.values()}
+    embed = final_norm = lm_head = None
+    pat = re.compile(r"^model\.layers\.(\d+)\.(.+)$")
+    for name, arr in tensors.items():
+        m = pat.match(name)
+        if m:
+            i, sub = int(m.group(1)), m.group(2)
+            if sub in _LAYER_KEY_MAP:
+                field, transpose = _LAYER_KEY_MAP[sub]
+                layer_arrays[field][i] = arr.T if transpose else arr
+        elif name == "model.embed_tokens.weight":
+            embed = arr
+        elif name == "model.norm.weight":
+            final_norm = arr
+        elif name == "lm_head.weight":
+            lm_head = arr.T
+
+    def stack(field):
+        mats = layer_arrays[field]
+        assert all(m is not None for m in mats), f"missing layers for {field}"
+        return jnp.asarray(np.stack(mats), cfg.dtype)
+
+    layers = LayerParams(**{f: stack(f) for f in layer_arrays})
+    assert embed is not None and final_norm is not None
+    if lm_head is None and not cfg.tie_word_embeddings:
+        lm_head = embed.T  # some checkpoints tie implicitly
+    return LlamaParams(
+        embed=jnp.asarray(embed, cfg.dtype),
+        layers=layers,
+        final_norm=jnp.asarray(final_norm, cfg.dtype),
+        lm_head=None if cfg.tie_word_embeddings else jnp.asarray(lm_head, cfg.dtype),
+    )
+
+
+def load_params(model_dir: str, cfg: ModelConfig) -> LlamaParams:
+    """Load from a local HF checkpoint directory of ``*.safetensors`` shards."""
+    from safetensors import safe_open
+
+    tensors: Dict[str, np.ndarray] = {}
+    shards = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    if not shards:
+        raise FileNotFoundError(f"no safetensors shards under {model_dir}")
+    for shard in shards:
+        with safe_open(shard, framework="np") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+    return params_from_flat_dict(tensors, cfg)
+
+
+def params_from_torch_state_dict(state_dict, cfg: ModelConfig) -> LlamaParams:
+    """Convert a torch ``LlamaForCausalLM.state_dict()`` (parity tests)."""
+    tensors = {
+        k: v.detach().to("cpu").float().numpy() for k, v in state_dict.items()
+    }
+    return params_from_flat_dict(tensors, cfg)

@@ -1,0 +1,86 @@
+"""Static-shape KV cache with length counters.
+
+TPU-native replacement for the reference's legacy list-of-tuples cache that is
+re-wrapped in ``DynamicCache`` per call and *physically sliced* for rollback
+(self_speculation/llama_model_utils.py:134-149, :169, :229, :308). Here the
+cache is a pair of preallocated ``[L, B, S_max, H_kv, Dh]`` buffers; "cropping"
+is a counter decrement, never a copy, so speculative rollback is free and the
+whole speculation round stays inside one XLA program.
+
+The *two-length invariant* of self-speculative decoding (early layers' KV runs
+ahead of full layers' KV during a round — SURVEY §5.7, reference
+llama_model_utils.py:289-337) is carried by the engine as two scalars
+(``draft_len``, ``full_len``); this module only stores the buffers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from layerskip_tpu.config import ModelConfig
+
+
+@struct.dataclass
+class KVCache:
+    """Preallocated KV for all layers. k/v: [L, B, S_max, H_kv, Dh]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_layers(self) -> int:
+        return self.k.shape[0]
+
+    def slice_layers(self, start: int, end: int) -> "KVCache":
+        """Static layer-range view (used for the early/full split)."""
+        return KVCache(k=self.k[start:end], v=self.v[start:end])
+
+    def merge_layers(self, other: "KVCache", start: int) -> "KVCache":
+        """Write ``other``'s layers back at static offset ``start``."""
+        end = start + other.num_layers
+        k = self.k.at[start:end].set(other.k)
+        v = self.v.at[start:end].set(other.v)
+        return KVCache(k=k, v=v)
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=None
+) -> KVCache:
+    dtype = dtype or cfg.dtype
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def write_kv(
+    k_layer: jnp.ndarray,
+    v_layer: jnp.ndarray,
+    k_new: jnp.ndarray,
+    v_new: jnp.ndarray,
+    write_pos: jnp.ndarray,
+):
+    """Insert [B, T, H, Dh] blocks at sequence offset ``write_pos`` (traced).
+
+    Positions beyond the valid length may hold stale data; correctness relies
+    on the attention mask (keys ``j <= q_pos``) and on the engine only ever
+    advancing write positions past committed tokens.
+    """
+    zero = jnp.zeros((), jnp.int32)
+    k_layer = jax.lax.dynamic_update_slice(
+        k_layer, k_new, (zero, write_pos.astype(jnp.int32), zero, zero)
+    )
+    v_layer = jax.lax.dynamic_update_slice(
+        v_layer, v_new, (zero, write_pos.astype(jnp.int32), zero, zero)
+    )
+    return k_layer, v_layer
