@@ -1,0 +1,84 @@
+"""Model + tokenizer loading for the CLI apps.
+
+Counterpart of the reference's ``load_model_and_tokenizer``
+(generate.py:54-67: HF ``from_pretrained`` with fp16/safetensors/device_map).
+Here: local HF checkpoint dir -> ModelConfig + stacked-layer LlamaParams
+(bf16 by default), tokenizer via ``transformers.AutoTokenizer``.
+
+For offline/smoke use, ``--model random:<preset>`` builds a random-weights
+model (presets: tiny, 1b, 7b) with a byte-level whitespace tokenizer — the
+zero-egress counterpart of pointing the reference at a hub model id.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from layerskip_tpu.config import ModelConfig, tiny_config
+from layerskip_tpu.models.llama import LlamaParams
+from layerskip_tpu.models.params import init_params, load_params
+
+
+class SimpleTokenizer:
+    """Whitespace/byte fallback tokenizer for random-weights smoke runs."""
+
+    eos_token_id = 0
+
+    def __init__(self, vocab_size: int):
+        self.vocab_size = vocab_size
+
+    def encode(self, text: str):
+        return [1 + (b % (self.vocab_size - 2)) for b in text.encode()[:512]]
+
+    def __call__(self, text: str):
+        return {"input_ids": self.encode(text)}
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(str(int(t)) for t in ids)
+
+
+def _preset_config(name: str) -> ModelConfig:
+    if name == "tiny":
+        return tiny_config(dtype=jnp.bfloat16)
+    if name == "1b":
+        return ModelConfig(
+            vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+            num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+            head_dim=64, rope_theta=500000.0, dtype=jnp.bfloat16,
+            tie_word_embeddings=True,
+        )
+    if name == "7b":
+        return ModelConfig(
+            vocab_size=32000, hidden_size=4096, intermediate_size=11008,
+            num_hidden_layers=32, num_attention_heads=32,
+            num_key_value_heads=32, head_dim=128, dtype=jnp.bfloat16,
+            tie_word_embeddings=True,
+        )
+    raise ValueError(f"unknown random preset: {name}")
+
+
+def load_model_and_tokenizer(
+    model: str, dtype=jnp.bfloat16, seed: int = 0
+) -> Tuple[LlamaParams, ModelConfig, object]:
+    """``model`` is a local HF checkpoint dir or ``random:<preset>``."""
+    if model.startswith("random:"):
+        cfg = _preset_config(model.split(":", 1)[1])
+        params = init_params(jax.random.PRNGKey(seed), cfg)
+        return params, cfg, SimpleTokenizer(cfg.vocab_size)
+
+    if not os.path.isdir(model):
+        raise FileNotFoundError(
+            f"model '{model}' is not a local directory; this container has no "
+            "network access — download checkpoints out-of-band or use "
+            "random:<tiny|1b|7b>"
+        )
+    cfg = ModelConfig.from_pretrained(model, dtype=dtype)
+    params = load_params(model, cfg)
+    from transformers import AutoTokenizer
+
+    tokenizer = AutoTokenizer.from_pretrained(model)
+    return params, cfg, tokenizer

@@ -1,0 +1,612 @@
+"""Jit-compiled generation engines: autoregressive + self-speculative.
+
+TPU-native re-design of the reference's generation strategies
+(self_speculation/autoregressive_generator.py, self_speculation_generator.py).
+The reference's hot loop crosses the host boundary once or more per token
+(``.item()`` at self_speculation_generator.py:141,190,195,198); here the
+*entire generation* — prefill, draft scan, verification, acceptance,
+KV rollback, EOS detection — is a single ``lax.while_loop`` inside one XLA
+program. The host sees exactly one device sync per generation.
+
+Static-shape design (SURVEY §7 hard parts):
+  * prompts are right-padded to a bucket length; true length is a traced
+    scalar; pad-slot KV is junk but every key slot ``<= q_pos`` is always
+    freshly written before any query reaches it (frontier invariant), so
+    correctness never depends on pad contents;
+  * the speculation window is a fixed ``W = num_speculations``; the
+    reference's per-round clamp ``min(W, max_steps - len(out) - 1)``
+    (self_speculation_generator.py:63-66) is reproduced by clamping the
+    *accepted* count, not the drafted count;
+  * KV rollback is a length-counter update (the reference physically slices
+    tensors, llama_model_utils.py:134-149);
+  * EOS stops the loop via a flag; the committed window past the first EOS
+    is dropped on the host afterwards (reference semantics: EOS token itself
+    excluded — self_speculation_generator.py:82-91,
+    autoregressive_generator.py:66-67).
+
+Acceptance uses one code path for greedy and sampling: greedy distributions
+are one-hot, under which speculative rejection sampling degenerates exactly
+to longest-prefix matching (reference splits the two at
+self_speculation_generator.py:186-199).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from layerskip_tpu.config import GenerationConfig, ModelConfig
+from layerskip_tpu.generation.sampling import (
+    SamplingConfig,
+    draw,
+    token_distribution,
+)
+from layerskip_tpu.models import llama
+from layerskip_tpu.models.llama import LlamaParams
+from layerskip_tpu.ops.kv_cache import KVCache
+
+
+def _is_eos(tokens: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
+    """Elementwise membership in the (static) EOS id set."""
+    hit = jnp.zeros(tokens.shape, dtype=bool)
+    for e in eos_ids:
+        hit = hit | (tokens == e)
+    return hit
+
+
+class GenerateOutput(NamedTuple):
+    """Device-side result of one generation (pre-EOS-truncation).
+
+    ``tokens[:, :num_tokens]`` are committed tokens which may *include* an
+    EOS; the facade truncates at the first EOS (reference excludes it).
+    """
+
+    tokens: jnp.ndarray  # [B, OUT] int32
+    num_tokens: jnp.ndarray  # [B] int32 committed count (may exceed max_steps by <= W)
+    matches: jnp.ndarray  # [] int32 total accepted drafts (spec only)
+    drafts: jnp.ndarray  # [] int32 total drafted tokens (spec only)
+
+
+# ---------------------------------------------------------------------------
+# Autoregressive engine
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class _ARState:
+    cache: KVCache  # early group only when exit_layer > 0, else all layers
+    ctx: jnp.ndarray  # [] int32 tokens written to KV so far
+    next_tok: jnp.ndarray  # [B, 1] int32
+    out: jnp.ndarray  # [B, OUT] int32
+    out_len: jnp.ndarray  # [] int32
+    done: jnp.ndarray  # [] bool
+    rng: jax.Array
+
+
+def ar_generate(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,  # [B, P] right-padded prompt
+    true_len: jnp.ndarray,  # [] int32
+    rng: jax.Array,
+    *,
+    max_steps: int,
+    exit_layer: int,  # <= 0 => full model (reference autoregressive_generator.py:44-57)
+    scfg: SamplingConfig,
+    eos_ids: Tuple[int, ...],
+    max_cache_len: int,
+) -> GenerateOutput:
+    """Whole AR generation as one XLA program.
+
+    With ``exit_layer > 0`` this is the paper's *pure early-exit inference*
+    (draft-only model): layers [0, E) + shared head, exactly what the
+    reference does in that mode (autoregressive_generator.py:44-51).
+    """
+    b, p = ids.shape
+    nlayers = exit_layer if exit_layer > 0 else cfg.num_hidden_layers
+    layers = params.layers.slice(0, nlayers)
+    kv_shape = (nlayers, b, max_cache_len, cfg.num_key_value_heads, cfg.head_dim)
+    cache = KVCache(
+        k=jnp.zeros(kv_shape, cfg.dtype), v=jnp.zeros(kv_shape, cfg.dtype)
+    )
+
+    # Prefill the padded prompt; logits at true_len-1 give the first token.
+    h = llama.embed_tokens(params, ids)
+    h, k, v = llama.run_layers(cfg, layers, h, cache.k, cache.v, jnp.int32(0))
+    last_h = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
+    logits0 = llama.lm_logits(params, cfg, last_h)[:, 0]  # [B, V]
+    rng, key = jax.random.split(rng)
+    tok0 = draw(token_distribution(logits0, scfg), key, scfg)  # [B]
+
+    out = jnp.zeros((b, max_steps), jnp.int32)
+    out = out.at[:, 0].set(tok0)
+    # The reference breaks *before* appending EOS; out_len counts committed.
+    eos0 = jnp.any(_is_eos(tok0, eos_ids))
+    state = _ARState(
+        cache=KVCache(k=k, v=v),
+        ctx=true_len,
+        next_tok=tok0[:, None],
+        out=out,
+        out_len=jnp.int32(1),
+        done=eos0 | (max_steps <= 1),
+        rng=rng,
+    )
+
+    def cond(s: _ARState):
+        return ~s.done
+
+    def body(s: _ARState):
+        h = llama.embed_tokens(params, s.next_tok)
+        h, k, v = llama.run_layers(cfg, layers, h, s.cache.k, s.cache.v, s.ctx)
+        logits = llama.lm_logits(params, cfg, h)[:, -1]
+        rng, key = jax.random.split(s.rng)
+        tok = draw(token_distribution(logits, scfg), key, scfg)
+        out = jax.lax.dynamic_update_slice(s.out, tok[:, None], (0, s.out_len))
+        out_len = s.out_len + 1
+        done = jnp.any(_is_eos(tok, eos_ids)) | (out_len >= max_steps)
+        return _ARState(
+            cache=KVCache(k=k, v=v),
+            ctx=s.ctx + 1,
+            next_tok=tok[:, None],
+            out=out,
+            out_len=out_len,
+            done=done,
+            rng=rng,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+    return GenerateOutput(
+        tokens=final.out,
+        num_tokens=jnp.full((b,), final.out_len, jnp.int32),
+        matches=jnp.int32(0),
+        drafts=jnp.int32(0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Self-speculative engine
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class _SpecState:
+    early: KVCache  # layers [0, E)
+    full: KVCache  # layers [E, L)
+    ctx: jnp.ndarray  # [] int32 committed context length (excl. next_tok)
+    next_tok: jnp.ndarray  # [B, 1] int32 committed but not yet in KV
+    out: jnp.ndarray  # [B, OUT] int32
+    out_len: jnp.ndarray  # [] int32
+    done: jnp.ndarray  # [] bool
+    rng: jax.Array
+    matches: jnp.ndarray  # [] int32
+    drafts: jnp.ndarray  # [] int32
+
+
+def _spec_prefill(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,  # [B, P] right-padded prompt
+    true_len: jnp.ndarray,  # [] int32
+    rng: jax.Array,
+    *,
+    max_steps: int,
+    exit_layer: int,
+    num_speculations: int,
+    scfg: SamplingConfig,
+    eos_ids: Tuple[int, ...],
+    max_cache_len: int,
+) -> _SpecState:
+    """Prompt prefill -> initial speculation state.
+
+    The reference instead routes the whole prompt through its first
+    draft+verify round (self_speculation_generator.py:121-170); a dedicated
+    full prefill is equivalent (committed tokens are the full model's
+    continuation either way) and keeps every subsequent round
+    shape-identical — the "no per-round recompilation" requirement.
+    """
+    b, p = ids.shape
+    e, nl, w = exit_layer, cfg.num_hidden_layers, num_speculations
+    assert 0 < e < nl and w >= 1
+
+    def mk_cache(nlayers):
+        shape = (nlayers, b, max_cache_len, cfg.num_key_value_heads, cfg.head_dim)
+        return KVCache(
+            k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype)
+        )
+
+    res = llama.forward_split(
+        params, cfg, ids, mk_cache(e), mk_cache(nl - e), jnp.int32(0), e
+    )
+    last_logits = jax.lax.dynamic_slice_in_dim(res.logits, true_len - 1, 1, axis=1)[
+        :, 0
+    ]
+    rng, key = jax.random.split(rng)
+    tok0 = draw(token_distribution(last_logits, scfg), key, scfg)  # [B]
+
+    out_size = max_steps + w + 1  # rounds may overshoot max_steps by <= W
+    out = jnp.zeros((b, out_size), jnp.int32).at[:, 0].set(tok0)
+    return _SpecState(
+        early=res.early_cache,
+        full=res.full_cache,
+        ctx=true_len,
+        next_tok=tok0[:, None],
+        out=out,
+        out_len=jnp.int32(1),
+        done=jnp.any(_is_eos(tok0, eos_ids)) | (max_steps <= 1),
+        rng=rng,
+        matches=jnp.int32(0),
+        drafts=jnp.int32(0),
+    )
+
+
+def spec_generate(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,  # [B, P] right-padded prompt
+    true_len: jnp.ndarray,  # [] int32
+    rng: jax.Array,
+    *,
+    max_steps: int,
+    exit_layer: int,
+    num_speculations: int,
+    scfg: SamplingConfig,
+    eos_ids: Tuple[int, ...],
+    max_cache_len: int,
+) -> GenerateOutput:
+    """Whole self-speculative generation as one XLA program.
+
+    One loop iteration = one draft+verify round (reference
+    ``single_step_speculation``, self_speculation_generator.py:102-229).
+    """
+    e, w = exit_layer, num_speculations
+    state = _spec_prefill(
+        params, cfg, ids, true_len, rng,
+        max_steps=max_steps, exit_layer=e, num_speculations=w,
+        scfg=scfg, eos_ids=eos_ids, max_cache_len=max_cache_len,
+    )
+    b = ids.shape[0]
+
+    def cond(s: _SpecState):
+        return ~s.done
+
+    def body(s: _SpecState):
+        s, _, _ = _spec_round(
+            params, cfg, s,
+            max_steps=max_steps, exit_layer=e, num_speculations=w,
+            scfg=scfg, eos_ids=eos_ids,
+        )
+        return s
+
+    final = jax.lax.while_loop(cond, body, state)
+    return GenerateOutput(
+        tokens=final.out,
+        num_tokens=jnp.full((b,), jnp.minimum(final.out_len, max_steps), jnp.int32),
+        matches=final.matches,
+        drafts=final.drafts,
+    )
+
+
+def _spec_round(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    s: _SpecState,
+    *,
+    max_steps: int,
+    exit_layer: int,
+    num_speculations: int,
+    scfg: SamplingConfig,
+    eos_ids: Tuple[int, ...],
+) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
+    """One draft+verify round (reference ``single_step_speculation``,
+    self_speculation_generator.py:102-229). Returns
+    ``(new_state, window [B, W+1], n [B])`` where ``window[:, :n+1]`` is the
+    committed token run — used by the streaming/stepped mode; the
+    whole-generation while_loop discards the extras."""
+    b = s.next_tok.shape[0]
+    e, w = exit_layer, num_speculations
+
+    # ---- draft phase: W early-exit steps under lax.scan
+    # (reference draft loop, self_speculation_generator.py:121-148) ----
+    def dstep(carry, i):
+        early, tok, rng = carry
+        r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
+        rng, key = jax.random.split(rng)
+        probs = token_distribution(r.logits[:, -1], scfg)  # [B, V]
+        d_tok = draw(probs, key, scfg)  # [B]
+        return (r.cache, d_tok[:, None], rng), (d_tok, probs, r.hidden[:, 0])
+
+    (early, last_inp, rng), (d_toks, d_probs, exit_h) = jax.lax.scan(
+        dstep,
+        (s.early, s.next_tok, s.rng),
+        jnp.arange(w, dtype=jnp.int32),
+    )
+    drafts = jnp.transpose(d_toks)  # [B, W]
+    p_draft = jnp.transpose(d_probs, (1, 0, 2))  # [B, W, V]
+    exit_hidden = jnp.transpose(exit_h, (1, 0, 2))  # [B, W, D]
+
+    # ---- verify phase: one pass over the stitched window
+    # (reference self_speculation_generator.py:150-182) ----
+    vres = llama.forward_remainder(
+        params,
+        cfg,
+        last_inp,
+        exit_hidden,
+        early,
+        s.full,
+        draft_len=s.ctx + w,
+        full_len=s.ctx,
+        exit_layer=e,
+    )
+    p_verify = token_distribution(vres.logits, scfg)  # [B, W+1, V]
+
+    # ---- acceptance: rejection sampling; one-hot => greedy prefix match
+    # (reference self_speculation_generator.py:184-199) ----
+    pv_d = jnp.take_along_axis(
+        p_verify[:, :w], drafts[..., None], axis=-1
+    )[..., 0]  # [B, W]
+    pd_d = jnp.take_along_axis(p_draft, drafts[..., None], axis=-1)[..., 0]
+    rng, ku, kr = jax.random.split(rng, 3)
+    u = jax.random.uniform(ku, (b, w))
+    accept = u * pd_d < pv_d
+    n_raw = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # [B]
+    # Reference clamps speculations near max_steps
+    # (self_speculation_generator.py:63-66); we clamp acceptances so the
+    # committed count and bookkeeping match.
+    w_eff = jnp.clip(max_steps - s.out_len - 1, 0, w)
+    n = jnp.minimum(n_raw, w_eff)  # [B]
+
+    # Extra token: residual resample on rejection, bonus draw otherwise
+    # (reference max_fn residual :27-29,:191-199; bonus :203-205).
+    pos = jnp.minimum(n, w - 1)
+    pv_n = jnp.take_along_axis(p_verify, pos[:, None, None], axis=1)[:, 0]
+    pd_n = jnp.take_along_axis(p_draft, pos[:, None, None], axis=1)[:, 0]
+    residual = jnp.clip(pv_n - pd_n, 0.0, None)
+    residual = residual / jnp.maximum(
+        jnp.sum(residual, axis=-1, keepdims=True), 1e-30
+    )
+    all_accepted = (n == w) | (n == w_eff)  # clamped => not a true rejection
+    extra_dist = jnp.where(all_accepted[:, None], pv_n, residual)
+    extra_tok = draw(extra_dist, kr, scfg)  # [B]
+
+    # ---- commit: accepted drafts + extra token
+    # (reference :201-221; KV rollback is just the ctx counter here) ----
+    window = drafts  # [B, W]
+    window = jnp.concatenate([window, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    window = jnp.where(
+        jnp.arange(w + 1)[None, :] == n[:, None], extra_tok[:, None], window
+    )
+    out = jax.lax.dynamic_update_slice(s.out, window, (0, s.out_len))
+    n0 = n[0]  # batch=1 semantics for loop control (reference eval.py:82)
+    committed = n0 + 1
+    out_len = s.out_len + committed
+
+    # EOS inside the committed window?
+    idx = jnp.arange(w + 1)[None, :]
+    eos_hit = jnp.any(_is_eos(window, eos_ids) & (idx <= n[:, None]))
+    done = eos_hit | (out_len >= max_steps)
+
+    new_state = _SpecState(
+        early=vres.early_cache,
+        full=vres.full_cache,
+        ctx=s.ctx + committed,
+        next_tok=extra_tok[:, None],
+        out=out,
+        out_len=out_len,
+        done=done,
+        rng=rng,
+        matches=s.matches + n0,
+        drafts=s.drafts + jnp.maximum(w_eff, 1),
+    )
+    return new_state, window, n
+
+
+# ---------------------------------------------------------------------------
+# Compiled-engine facade
+# ---------------------------------------------------------------------------
+
+
+def _bucket(n: int, sizes: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096)) -> int:
+    for s in sizes:
+        if n <= s:
+            return s
+    return ((n + 1023) // 1024) * 1024
+
+
+class Engine:
+    """Holds params and a cache of jit-compiled generate functions.
+
+    One executable per (strategy, prompt-bucket, batch) — everything after
+    prefill is shape-invariant across rounds (SURVEY §7: no per-round
+    recompilation).
+    """
+
+    def __init__(self, params: LlamaParams, cfg: ModelConfig):
+        self.params = params
+        self.cfg = cfg
+
+    @functools.lru_cache(maxsize=64)
+    def _compiled(
+        self,
+        strategy: str,
+        prompt_bucket: int,
+        batch: int,
+        max_steps: int,
+        exit_layer: int,
+        num_speculations: int,
+        scfg: SamplingConfig,
+        eos_ids: Tuple[int, ...],
+    ):
+        max_cache_len = prompt_bucket + max_steps + num_speculations + 2
+
+        if strategy == "self_speculative":
+
+            def fn(params, ids, true_len, rng):
+                return spec_generate(
+                    params, self.cfg, ids, true_len, rng,
+                    max_steps=max_steps, exit_layer=exit_layer,
+                    num_speculations=num_speculations, scfg=scfg,
+                    eos_ids=eos_ids, max_cache_len=max_cache_len,
+                )
+
+        elif strategy == "autoregressive":
+
+            def fn(params, ids, true_len, rng):
+                return ar_generate(
+                    params, self.cfg, ids, true_len, rng,
+                    max_steps=max_steps, exit_layer=exit_layer, scfg=scfg,
+                    eos_ids=eos_ids, max_cache_len=max_cache_len,
+                )
+
+        else:
+            raise ValueError(f"unknown strategy: {strategy}")
+
+        return jax.jit(fn)
+
+    def generate(
+        self,
+        prompt_ids,  # sequence of int (batch=1) or [B, T] array-like
+        gen_cfg: GenerationConfig,
+        rng: Optional[jax.Array] = None,
+        eos_ids: Sequence[int] = (),
+    ) -> GenerateOutput:
+        import numpy as np
+
+        ids = np.asarray(prompt_ids, dtype=np.int32)
+        if ids.ndim == 1:
+            ids = ids[None]
+        b, t = ids.shape
+        bucket = _bucket(max(t, 1))
+        padded = np.zeros((b, bucket), np.int32)
+        padded[:, :t] = ids
+
+        scfg = SamplingConfig(
+            sample=gen_cfg.sample,
+            temperature=gen_cfg.temperature,
+            top_k=gen_cfg.top_k,
+            top_p=gen_cfg.top_p,
+        )
+        eos = tuple(int(x) for x in eos_ids) or tuple(self.cfg.eos_token_ids)
+        if gen_cfg.stop_token_ids:
+            eos = eos + tuple(int(x) for x in gen_cfg.stop_token_ids)
+        exit_layer = gen_cfg.exit_layer
+        strategy = gen_cfg.generation_strategy
+        if strategy == "self_speculative":
+            assert exit_layer > 0 and gen_cfg.num_speculations > 0
+        fn = self._compiled(
+            strategy, bucket, b, gen_cfg.max_steps, exit_layer,
+            max(gen_cfg.num_speculations, 1), scfg, eos,
+        )
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return fn(self.params, jnp.asarray(padded), jnp.int32(t), rng)
+
+    # -- stepped / streaming mode -------------------------------------------
+
+    @functools.lru_cache(maxsize=16)
+    def _compiled_stepped(
+        self,
+        prompt_bucket: int,
+        batch: int,
+        max_steps: int,
+        exit_layer: int,
+        num_speculations: int,
+        scfg: SamplingConfig,
+        eos_ids: Tuple[int, ...],
+    ):
+        max_cache_len = prompt_bucket + max_steps + num_speculations + 2
+
+        def prefill(params, ids, true_len, rng):
+            return _spec_prefill(
+                params, self.cfg, ids, true_len, rng,
+                max_steps=max_steps, exit_layer=exit_layer,
+                num_speculations=num_speculations, scfg=scfg,
+                eos_ids=eos_ids, max_cache_len=max_cache_len,
+            )
+
+        def round_fn(params, state):
+            return _spec_round(
+                params, self.cfg, state,
+                max_steps=max_steps, exit_layer=exit_layer,
+                num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
+            )
+
+        return jax.jit(prefill), jax.jit(round_fn, donate_argnums=(1,))
+
+    def stream_generate(
+        self,
+        prompt_ids,
+        gen_cfg: GenerationConfig,
+        rng: Optional[jax.Array] = None,
+        eos_ids: Sequence[int] = (),
+        on_round=None,
+    ) -> GenerateOutput:
+        """Self-speculative generation with a per-round host callback.
+
+        ``on_round(drafted: list[int], accepted: list[int])`` fires after each
+        draft+verify round — this is what drives the draft-repaint streaming
+        UI (reference SpeculativeTextStreamer flow,
+        self_speculation_generator.py:158-216). One device sync per round
+        (the reference syncs per *token*). The plain ``generate`` path stays
+        sync-free; use it when no streaming is needed.
+        """
+        import numpy as np
+
+        ids = np.asarray(prompt_ids, dtype=np.int32)
+        if ids.ndim == 1:
+            ids = ids[None]
+        b, t = ids.shape
+        bucket = _bucket(max(t, 1))
+        padded = np.zeros((b, bucket), np.int32)
+        padded[:, :t] = ids
+
+        scfg = SamplingConfig(
+            sample=gen_cfg.sample, temperature=gen_cfg.temperature,
+            top_k=gen_cfg.top_k, top_p=gen_cfg.top_p,
+        )
+        eos = tuple(int(x) for x in eos_ids) or tuple(self.cfg.eos_token_ids)
+        if gen_cfg.stop_token_ids:
+            eos = eos + tuple(int(x) for x in gen_cfg.stop_token_ids)
+        assert gen_cfg.exit_layer > 0 and gen_cfg.num_speculations > 0
+        w = gen_cfg.num_speculations
+        prefill, round_fn = self._compiled_stepped(
+            bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos
+        )
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        state = prefill(self.params, jnp.asarray(padded), jnp.int32(t), rng)
+        first = int(np.asarray(state.next_tok)[0, 0])
+        if on_round is not None:
+            on_round([], [first])
+        while not bool(state.done):
+            state, window, n = round_fn(self.params, state)
+            if on_round is not None:
+                win = np.asarray(window)[0].tolist()
+                n0 = int(np.asarray(n)[0])
+                on_round(win[:w], win[: n0 + 1])
+        return GenerateOutput(
+            tokens=state.out,
+            num_tokens=jnp.full(
+                (b,), jnp.minimum(state.out_len, gen_cfg.max_steps), jnp.int32
+            ),
+            matches=state.matches,
+            drafts=state.drafts,
+        )
+
+
+def postprocess_output(
+    out: GenerateOutput, eos_ids: Sequence[int], max_steps: int
+) -> list:
+    """Host-side EOS truncation (reference excludes the EOS token itself,
+    self_speculation_generator.py:82-91). Batch row 0 (reference is B=1)."""
+    import numpy as np
+
+    toks = np.asarray(out.tokens)[0][: int(np.asarray(out.num_tokens)[0])]
+    toks = toks[:max_steps].tolist()
+    for e in eos_ids:
+        if e in toks:
+            toks = toks[: toks.index(e)]
+    return toks

@@ -1,0 +1,120 @@
+"""Generator facade: tokenize -> engine -> detokenize + timing.
+
+Counterpart of the reference's ``HuggingfaceLlamaGenerator`` and the
+config/result dataclasses (self_speculation/generator_base.py:17-130). The
+strategy dispatch that the reference spreads across generator classes
+(autoregressive_generator.py / self_speculation_generator.py) collapses here
+into ``GenerationConfig.generation_strategy`` — both strategies are jitted
+whole-generation programs in ``engine.py``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import List, Optional, Sequence
+
+import jax
+
+from layerskip_tpu.config import GenerationConfig, ModelConfig
+from layerskip_tpu.generation.engine import Engine, postprocess_output
+from layerskip_tpu.models.llama import LlamaParams
+
+
+@dataclasses.dataclass
+class GenerationStrategyResult:
+    """Reference: generator_base.py:17-20."""
+
+    predicted_tokens: List[int]
+    acceptance_rate: Optional[float] = None
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    """Reference: generator_base.py:23-30."""
+
+    generation_strategy_result: GenerationStrategyResult
+    decoded_prediction: str
+    num_tokens_generated: int
+    total_time: float
+    time_per_token: float
+    tokens_per_second: float
+
+
+class LlamaGenerator:
+    """Reference: HuggingfaceLlamaGenerator (generator_base.py:65-130).
+
+    ``tokenizer`` is any object with ``__call__(text) -> ids`` /
+    ``encode(text) -> List[int]`` and ``decode(ids) -> str`` (HF tokenizers
+    satisfy this); the engine itself never sees text.
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        params: LlamaParams,
+        cfg: ModelConfig,
+        eos_ids: Sequence[int] = (),
+    ):
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self.engine = Engine(params, cfg)
+        self.eos_ids = list(eos_ids) or self._tokenizer_eos() or cfg.eos_token_ids
+
+    def _tokenizer_eos(self) -> List[int]:
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is None:
+            return []
+        return [int(e) for e in (eos if isinstance(eos, (list, tuple)) else [eos])]
+
+    def _encode(self, prompt: str) -> List[int]:
+        if hasattr(self.tokenizer, "encode"):
+            return list(self.tokenizer.encode(prompt))
+        out = self.tokenizer(prompt)
+        return list(out["input_ids"] if isinstance(out, dict) else out.input_ids)
+
+    def generate(
+        self,
+        prompt: str,
+        generation_config: GenerationConfig,
+        streamer=None,
+        rng: Optional[jax.Array] = None,
+        seed: int = 0,
+    ) -> GenerationResult:
+        """Tokenize, run the jitted engine, detokenize, time (reference
+        generator_base.py:97-130). Timing covers the on-device generation
+        only, matching the reference's start/stop placement (:107-118)."""
+        prompt_ids = self._encode(prompt)
+        eos = self.eos_ids
+        if generation_config.stop_token_ids:
+            eos = eos + list(generation_config.stop_token_ids)
+        if rng is None:
+            rng = jax.random.PRNGKey(seed)
+
+        start = time.time()
+        out = self.engine.generate(prompt_ids, generation_config, rng, eos)
+        out = jax.tree.map(jax.block_until_ready, out)  # one host sync
+        total_time = time.time() - start
+
+        tokens = postprocess_output(out, eos, generation_config.max_steps)
+        if streamer is not None:
+            import jax.numpy as jnp
+
+            streamer.put(jnp.asarray(tokens))
+            streamer.end()
+        decoded = self.tokenizer.decode(tokens)
+        n = len(tokens)
+        acceptance = None
+        if generation_config.generation_strategy == "self_speculative":
+            drafts = max(int(out.drafts), 1)
+            acceptance = float(int(out.matches) / drafts)
+        return GenerationResult(
+            generation_strategy_result=GenerationStrategyResult(
+                predicted_tokens=tokens, acceptance_rate=acceptance
+            ),
+            decoded_prediction=decoded,
+            num_tokens_generated=n,
+            total_time=total_time,
+            time_per_token=total_time / max(n, 1),
+            tokens_per_second=n / total_time if total_time > 0 else 0.0,
+        )

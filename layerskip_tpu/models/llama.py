@@ -162,23 +162,37 @@ def forward_early(
     params: LlamaParams,
     cfg: ModelConfig,
     ids: jnp.ndarray,  # [B, T]
-    cache: KVCache,
+    early_cache: KVCache,  # the early layer group only ([E, B, S, Hkv, Dh])
     draft_len: jnp.ndarray,  # early-layer-group past length
     exit_layer: int,  # static
 ) -> ForwardResult:
     """Draft pass: layers [0, exit_layer) + shared norm/head
     (reference ``forward_early``, llama_model_utils.py:213-276).
 
-    Only early layers' KV slices are touched; ``hidden`` is the exit-layer
-    pre-norm activation the engine stashes into its exit-hidden buffer
-    (reference exit_query_cache, llama_model_utils.py:266-269).
+    Takes (and returns) only the *early layer group's* KV cache — the engine
+    keeps the early/full groups as separate buffers so the draft loop never
+    touches full-layer KV (the reference shares one legacy cache and relies on
+    layer indices; see SURVEY §2.2). ``hidden`` is the exit-layer pre-norm
+    activation the engine stashes into its exit-hidden buffer (reference
+    exit_query_cache, llama_model_utils.py:266-269).
     """
     h = embed_tokens(params, ids)
     e = exit_layer
-    ke, ve = cache.k[:e], cache.v[:e]
-    h, ke, ve = run_layers(cfg, params.layers.slice(0, e), h, ke, ve, draft_len)
-    cache = KVCache(k=cache.k.at[:e].set(ke), v=cache.v.at[:e].set(ve))
-    return ForwardResult(logits=lm_logits(params, cfg, h), cache=cache, hidden=h)
+    h, ke, ve = run_layers(
+        cfg, params.layers.slice(0, e), h, early_cache.k, early_cache.v, draft_len
+    )
+    return ForwardResult(
+        logits=lm_logits(params, cfg, h), cache=KVCache(k=ke, v=ve), hidden=h
+    )
+
+
+@struct.dataclass
+class RemainderResult:
+    """Result of the verification pass: logits over the window + both KV groups."""
+
+    logits: jnp.ndarray  # [B, W+1, V] fp32
+    early_cache: KVCache
+    full_cache: KVCache
 
 
 def forward_remainder(
@@ -186,35 +200,62 @@ def forward_remainder(
     cfg: ModelConfig,
     last_draft_token: jnp.ndarray,  # [B, 1] — the one token early layers haven't seen
     exit_hidden: jnp.ndarray,  # [B, W, D] — exit-layer activations of the window prefix
-    cache: KVCache,
+    early_cache: KVCache,  # layers [0, E)
+    full_cache: KVCache,  # layers [E, L)
     draft_len: jnp.ndarray,  # early-group past length (== full_len + W)
     full_len: jnp.ndarray,  # full-group past length
     exit_layer: int,  # static
-) -> ForwardResult:
+) -> RemainderResult:
     """Verification pass (reference ``forward_remainder``, llama_model_utils.py:280-391).
 
     Early layers process exactly one token (the final draft token) against the
     draft-length past (reference :344,350-362, num_tokens_to_generate=1 :289);
     full layers process the stitched window ``concat(exit_hidden, h_last)``
     against the full-length past (reference :363-383). Returns fp32 logits
-    over the whole [B, W+1, V] window.
+    over the whole [B, W+1, V] window. After this call both groups' KV holds
+    ``full_len + W + 1`` valid positions — the re-alignment the reference
+    achieves with crop_past_key_values (SURVEY §2.3 invariant) falls out of
+    the engine's single length counter here.
     """
     e = exit_layer
     # --- early layers: 1 token at position draft_len ---
     h1 = embed_tokens(params, last_draft_token)  # [B, 1, D]
-    ke, ve = cache.k[:e], cache.v[:e]
-    h1, ke, ve = run_layers(cfg, params.layers.slice(0, e), h1, ke, ve, draft_len)
+    h1, ke, ve = run_layers(
+        cfg, params.layers.slice(0, e), h1, early_cache.k, early_cache.v, draft_len
+    )
     # --- full layers: stitched window at positions full_len .. full_len+W ---
     full_h = jnp.concatenate([exit_hidden, h1], axis=1)  # [B, W+1, D]
     lf = cfg.num_hidden_layers
-    kf, vf = cache.k[e:lf], cache.v[e:lf]
     full_h, kf, vf = run_layers(
-        cfg, params.layers.slice(e, lf), full_h, kf, vf, full_len
+        cfg, params.layers.slice(e, lf), full_h, full_cache.k, full_cache.v, full_len
     )
-    cache = KVCache(
-        k=cache.k.at[:e].set(ke).at[e:lf].set(kf),
-        v=cache.v.at[:e].set(ve).at[e:lf].set(vf),
+    return RemainderResult(
+        logits=lm_logits(params, cfg, full_h),
+        early_cache=KVCache(k=ke, v=ve),
+        full_cache=KVCache(k=kf, v=vf),
     )
-    return ForwardResult(
-        logits=lm_logits(params, cfg, full_h), cache=cache, hidden=full_h
+
+
+def forward_split(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    ids: jnp.ndarray,  # [B, T]
+    early_cache: KVCache,  # layers [0, E)
+    full_cache: KVCache,  # layers [E, L)
+    past_len: jnp.ndarray,  # scalar int32 (both groups aligned)
+    exit_layer: int,  # static
+) -> RemainderResult:
+    """Full-model forward over the split early/full caches (engine prefill)."""
+    e, lf = exit_layer, cfg.num_hidden_layers
+    h = embed_tokens(params, ids)
+    h, ke, ve = run_layers(
+        cfg, params.layers.slice(0, e), h, early_cache.k, early_cache.v, past_len
+    )
+    h, kf, vf = run_layers(
+        cfg, params.layers.slice(e, lf), h, full_cache.k, full_cache.v, past_len
+    )
+    return RemainderResult(
+        logits=lm_logits(params, cfg, h),
+        early_cache=KVCache(k=ke, v=ve),
+        full_cache=KVCache(k=kf, v=vf),
     )

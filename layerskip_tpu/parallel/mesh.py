@@ -1,0 +1,49 @@
+"""Device mesh construction over ICI/DCN.
+
+The reference's entire "distributed backend" is a gloo/NCCL process group
+whose non-zero ranks immediately exit (generate.py:41-52 — "we don't support
+parallel inference yet"). This module is the TPU-native replacement
+(SURVEY §2.11): a ``jax.sharding.Mesh`` with named axes
+
+  * ``dp`` — data parallel (batch)
+  * ``tp`` — tensor parallel (attention heads / MLP features / vocab)
+
+GSPMD inserts the collectives; shardings are declared in
+``layerskip_tpu.parallel.sharding``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+
+def make_mesh(
+    dp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a [dp, tp] mesh. ``dp*tp`` must equal the device count used.
+
+    On real hardware, ``jax.devices()`` already orders devices so that the
+    trailing mesh axis (``tp``) lands on the fastest ICI links; use
+    ``jax.experimental.mesh_utils.create_device_mesh`` when topology-aware
+    placement matters (multi-host).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * tp != len(devices):
+        raise ValueError(f"dp*tp={dp * tp} != #devices={len(devices)}")
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+    except Exception:
+        arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, axis_names=("dp", "tp"))
+
+
+def single_device_mesh() -> Mesh:
+    return make_mesh(1, 1, devices=jax.devices()[:1])

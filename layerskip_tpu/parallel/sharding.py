@@ -1,0 +1,84 @@
+"""Sharding rules: how LlamaParams / KV / activations lay out on the mesh.
+
+Net-new relative to the reference (it has zero parallelism — SURVEY §2.11,
+§5.8). Megatron-style tensor parallelism expressed as GSPMD NamedShardings:
+
+  * column-parallel (output features on ``tp``): wq, wk, wv, w_gate, w_up
+  * row-parallel (input features on ``tp``):     wo, w_down
+  * vocab-parallel: embed + lm_head
+  * KV cache: kv-heads on ``tp``, batch on ``dp``
+  * activations: batch on ``dp``, hidden replicated
+
+With this layout each decoder layer needs exactly one all-reduce after
+attention and one after the MLP (inserted by XLA from the shardings), riding
+ICI. The shared early-exit head is vocab-sharded, so draft sampling's
+softmax runs as a sharded reduction too.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from layerskip_tpu.models.llama import LayerParams, LlamaParams
+from layerskip_tpu.ops.kv_cache import KVCache
+
+
+def layer_specs() -> LayerParams:
+    """PartitionSpecs for the stacked [L, ...] layer weights."""
+    return LayerParams(
+        attn_norm=P(None, None),
+        wq=P(None, None, "tp"),
+        wk=P(None, None, "tp"),
+        wv=P(None, None, "tp"),
+        wo=P(None, "tp", None),
+        mlp_norm=P(None, None),
+        w_gate=P(None, None, "tp"),
+        w_up=P(None, None, "tp"),
+        w_down=P(None, "tp", None),
+    )
+
+
+def param_specs(tie_word_embeddings: bool = False) -> LlamaParams:
+    return LlamaParams(
+        embed=P("tp", None),  # vocab-parallel embedding
+        layers=layer_specs(),
+        final_norm=P(None),
+        lm_head=None if tie_word_embeddings else P(None, "tp"),
+    )
+
+
+def kv_cache_spec() -> KVCache:
+    # [L, B, S, H_kv, Dh]: batch on dp, kv heads on tp.
+    return KVCache(k=P(None, "dp", None, "tp", None), v=P(None, "dp", None, "tp", None))
+
+
+def activation_spec() -> P:
+    # [B, T, D]
+    return P("dp", None, None)
+
+
+def batch_spec() -> P:
+    # [B, T] token ids
+    return P("dp", None)
+
+
+def to_named(mesh: Mesh, spec_tree: Any) -> Any:
+    """Map a pytree of PartitionSpecs to NamedShardings on ``mesh``.
+
+    ``None`` subtrees (e.g. tied lm_head) are empty pytree nodes on both
+    sides, so they pass through untouched.
+    """
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s),
+        spec_tree,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
+    """Place a (host or single-device) param pytree onto the mesh."""
+    shardings = to_named(mesh, param_specs(params.lm_head is None))
+    return jax.tree.map(jax.device_put, params, shardings)

@@ -1,0 +1,218 @@
+"""LayerSkip training recipe: layer dropout + early-exit loss.
+
+The reference repo is inference-only and points to torchtune/trl PRs for
+training (README.md:166-167). LayerSkip *checkpoints*, however, are produced
+by the paper's recipe (arXiv 2404.16710 §3): during (continual) pretraining
+or finetuning,
+
+  1. **Layer dropout** — each decoder layer is skipped stochastically with a
+     rate that increases with depth, ``p_l = p_max * D(l) * S(t)``, where
+     ``D(l)`` scales across layers (exponential by default) and ``S(t)`` is
+     an optional time curriculum;
+  2. **Early-exit loss** — the *shared* LM head (the same one inference
+     exits through, llama_model_utils.py:271-273) is applied after selected
+     layers and their cross-entropies are added with normalized weights,
+     optionally on a rotational curriculum (only one early exit active per
+     step, cycling through the set).
+
+This module is a pure-JAX implementation designed for pjit over a
+(dp, tp) mesh: batch sharded on ``dp``, weights per
+``layerskip_tpu.parallel.sharding``. All losses/dropout decisions are traced
+— no host syncs inside the step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from layerskip_tpu.config import ModelConfig
+from layerskip_tpu.models import llama
+from layerskip_tpu.models.llama import LlamaParams
+from layerskip_tpu.ops.rmsnorm import rms_norm
+from layerskip_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """LayerSkip recipe knobs (paper §3; defaults follow the paper's framing)."""
+
+    p_max: float = 0.1  # max layer-dropout rate (deepest layer)
+    dropout_scale: str = "exp"  # "exp" | "linear" | "none"
+    early_exit_layers: Tuple[int, ...] = ()  # exits AFTER these layer indices; () => all
+    e_scale: float = 1.0  # early-exit loss scale
+    rotational_r: int = 0  # R>0: only every R-th exit active, rotating per step
+    label_smoothing: float = 0.0
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+
+
+def depth_scale(layer_idx: jnp.ndarray, num_layers: int, kind: str) -> jnp.ndarray:
+    """D(l): per-layer dropout scaling in [0, 1] (deeper => larger)."""
+    if num_layers <= 1 or kind == "none":
+        return jnp.ones_like(layer_idx, jnp.float32)
+    frac = layer_idx.astype(jnp.float32) / (num_layers - 1)
+    if kind == "linear":
+        return frac
+    # exponential ramp, normalized so D(0)=0, D(L-1)=1 (paper's "exp" curve)
+    return (jnp.exp(frac * math.log(2.0)) - 1.0) / (2.0 - 1.0)
+
+
+def exit_loss_weights(
+    exit_layers: Tuple[int, ...],
+    num_layers: int,
+    e_scale: float,
+    rotational_r: int,
+    step: jnp.ndarray,
+) -> jnp.ndarray:
+    """Normalized early-exit loss weights per exit (final layer excluded).
+
+    Later exits get proportionally larger weight (paper: earlier layers are
+    noisier, ``e(l) ∝ sum_{i<=l} i`` style ramp — we use ``l+1``). With a
+    rotational curriculum R, only exits with ``idx % R == step % R`` are
+    active on a given step.
+    """
+    ls = jnp.asarray(exit_layers, jnp.float32)
+    w = (ls + 1.0) / num_layers
+    if rotational_r > 0:
+        idx = jnp.arange(len(exit_layers))
+        active = (idx % rotational_r) == (step % rotational_r)
+        w = jnp.where(active, w, 0.0)
+    total = jnp.maximum(jnp.sum(w), 1e-9)
+    return e_scale * w / total
+
+
+def _one_layer_dropped(
+    cfg: ModelConfig, lp, h, cos, sin, keep: jnp.ndarray
+):
+    """One decoder layer without KV cache (full-sequence training pass).
+
+    ``keep`` is a [B] 0/1 mask implementing per-sample layer dropout: dropped
+    samples pass ``h`` through unchanged (identity skip — this is what makes
+    early exits viable at inference, the paper's core insight).
+    """
+    b, t, d = h.shape
+    hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
+    q = (x @ lp.wq).reshape(b, t, hq, dh)
+    k = (x @ lp.wk).reshape(b, t, hkv, dh)
+    v = (x @ lp.wv).reshape(b, t, hkv, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    # causal self-attention over the sequence itself
+    g = cfg.q_heads_per_kv
+    qg = q.reshape(b, t, hkv, g, dh)
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.float32(dh))
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    scores = jnp.where(causal[None, None, None], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    attn = jnp.einsum("bhgts,bshd->bthgd", probs, v, preferred_element_type=jnp.float32)
+    h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
+
+    h1 = h + h_attn
+    x = rms_norm(h1, lp.mlp_norm, cfg.rms_norm_eps)
+    h2 = h1 + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+
+    keep = keep.astype(h.dtype)[:, None, None]
+    return keep * h2 + (1.0 - keep) * h
+
+
+def token_cross_entropy(
+    logits: jnp.ndarray,  # [B, T, V] fp32
+    labels: jnp.ndarray,  # [B, T] int32 (-100 => ignored)
+    label_smoothing: float = 0.0,
+) -> jnp.ndarray:
+    valid = labels >= 0
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if label_smoothing > 0.0:
+        smooth = -jnp.mean(logp, axis=-1)
+        nll = (1.0 - label_smoothing) * nll + label_smoothing * smooth
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+def layerskip_loss(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    tcfg: TrainConfig,
+    ids: jnp.ndarray,  # [B, T]
+    labels: jnp.ndarray,  # [B, T] next-token labels (-100 ignored)
+    rng: jax.Array,
+    step: jnp.ndarray,
+):
+    """Total loss = CE(final) + Σ_exits w_e · CE(exit_e), with layer dropout."""
+    nl = cfg.num_hidden_layers
+    exits = tcfg.early_exit_layers or tuple(range(1, nl))
+    exits = tuple(e for e in exits if 0 < e < nl)
+
+    b, t = ids.shape
+    h = llama.embed_tokens(params, ids)
+    positions = jnp.arange(t, dtype=jnp.int32)
+    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg))
+    cos = jnp.broadcast_to(cos[None], (b, t, cfg.head_dim))
+    sin = jnp.broadcast_to(sin[None], (b, t, cfg.head_dim))
+
+    # per-layer, per-sample keep masks
+    l_idx = jnp.arange(nl, dtype=jnp.int32)
+    p_drop = tcfg.p_max * depth_scale(l_idx, nl, tcfg.dropout_scale)  # [L]
+    keep = jax.random.uniform(rng, (nl, b)) >= p_drop[:, None]  # [L, B]
+
+    def body(h, xs):
+        lp, keep_l = xs
+        h = _one_layer_dropped(cfg, lp, h, cos, sin, keep_l)
+        return h, h
+
+    h_final, h_all = jax.lax.scan(body, h, (params.layers, keep))
+
+    final_loss = token_cross_entropy(
+        llama.lm_logits(params, cfg, h_final), labels, tcfg.label_smoothing
+    )
+    w = exit_loss_weights(exits, nl, tcfg.e_scale, tcfg.rotational_r, step)
+    exit_losses = []
+    for e in exits:
+        # exit AFTER layer e-1 (same convention as inference exit_layer)
+        logits_e = llama.lm_logits(params, cfg, h_all[e - 1])
+        exit_losses.append(token_cross_entropy(logits_e, labels, tcfg.label_smoothing))
+    exit_vec = jnp.stack(exit_losses) if exit_losses else jnp.zeros((0,))
+    total = final_loss + jnp.sum(w * exit_vec)
+    return total, {
+        "loss": total,
+        "final_loss": final_loss,
+        "exit_losses": exit_vec,
+        "exit_weights": w,
+    }
+
+
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer=None):
+    """Build ``(train_step, init_opt_state)`` — pure functions, jit/pjit-ready.
+
+    ``optimizer`` is any optax GradientTransformation (default: adamw).
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adamw(
+            tcfg.learning_rate, weight_decay=tcfg.weight_decay
+        )
+
+    def init_opt_state(params: LlamaParams):
+        return optimizer.init(params)
+
+    def train_step(params, opt_state, ids, labels, rng, step):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: layerskip_loss(p, cfg, tcfg, ids, labels, rng, step),
+            has_aux=True,
+        )(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, aux
+
+    return train_step, init_opt_state

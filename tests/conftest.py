@@ -1,23 +1,29 @@
 """Test env: CPU backend with 8 virtual devices for multi-chip sharding tests.
 
-Must run before any ``import jax`` (pytest imports conftest first).
-The reference has no distributed tests at all (SURVEY §4); the virtual mesh
-lets us test tp/dp shardings without TPU hardware.
+The container's sitecustomize imports jax at interpreter startup and pins
+``JAX_PLATFORMS=axon`` (the tunneled real TPU), so setting env vars here is
+too late for jax's import-time config. We override through ``jax.config``
+instead — that is honored as long as no backend has been initialized yet.
+Unit tests need (a) exact fp32 math and (b) a *virtual* 8-device mesh, which
+the single tunneled TPU chip can't provide (the reference has no distributed
+tests at all — SURVEY §4).
 """
 
 import os
 
-# Force CPU even if the session env pins a TPU platform (e.g. JAX_PLATFORMS=axon):
-# unit tests need exact fp32 math and a virtual multi-device mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402  (env vars above must be set first)
+import jax  # noqa: E402  (flags above must be set first)
 
+jax.config.update("jax_platforms", "cpu")
 # This JAX build defaults matmuls to fast (bf16-accumulation) precision even
 # on CPU; parity tests need exact fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.device_count()

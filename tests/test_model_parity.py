@@ -113,7 +113,7 @@ def test_early_exit_matches_truncated_model(torch_model_and_cfg):
     trunc.model.layers = trunc.model.layers[:exit_layer]
     ref = _torch_logits(trunc, ids_np)
 
-    cache = init_kv_cache(cfg, batch=1, max_len=32)
+    cache = init_kv_cache(cfg, batch=1, max_len=32).slice_layers(0, exit_layer)
     res = llama.forward_early(
         params, cfg, jnp.asarray(ids_np), cache, jnp.int32(0), exit_layer
     )

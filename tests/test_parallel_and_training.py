@@ -1,0 +1,145 @@
+"""Multi-device sharding + LayerSkip training-recipe tests.
+
+Runs on the 8 virtual CPU devices set up in conftest.py — the reference has
+no distributed tests at all (SURVEY §4); this is net-new coverage for the
+TPU-native mesh/sharding layer and the training recipe the reference defers
+to torchtune (README.md:166-167).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from layerskip_tpu.config import GenerationConfig, tiny_config
+from layerskip_tpu.models import llama
+from layerskip_tpu.models.params import init_params
+from layerskip_tpu.ops.kv_cache import init_kv_cache
+from layerskip_tpu.parallel.mesh import make_mesh
+from layerskip_tpu.parallel.sharding import param_specs, shard_params, to_named
+from layerskip_tpu.training.recipe import (
+    TrainConfig,
+    depth_scale,
+    exit_loss_weights,
+    layerskip_loss,
+    make_train_step,
+)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    # dims divisible by tp=4: heads 8, kv-heads 4, vocab 256, ffn 128
+    return tiny_config(
+        num_hidden_layers=4, hidden_size=64, num_attention_heads=8,
+        num_key_value_heads=4, intermediate_size=128, vocab_size=256,
+    )
+
+
+@pytest.fixture(scope="module")
+def params(cfg):
+    return init_params(jax.random.PRNGKey(0), cfg)
+
+
+def test_mesh_has_8_devices():
+    assert jax.device_count() == 8
+
+
+def test_sharded_forward_matches_single_device(cfg, params):
+    """TP+DP sharded prefill must be numerically identical to single-device."""
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    cache = init_kv_cache(cfg, batch=2, max_len=32)
+    ref = llama.forward(params, cfg, ids, cache, jnp.int32(0))
+
+    mesh = make_mesh(dp=2, tp=4)
+    p_sh = shard_params(params, mesh)
+    ids_sh = jax.device_put(ids, NamedSharding(mesh, P("dp", None)))
+    kv_sh = jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P(None, "dp", None, "tp", None))
+        ),
+        cache,
+    )
+    fn = jax.jit(lambda p, i, c: llama.forward(p, cfg, i, c, jnp.int32(0)))
+    out = fn(p_sh, ids_sh, kv_sh)
+    np.testing.assert_allclose(
+        np.asarray(out.logits), np.asarray(ref.logits), atol=2e-4, rtol=1e-3
+    )
+
+
+def test_sharded_spec_generate_matches(cfg, params):
+    """Whole self-speculative generation under a TP=4 mesh == unsharded."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+
+    gen_cfg = GenerationConfig(
+        max_steps=12, exit_layer=2, num_speculations=3,
+        generation_strategy="self_speculative", sample=False,
+    )
+    prompt = [3, 17, 52, 9, 30]
+    eng = Engine(params, cfg)
+    ref = postprocess_output(
+        eng.generate(prompt, gen_cfg, jax.random.PRNGKey(0)), (), 12
+    )
+
+    mesh = make_mesh(dp=1, tp=8, devices=jax.devices())
+    p_sh = shard_params(params, mesh)
+    eng_sh = Engine(p_sh, cfg)
+    got = postprocess_output(
+        eng_sh.generate(prompt, gen_cfg, jax.random.PRNGKey(0)), (), 12
+    )
+    assert got == ref
+
+
+def test_depth_scale_monotone():
+    idx = jnp.arange(8)
+    for kind in ("exp", "linear"):
+        d = np.asarray(depth_scale(idx, 8, kind))
+        assert d[0] == 0.0 and abs(d[-1] - 1.0) < 1e-6
+        assert (np.diff(d) > 0).all()
+
+
+def test_exit_loss_weights_rotational():
+    w0 = np.asarray(exit_loss_weights((1, 2, 3), 4, 1.0, 2, jnp.int32(0)))
+    w1 = np.asarray(exit_loss_weights((1, 2, 3), 4, 1.0, 2, jnp.int32(1)))
+    assert (w0 > 0).tolist() == [True, False, True]
+    assert (w1 > 0).tolist() == [False, True, False]
+    assert abs(w0.sum() - 1.0) < 1e-6 and abs(w1.sum() - 1.0) < 1e-6
+
+
+def test_layerskip_loss_and_train_step(cfg, params):
+    tcfg = TrainConfig(p_max=0.2, early_exit_layers=(1, 2), e_scale=0.5)
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+    labels = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 0, cfg.vocab_size)
+    loss, aux = layerskip_loss(
+        params, cfg, tcfg, ids, labels, jax.random.PRNGKey(4), jnp.int32(0)
+    )
+    assert np.isfinite(float(loss)) and float(loss) > 0
+    assert aux["exit_losses"].shape == (2,)
+
+    train_step, init_opt = make_train_step(cfg, tcfg)
+    opt_state = init_opt(params)
+    step = jax.jit(train_step)
+    p2, opt2, aux = step(
+        params, opt_state, ids, labels, jax.random.PRNGKey(5), jnp.int32(0)
+    )
+    # params actually moved
+    delta = float(jnp.abs(p2.layers.wq - params.layers.wq).max())
+    assert delta > 0
+    assert np.isfinite(float(aux["loss"]))
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing entry points must work on the virtual mesh."""
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.logits.shape[0] == 1
+    mod.dryrun_multichip(8)
