@@ -58,11 +58,16 @@ def llama32_1b_config() -> ModelConfig:
 
 
 def make_params(cfg: ModelConfig, exit_layer: int):
-    """Random weights; layers >= exit_layer made identity (zero wo/w_down)."""
+    """Random weights; layers >= exit_layer made identity (zero wo/w_down).
+
+    The tail-zeroing donates its input so no transient copy of the GB-scale
+    stacked weights is made (at 7B, a copy would not fit next to the model).
+    """
     params = init_params(jax.random.PRNGKey(0), cfg)
     e = exit_layer
-    wo = params.layers.wo.at[e:].set(0.0)
-    w_down = params.layers.w_down.at[e:].set(0.0)
+    zero_tail = jax.jit(lambda w: w.at[e:].set(0.0), donate_argnums=0)
+    wo = zero_tail(params.layers.wo)
+    w_down = zero_tail(params.layers.w_down)
     return params.replace(layers=params.layers.replace(wo=wo, w_down=w_down))
 
 
@@ -133,6 +138,13 @@ def main():
         except Exception as exc:  # OOM etc: step down a size
             print(f"[bench] {cfg_name} failed ({type(exc).__name__}: {exc}); "
                   "falling back", file=sys.stderr)
+            # release the failed attempt's device memory before retrying
+            import gc
+
+            params = engine = None  # noqa: F841
+            exc = None
+            jax.clear_caches()
+            gc.collect()
             if cfg_name == "7b":
                 cfg_name = "1b"
             elif cfg_name == "1b":

@@ -59,15 +59,19 @@ class TokenScorer:
     def __init__(self, params: LlamaParams, cfg: ModelConfig):
         self.params = params
         self.cfg = cfg
+        self._cache = {}  # per-instance (lru_cache on methods would leak self)
 
-    @functools.lru_cache(maxsize=16)
     def _compiled(self, bucket: int):
+        if bucket in self._cache:
+            return self._cache[bucket]
+
         def fn(params, ids):
             cache = init_kv_cache(self.cfg, batch=ids.shape[0], max_len=bucket)
             res = llama.forward(params, self.cfg, ids, cache, jnp.int32(0))
             return jax.nn.log_softmax(res.logits, axis=-1)
 
-        return jax.jit(fn)
+        self._cache[bucket] = jax.jit(fn)
+        return self._cache[bucket]
 
     def logprobs(self, token_ids: List[int]) -> np.ndarray:
         """[T, V] fp32 log-probs for one sequence (position t predicts t+1)."""

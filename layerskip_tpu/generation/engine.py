@@ -427,8 +427,12 @@ class Engine:
     def __init__(self, params: LlamaParams, cfg: ModelConfig):
         self.params = params
         self.cfg = cfg
+        # per-instance executable caches — a class-level functools.lru_cache
+        # would key on ``self`` and keep params alive forever (a leak when
+        # engines are rebuilt, e.g. bench size fallback)
+        self._exec_cache = {}
+        self._stepped_cache = {}
 
-    @functools.lru_cache(maxsize=64)
     def _compiled(
         self,
         strategy: str,
@@ -440,6 +444,10 @@ class Engine:
         scfg: SamplingConfig,
         eos_ids: Tuple[int, ...],
     ):
+        key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
+               num_speculations, scfg, eos_ids)
+        if key in self._exec_cache:
+            return self._exec_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
 
         if strategy == "self_speculative":
@@ -464,7 +472,8 @@ class Engine:
         else:
             raise ValueError(f"unknown strategy: {strategy}")
 
-        return jax.jit(fn)
+        self._exec_cache[key] = jax.jit(fn)
+        return self._exec_cache[key]
 
     def generate(
         self,
@@ -506,7 +515,6 @@ class Engine:
 
     # -- stepped / streaming mode -------------------------------------------
 
-    @functools.lru_cache(maxsize=16)
     def _compiled_stepped(
         self,
         prompt_bucket: int,
@@ -517,6 +525,10 @@ class Engine:
         scfg: SamplingConfig,
         eos_ids: Tuple[int, ...],
     ):
+        key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
+               scfg, eos_ids)
+        if key in self._stepped_cache:
+            return self._stepped_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
 
         def prefill(params, ids, true_len, rng):
@@ -534,7 +546,11 @@ class Engine:
                 num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
             )
 
-        return jax.jit(prefill), jax.jit(round_fn, donate_argnums=(1,))
+        self._stepped_cache[key] = (
+            jax.jit(prefill),
+            jax.jit(round_fn, donate_argnums=(1,)),
+        )
+        return self._stepped_cache[key]
 
     def stream_generate(
         self,

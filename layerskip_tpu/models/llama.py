@@ -29,6 +29,7 @@ from flax import struct
 from layerskip_tpu.config import ModelConfig
 from layerskip_tpu.ops.attention import gqa_attention
 from layerskip_tpu.ops.kv_cache import KVCache, write_kv
+from layerskip_tpu.ops.linear import QuantTensor, apply_weight
 from layerskip_tpu.ops.rmsnorm import rms_norm
 from layerskip_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
 
@@ -78,19 +79,20 @@ def _one_layer(
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
-    q = (x @ lp.wq).reshape(b, t, hq, dh)
-    k = (x @ lp.wk).reshape(b, t, hkv, dh)
-    v = (x @ lp.wv).reshape(b, t, hkv, dh)
+    q = apply_weight(x, lp.wq).reshape(b, t, hq, dh)
+    k = apply_weight(x, lp.wk).reshape(b, t, hkv, dh)
+    v = apply_weight(x, lp.wv).reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)
     attn = gqa_attention(
         q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv
     )
-    h = h + attn.reshape(b, t, hq * dh) @ lp.wo
+    h = h + apply_weight(attn.reshape(b, t, hq * dh), lp.wo)
 
     x = rms_norm(h, lp.mlp_norm, cfg.rms_norm_eps)
-    h = h + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+    gated = jax.nn.silu(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
+    h = h + apply_weight(gated, lp.w_down)
     return h, k_layer, v_layer
 
 
@@ -126,6 +128,8 @@ def lm_logits(params: LlamaParams, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndar
     """Shared final norm + LM head, fp32 logits (llama_model_utils.py:271-273)."""
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
     head = params.lm_head if params.lm_head is not None else params.embed.T
+    if isinstance(head, QuantTensor):
+        return apply_weight(h.astype(jnp.float32), head)
     return jnp.einsum("btd,dv->btv", h, head, preferred_element_type=jnp.float32)
 
 

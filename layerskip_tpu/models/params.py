@@ -34,7 +34,11 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
     keys = jax.random.split(rng, 8)
 
     def nrm(key, shape):
-        return (0.02 * jax.random.normal(key, shape, jnp.float32)).astype(cfg.dtype)
+        # sample directly in the target dtype: avoids fp32 transients that
+        # double peak HBM during 7B-scale init (bf16 normal is exact enough
+        # for random-weight benchmarking)
+        sample_dtype = cfg.dtype if jnp.issubdtype(cfg.dtype, jnp.floating) else jnp.float32
+        return jax.random.normal(key, shape, sample_dtype) * jnp.asarray(0.02, sample_dtype)
 
     layers = LayerParams(
         attn_norm=jnp.ones((l, d), cfg.dtype),

@@ -19,10 +19,31 @@ sum returns in the activation dtype.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 import jax
 
 NEG_INF = -1e30  # large-but-finite: avoids NaNs from (-inf) - (-inf)
+
+# Pallas decode-attention dispatch: on TPU, short-query attention against the
+# long KV buffer goes through the fused kernel (ops/pallas/decode_attention)
+# — one HBM read of K/V per call instead of materializing fp32 scores.
+# Disable with LAYERSKIP_TPU_DISABLE_PALLAS=1.
+_MAX_PALLAS_QUERY = 16  # draft T=1, verify T=W+1; prefill stays on XLA
+_MAX_PALLAS_KV = 16384  # K/V per (batch, head) must fit VMEM
+_PALLAS_HEAD_DIMS = (64, 128, 256)
+
+
+def _use_pallas(t: int, s: int, dh: int) -> bool:
+    if os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") == "1":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and t <= _MAX_PALLAS_QUERY
+        and s <= _MAX_PALLAS_KV
+        and dh in _PALLAS_HEAD_DIMS
+    )
 
 
 def gqa_attention(
@@ -34,6 +55,12 @@ def gqa_attention(
     q_heads_per_kv: int,
 ) -> jnp.ndarray:
     """Returns attention output [B, T, Hq, Dh] in q.dtype."""
+    if _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
+        from layerskip_tpu.ops.pallas.decode_attention import decode_attention
+
+        return decode_attention(
+            q, k_cache, v_cache, q_positions, q_heads_per_kv=q_heads_per_kv
+        )
     b, t, hq, dh = q.shape
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]

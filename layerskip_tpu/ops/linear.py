@@ -1,0 +1,66 @@
+"""Weight application: dense bf16 or int8-quantized matmul.
+
+``apply_weight(x, w)`` is the single projection primitive the Llama forward
+uses for q/k/v/o and MLP matmuls; ``w`` is either a plain [K, N] array or a
+``QuantTensor`` (int8 + per-channel scales — layerskip_tpu/quant.py). On TPU
+the quantized path runs the Pallas fused dequant-matmul
+(ops/pallas/quant_matmul.py); elsewhere it dequantizes and lets XLA matmul.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class QuantTensor:
+    """int8 weights + per-output-channel fp32 scales.
+
+    q: [..., K, N] int8; scale: [..., N] fp32. Lives as a pytree node inside
+    LlamaParams, so layer stacking/slicing/scan all work unchanged.
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    @property
+    def ndim(self):
+        return self.q.ndim
+
+    def __getitem__(self, idx) -> "QuantTensor":
+        return QuantTensor(q=self.q[idx], scale=self.scale[idx])
+
+    def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        return (self.q.astype(jnp.float32) * self.scale[..., None, :]).astype(dtype)
+
+
+def _use_pallas_qmm() -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") != "1"
+    )
+
+
+def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x [..., K] @ w [K, N] -> [..., N]; w may be dense or QuantTensor."""
+    if isinstance(w, QuantTensor):
+        assert w.q.ndim == 2, "apply_weight expects a single layer's weight"
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        x2 = x.reshape(-1, k)
+        if _use_pallas_qmm():
+            from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul
+
+            out = quant_matmul(x2, w.q, w.scale)
+        else:
+            out = x2 @ w.dequantize(x.dtype)
+        return out.reshape(*lead, -1)
+    return x @ w

@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: int8 weight-only quantized matmul, per-channel scales.
+
+No counterpart in the reference (pure fp16 torch); this is the TPU-native
+analogue of the fused dequant-matmul CUDA kernels serving stacks rely on.
+Weights are stored int8 with one fp32 scale per output channel
+(``w ≈ w_q * scale[None, :]``); activations stay bf16/fp32. The kernel
+accumulates x @ w_q in fp32 on the MXU over K-blocks and applies the column
+scales once at the end — halving weight HBM traffic, which is what bounds
+single-stream decode.
+
+``quantize_weights`` is the symmetric per-channel quantizer used by
+layerskip_tpu.quant to compress a whole LlamaParams tree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weights(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float -> ([K, N] int8, [N] fp32 scales), symmetric per-channel."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=0)  # [N]
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[None, :]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _qmm_kernel(
+    x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, k_blocks: int, k_total: int
+):
+    """Grid (M/bm, N/bn, K/bk); K is innermost and accumulates in VMEM."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # [bm, bk] activation dtype
+    w = wq_ref[:].astype(x.dtype)  # [bk, bn] int8 -> activation dtype for MXU
+    bk = x.shape[1]
+    if k_total % bk:  # ragged K tail: zero padded columns/rows explicitly
+        valid = k_total - kb * bk
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(col < valid, x, 0)
+        row = jax.lax.broadcasted_iota(jnp.int32, w.shape, 0)
+        w = jnp.where(row < valid, w, 0)
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == k_blocks - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)[None, :]).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def quant_matmul(
+    x: jnp.ndarray,  # [M, K] bf16/fp32
+    w_q: jnp.ndarray,  # [K, N] int8
+    scale: jnp.ndarray,  # [N] fp32
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ (w_q * scale) with fp32 accumulation; returns x.dtype."""
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2 and scale.shape == (n,)
+    bm, bn, bk = min(block_m, m), min(block_n, n), min(block_k, k)
+    k_blocks = pl.cdiv(k, bk)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k_blocks)
+    return pl.pallas_call(
+        functools.partial(_qmm_kernel, k_blocks=k_blocks, k_total=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, kb: (kb, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn,), lambda i, j, kb: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kb: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, w_q, scale)

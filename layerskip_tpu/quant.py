@@ -1,0 +1,66 @@
+"""Weight-only int8 quantization for LlamaParams.
+
+No counterpart in the reference (fp16 torch end to end); this is the
+TPU-native pillar for memory-bandwidth-bound decode: single-stream decoding
+reads every weight byte once per token, so int8 weights halve time/token
+versus bf16 at equal acceptance.
+
+``QuantTensor`` is a pytree leaf-pair (int8 values + per-output-channel fp32
+scales) that drops into ``LlamaParams`` wherever a dense [.., K, N] weight
+lived — including the stacked [L, K, N] layer weights. The model applies it
+through ``apply_weight`` (models/llama.py), which routes to the Pallas
+dequant-matmul kernel on TPU and a dequantize-then-matmul fallback
+elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from layerskip_tpu.models.llama import LayerParams, LlamaParams
+from layerskip_tpu.ops.linear import QuantTensor
+
+
+def quantize_tensor(w: jnp.ndarray) -> QuantTensor:
+    """Symmetric per-output-channel int8 over the last-but-one (K) axis.
+
+    Works on single [K, N] weights and stacked [L, K, N] weights alike.
+    """
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., N]
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+    return QuantTensor(q=q, scale=scale)
+
+
+_QUANT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+
+
+def quantize_llama_params(
+    params: LlamaParams, quantize_lm_head: bool = False
+) -> LlamaParams:
+    """Quantize the seven per-layer matmul weights (norms/embeddings stay
+    bf16; the shared LM head only if ``quantize_lm_head`` — keeping it
+    full-precision preserves greedy argmax parity at the exits)."""
+    layer_kw = {}
+    for f in LayerParams.__dataclass_fields__:
+        w = getattr(params.layers, f)
+        layer_kw[f] = quantize_tensor(w) if f in _QUANT_FIELDS else w
+    lm_head = params.lm_head
+    if quantize_lm_head and lm_head is not None:
+        lm_head = quantize_tensor(lm_head)
+    return LlamaParams(
+        embed=params.embed,
+        layers=LayerParams(**layer_kw),
+        final_norm=params.final_norm,
+        lm_head=lm_head,
+    )
+
+
+def quantized_bytes(params: LlamaParams) -> int:
+    """Total parameter bytes (for memory/bandwidth accounting)."""
+    total = 0
+    for leaf in jax.tree.leaves(params):
+        total += leaf.size * leaf.dtype.itemsize
+    return total

@@ -1,0 +1,108 @@
+"""Pallas kernel parity tests (interpreter mode on CPU).
+
+Each kernel must match its jnp reference implementation exactly in fp32 —
+the kernels are drop-in replacements on the TPU hot path (the reference has
+no custom kernels at all; these are the TPU-native equivalents of the fused
+CUDA kernels serving stacks rely on — SURVEY §2 preamble).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layerskip_tpu.ops import attention as attn_mod
+from layerskip_tpu.ops.pallas.decode_attention import decode_attention
+from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul, quantize_weights
+from layerskip_tpu.ops.pallas.rmsnorm import rms_norm as pallas_rms_norm
+from layerskip_tpu.ops.pallas.rmsnorm import rms_norm_residual
+from layerskip_tpu.ops.rmsnorm import rms_norm as jnp_rms_norm
+
+
+@pytest.mark.parametrize("t,g", [(1, 2), (7, 2), (4, 1)])
+def test_decode_attention_matches_reference(t, g):
+    b, s, hkv, dh = 2, 64, 2, 128
+    hq = hkv * g
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((b, t, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray(np.arange(10, 10 + t), jnp.int32)
+
+    ref = attn_mod.gqa_attention(q, k, v, qpos, q_heads_per_kv=g)
+    got = decode_attention(q, k, v, qpos, q_heads_per_kv=g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_decode_attention_respects_mask():
+    """Keys beyond q_pos must not influence the output."""
+    b, t, s, hkv, g, dh = 1, 1, 32, 1, 1, 128
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray([5], jnp.int32)
+    out1 = decode_attention(q, k, v, qpos, q_heads_per_kv=g, interpret=True)
+    # scribble on masked slots
+    k2 = k.at[:, 6:].set(99.0)
+    v2 = v.at[:, 6:].set(-99.0)
+    out2 = decode_attention(q, k2, v2, qpos, q_heads_per_kv=g, interpret=True)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_pallas_rmsnorm_matches():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 17, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    ref = jnp_rms_norm(x, w, 1e-5)
+    got = pallas_rms_norm(x, w, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_rmsnorm_residual():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 256)), jnp.float32)
+    r = jnp.asarray(rng.standard_normal((2, 8, 256)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
+    got, new_r = rms_norm_residual(x, r, w, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(new_r), np.asarray(x + r), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(jnp_rms_norm(x + r, w, 1e-5)), atol=1e-5,
+        rtol=1e-5,
+    )
+
+
+def test_quantize_weights_roundtrip():
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.standard_normal((128, 256)), jnp.float32)
+    q, scale = quantize_weights(w)
+    assert q.dtype == jnp.int8 and scale.shape == (256,)
+    deq = q.astype(jnp.float32) * scale[None, :]
+    err = np.abs(np.asarray(deq - w)).max() / np.abs(np.asarray(w)).max()
+    assert err < 0.01  # int8 per-channel: <1% relative error
+
+
+def test_quant_matmul_matches_dequant():
+    rng = np.random.default_rng(5)
+    m, k, n = 64, 256, 384
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    wq, scale = quantize_weights(w)
+    ref = x @ (wq.astype(jnp.float32) * scale[None, :])
+    got = quant_matmul(x, wq, scale, block_m=32, block_n=128, block_k=128,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-4)
+
+
+def test_quant_matmul_ragged_blocks():
+    """Shapes not divisible by block sizes must still be exact."""
+    rng = np.random.default_rng(6)
+    m, k, n = 10, 192, 136
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    wq, scale = quantize_weights(w)
+    ref = x @ (wq.astype(jnp.float32) * scale[None, :])
+    got = quant_matmul(x, wq, scale, block_m=8, block_n=128, block_k=128,
+                       interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-4)

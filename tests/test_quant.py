@@ -1,0 +1,85 @@
+"""Weight-only int8 quantization tests.
+
+The reference has no quantization; these pin the TPU-native int8 path: the
+quantized pytree drops into the same forwards/engines, logits stay close to
+fp, and the greedy spec==AR invariant holds under quantization too.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layerskip_tpu.config import GenerationConfig, tiny_config
+from layerskip_tpu.generation.engine import Engine, postprocess_output
+from layerskip_tpu.models import llama
+from layerskip_tpu.models.params import init_params
+from layerskip_tpu.ops.kv_cache import init_kv_cache
+from layerskip_tpu.ops.linear import QuantTensor, apply_weight
+from layerskip_tpu.quant import quantize_llama_params, quantize_tensor
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = tiny_config(num_hidden_layers=4, hidden_size=64, vocab_size=128)
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    return params, cfg
+
+
+def test_quantize_stacked_tensor():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((3, 32, 48)), jnp.float32)  # [L, K, N]
+    qt = quantize_tensor(w)
+    assert qt.q.shape == (3, 32, 48) and qt.scale.shape == (3, 48)
+    rel = np.abs(np.asarray(qt.dequantize(jnp.float32) - w)).max()
+    assert rel < 0.02
+    # leading-axis slice keeps the pair aligned
+    sl = qt[1:3]
+    assert sl.q.shape == (2, 32, 48) and sl.scale.shape == (2, 48)
+
+
+def test_apply_weight_dense_vs_quant():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((5, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    qt = quantize_tensor(w)
+    dense = apply_weight(x, w)
+    quant = apply_weight(x, qt)
+    np.testing.assert_allclose(
+        np.asarray(quant), np.asarray(dense), atol=0.15, rtol=0.1
+    )
+
+
+def test_quantized_forward_close_to_fp(model):
+    params, cfg = model
+    qparams = quantize_llama_params(params)
+    # structure: stacked layer weights became QuantTensor pytrees
+    assert isinstance(qparams.layers.wq, QuantTensor)
+    ids = jnp.asarray([[3, 17, 52, 9, 30]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=16)
+    fp = llama.forward(params, cfg, ids, cache, jnp.int32(0))
+    q = llama.forward(qparams, cfg, ids, cache, jnp.int32(0))
+    # int8 per-channel on a 4-layer net: logits should track closely
+    fp_l, q_l = np.asarray(fp.logits), np.asarray(q.logits)
+    denom = np.abs(fp_l).max()
+    assert np.abs(fp_l - q_l).max() / denom < 0.1
+
+
+def test_quantized_greedy_spec_equals_ar(model):
+    params, cfg = model
+    qparams = quantize_llama_params(params)
+    eng = Engine(qparams, cfg)
+    prompt = [3, 17, 52, 9]
+    ar = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=16, sample=False, generation_strategy="autoregressive")),
+        (), 16,
+    )
+    spec = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=16, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=4)),
+        (), 16,
+    )
+    assert ar == spec
