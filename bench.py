@@ -72,19 +72,23 @@ def make_params(cfg: ModelConfig, exit_layer: int):
 
 
 def timed_generate(engine, prompt, gen_cfg, repeats=3):
+    import numpy as np
+
     rng = jax.random.PRNGKey(0)
-    # warmup + compile
+    # warmup + compile; materialize to host (block_until_ready can be a
+    # no-op through remote-execution tunnels — a D2H copy cannot lie)
     out = engine.generate(prompt, gen_cfg, rng)
-    jax.block_until_ready(out.tokens)
+    np.asarray(out.tokens)
     best_tps = 0.0
     for i in range(repeats):
         t0 = time.time()
         out = engine.generate(prompt, gen_cfg, jax.random.PRNGKey(i))
-        jax.block_until_ready(out.tokens)
-        dt = time.time() - t0
         toks = postprocess_output(out, (), gen_cfg.max_steps)
+        dt = time.time() - t0
         tps = len(toks) / dt if dt > 0 else 0.0
         best_tps = max(best_tps, tps)
+        print(f"[bench]   run {i}: {len(toks)} toks in {dt:.3f}s "
+              f"({tps:.2f} tok/s)", file=sys.stderr)
     return best_tps, out
 
 

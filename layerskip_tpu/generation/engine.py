@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from layerskip_tpu.config import GenerationConfig, ModelConfig
+from layerskip_tpu.generation.processors import apply_ban, no_repeat_ngram_banned
 from layerskip_tpu.generation.sampling import (
     SamplingConfig,
     draw,
@@ -82,6 +83,7 @@ class _ARState:
     ctx: jnp.ndarray  # [] int32 tokens written to KV so far
     next_tok: jnp.ndarray  # [B, 1] int32
     out: jnp.ndarray  # [B, OUT] int32
+    hist: jnp.ndarray  # [B, P+OUT] prompt+generated (for logits processors)
     out_len: jnp.ndarray  # [] int32
     done: jnp.ndarray  # [] bool
     rng: jax.Array
@@ -99,6 +101,7 @@ def ar_generate(
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
     max_cache_len: int,
+    ngram: int = 0,  # no_repeat_ngram_size (0 = off)
 ) -> GenerateOutput:
     """Whole AR generation as one XLA program.
 
@@ -113,14 +116,25 @@ def ar_generate(
     cache = KVCache(
         k=jnp.zeros(kv_shape, cfg.dtype), v=jnp.zeros(kv_shape, cfg.dtype)
     )
+    v_size = cfg.vocab_size
+
+    def ban(logits, hist, hist_len):
+        if ngram <= 0:
+            return logits
+        return apply_ban(
+            logits, no_repeat_ngram_banned(hist, hist_len, ngram, v_size)
+        )
 
     # Prefill the padded prompt; logits at true_len-1 give the first token.
     h = llama.embed_tokens(params, ids)
     h, k, v = llama.run_layers(cfg, layers, h, cache.k, cache.v, jnp.int32(0))
     last_h = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
     logits0 = llama.lm_logits(params, cfg, last_h)[:, 0]  # [B, V]
+    hist = jnp.concatenate([ids, jnp.zeros((b, max_steps + 1), jnp.int32)], axis=1)
+    logits0 = ban(logits0, hist, true_len)
     rng, key = jax.random.split(rng)
     tok0 = draw(token_distribution(logits0, scfg), key, scfg)  # [B]
+    hist = jax.lax.dynamic_update_slice(hist, tok0[:, None], (0, true_len))
 
     out = jnp.zeros((b, max_steps), jnp.int32)
     out = out.at[:, 0].set(tok0)
@@ -131,6 +145,7 @@ def ar_generate(
         ctx=true_len,
         next_tok=tok0[:, None],
         out=out,
+        hist=hist,
         out_len=jnp.int32(1),
         done=eos0 | (max_steps <= 1),
         rng=rng,
@@ -143,9 +158,13 @@ def ar_generate(
         h = llama.embed_tokens(params, s.next_tok)
         h, k, v = llama.run_layers(cfg, layers, h, s.cache.k, s.cache.v, s.ctx)
         logits = llama.lm_logits(params, cfg, h)[:, -1]
+        logits = ban(logits, s.hist, true_len + s.out_len)
         rng, key = jax.random.split(s.rng)
         tok = draw(token_distribution(logits, scfg), key, scfg)
         out = jax.lax.dynamic_update_slice(s.out, tok[:, None], (0, s.out_len))
+        hist = jax.lax.dynamic_update_slice(
+            s.hist, tok[:, None], (0, true_len + s.out_len)
+        )
         out_len = s.out_len + 1
         done = jnp.any(_is_eos(tok, eos_ids)) | (out_len >= max_steps)
         return _ARState(
@@ -153,6 +172,7 @@ def ar_generate(
             ctx=s.ctx + 1,
             next_tok=tok[:, None],
             out=out,
+            hist=hist,
             out_len=out_len,
             done=done,
             rng=rng,
@@ -177,8 +197,10 @@ class _SpecState:
     early: KVCache  # layers [0, E)
     full: KVCache  # layers [E, L)
     ctx: jnp.ndarray  # [] int32 committed context length (excl. next_tok)
+    prompt_len: jnp.ndarray  # [] int32 (true prompt length)
     next_tok: jnp.ndarray  # [B, 1] int32 committed but not yet in KV
     out: jnp.ndarray  # [B, OUT] int32
+    hist: jnp.ndarray  # [B, P+OUT] prompt+generated (for logits processors)
     out_len: jnp.ndarray  # [] int32
     done: jnp.ndarray  # [] bool
     rng: jax.Array
@@ -199,6 +221,7 @@ def _spec_prefill(
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
     max_cache_len: int,
+    ngram: int = 0,
 ) -> _SpecState:
     """Prompt prefill -> initial speculation state.
 
@@ -224,17 +247,26 @@ def _spec_prefill(
     last_logits = jax.lax.dynamic_slice_in_dim(res.logits, true_len - 1, 1, axis=1)[
         :, 0
     ]
+    out_size = max_steps + w + 1  # rounds may overshoot max_steps by <= W
+    hist = jnp.concatenate([ids, jnp.zeros((b, out_size), jnp.int32)], axis=1)
+    if ngram > 0:
+        last_logits = apply_ban(
+            last_logits,
+            no_repeat_ngram_banned(hist, true_len, ngram, cfg.vocab_size),
+        )
     rng, key = jax.random.split(rng)
     tok0 = draw(token_distribution(last_logits, scfg), key, scfg)  # [B]
+    hist = jax.lax.dynamic_update_slice(hist, tok0[:, None], (0, true_len))
 
-    out_size = max_steps + w + 1  # rounds may overshoot max_steps by <= W
     out = jnp.zeros((b, out_size), jnp.int32).at[:, 0].set(tok0)
     return _SpecState(
         early=res.early_cache,
         full=res.full_cache,
         ctx=true_len,
+        prompt_len=true_len,
         next_tok=tok0[:, None],
         out=out,
+        hist=hist,
         out_len=jnp.int32(1),
         done=jnp.any(_is_eos(tok0, eos_ids)) | (max_steps <= 1),
         rng=rng,
@@ -256,6 +288,7 @@ def spec_generate(
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
     max_cache_len: int,
+    ngram: int = 0,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
@@ -266,7 +299,7 @@ def spec_generate(
     state = _spec_prefill(
         params, cfg, ids, true_len, rng,
         max_steps=max_steps, exit_layer=e, num_speculations=w,
-        scfg=scfg, eos_ids=eos_ids, max_cache_len=max_cache_len,
+        scfg=scfg, eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
     )
     b = ids.shape[0]
 
@@ -277,7 +310,7 @@ def spec_generate(
         s, _, _ = _spec_round(
             params, cfg, s,
             max_steps=max_steps, exit_layer=e, num_speculations=w,
-            scfg=scfg, eos_ids=eos_ids,
+            scfg=scfg, eos_ids=eos_ids, ngram=ngram,
         )
         return s
 
@@ -300,6 +333,7 @@ def _spec_round(
     num_speculations: int,
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
+    ngram: int = 0,
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One draft+verify round (reference ``single_step_speculation``,
     self_speculation_generator.py:102-229). Returns
@@ -308,20 +342,35 @@ def _spec_round(
     whole-generation while_loop discards the extras."""
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
+    v_size = cfg.vocab_size
+    # committed history length incl. next_tok (prompt + out_len tokens)
+    hist_len0 = s.prompt_len + s.out_len
+
+    def ban(logits, hist, hist_len):
+        if ngram <= 0:
+            return logits
+        return apply_ban(
+            logits, no_repeat_ngram_banned(hist, hist_len, ngram, v_size)
+        )
 
     # ---- draft phase: W early-exit steps under lax.scan
-    # (reference draft loop, self_speculation_generator.py:121-148) ----
+    # (reference draft loop, self_speculation_generator.py:121-148; the
+    # reference applies logits processors to draft logits at :138-139) ----
     def dstep(carry, i):
-        early, tok, rng = carry
+        early, tok, rng, hist = carry
         r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
         rng, key = jax.random.split(rng)
-        probs = token_distribution(r.logits[:, -1], scfg)  # [B, V]
+        logits = ban(r.logits[:, -1], hist, hist_len0 + i)
+        probs = token_distribution(logits, scfg)  # [B, V]
         d_tok = draw(probs, key, scfg)  # [B]
-        return (r.cache, d_tok[:, None], rng), (d_tok, probs, r.hidden[:, 0])
+        hist = jax.lax.dynamic_update_slice(
+            hist, d_tok[:, None], (0, hist_len0 + i)
+        )
+        return (r.cache, d_tok[:, None], rng, hist), (d_tok, probs, r.hidden[:, 0])
 
-    (early, last_inp, rng), (d_toks, d_probs, exit_h) = jax.lax.scan(
+    (early, last_inp, rng, hist), (d_toks, d_probs, exit_h) = jax.lax.scan(
         dstep,
-        (s.early, s.next_tok, s.rng),
+        (s.early, s.next_tok, s.rng, s.hist),
         jnp.arange(w, dtype=jnp.int32),
     )
     drafts = jnp.transpose(d_toks)  # [B, W]
@@ -341,7 +390,16 @@ def _spec_round(
         full_len=s.ctx,
         exit_layer=e,
     )
-    p_verify = token_distribution(vres.logits, scfg)  # [B, W+1, V]
+    vlogits = vres.logits  # [B, W+1, V]
+    if ngram > 0:
+        # position j verifies with history = committed + drafts < j (the
+        # drafts are already in ``hist``), keeping greedy spec == greedy AR
+        # under the processor
+        vlogits = jnp.stack(
+            [ban(vlogits[:, j], hist, hist_len0 + j) for j in range(w + 1)],
+            axis=1,
+        )
+    p_verify = token_distribution(vlogits, scfg)  # [B, W+1, V]
 
     # ---- acceptance: rejection sampling; one-hot => greedy prefix match
     # (reference self_speculation_generator.py:184-199) ----
@@ -380,6 +438,9 @@ def _spec_round(
         jnp.arange(w + 1)[None, :] == n[:, None], extra_tok[:, None], window
     )
     out = jax.lax.dynamic_update_slice(s.out, window, (0, s.out_len))
+    # keep the processor history aligned: drafts are already in place; this
+    # overwrites the rejected tail and writes the extra token at position n
+    hist = jax.lax.dynamic_update_slice(hist, window, (0, hist_len0))
     n0 = n[0]  # batch=1 semantics for loop control (reference eval.py:82)
     committed = n0 + 1
     out_len = s.out_len + committed
@@ -393,8 +454,10 @@ def _spec_round(
         early=vres.early_cache,
         full=vres.full_cache,
         ctx=s.ctx + committed,
+        prompt_len=s.prompt_len,
         next_tok=extra_tok[:, None],
         out=out,
+        hist=hist,
         out_len=out_len,
         done=done,
         rng=rng,
@@ -443,9 +506,10 @@ class Engine:
         num_speculations: int,
         scfg: SamplingConfig,
         eos_ids: Tuple[int, ...],
+        ngram: int = 0,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
-               num_speculations, scfg, eos_ids)
+               num_speculations, scfg, eos_ids, ngram)
         if key in self._exec_cache:
             return self._exec_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -457,7 +521,7 @@ class Engine:
                     params, self.cfg, ids, true_len, rng,
                     max_steps=max_steps, exit_layer=exit_layer,
                     num_speculations=num_speculations, scfg=scfg,
-                    eos_ids=eos_ids, max_cache_len=max_cache_len,
+                    eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
                 )
 
         elif strategy == "autoregressive":
@@ -466,7 +530,7 @@ class Engine:
                 return ar_generate(
                     params, self.cfg, ids, true_len, rng,
                     max_steps=max_steps, exit_layer=exit_layer, scfg=scfg,
-                    eos_ids=eos_ids, max_cache_len=max_cache_len,
+                    eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
                 )
 
         else:
@@ -508,6 +572,7 @@ class Engine:
         fn = self._compiled(
             strategy, bucket, b, gen_cfg.max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
+            int(gen_cfg.no_repeat_ngram_size or 0),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -524,9 +589,10 @@ class Engine:
         num_speculations: int,
         scfg: SamplingConfig,
         eos_ids: Tuple[int, ...],
+        ngram: int = 0,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
-               scfg, eos_ids)
+               scfg, eos_ids, ngram)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -536,7 +602,7 @@ class Engine:
                 params, self.cfg, ids, true_len, rng,
                 max_steps=max_steps, exit_layer=exit_layer,
                 num_speculations=num_speculations, scfg=scfg,
-                eos_ids=eos_ids, max_cache_len=max_cache_len,
+                eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
             )
 
         def round_fn(params, state):
@@ -544,6 +610,7 @@ class Engine:
                 params, self.cfg, state,
                 max_steps=max_steps, exit_layer=exit_layer,
                 num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
+                ngram=ngram,
             )
 
         self._stepped_cache[key] = (
@@ -589,7 +656,8 @@ class Engine:
         assert gen_cfg.exit_layer > 0 and gen_cfg.num_speculations > 0
         w = gen_cfg.num_speculations
         prefill, round_fn = self._compiled_stepped(
-            bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos
+            bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
+            int(gen_cfg.no_repeat_ngram_size or 0),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

@@ -73,6 +73,33 @@ class LlamaGenerator:
         out = self.tokenizer(prompt)
         return list(out["input_ids"] if isinstance(out, dict) else out.input_ids)
 
+    def _truncate_at_stop_words(
+        self, tokens: List[int], stop_words: Sequence[str]
+    ) -> List[int]:
+        """Cut the token stream at the first completed stop word.
+
+        The reference uses HF ``StopStringCriteria`` (generator_base.py:87-95)
+        which halts the loop once a stop string appears but keeps the tokens
+        of the round it completed in; with a whole-generation XLA program we
+        instead trim post-hoc to the shortest prefix whose decoding contains
+        the stop string — same visible text up to the stop word, minus any
+        overshoot the reference would have kept.
+        """
+        full = self.tokenizer.decode(tokens)
+        hit = min(
+            (full.find(swd) for swd in stop_words if swd and swd in full),
+            default=-1,
+        )
+        if hit < 0:
+            return tokens
+        for n in range(1, len(tokens) + 1):
+            if any(
+                swd in self.tokenizer.decode(tokens[:n])
+                for swd in stop_words if swd
+            ):
+                return tokens[:n]
+        return tokens
+
     def generate(
         self,
         prompt: str,
@@ -93,10 +120,14 @@ class LlamaGenerator:
 
         start = time.time()
         out = self.engine.generate(prompt_ids, generation_config, rng, eos)
-        out = jax.tree.map(jax.block_until_ready, out)  # one host sync
-        total_time = time.time() - start
-
+        # the postprocess D2H transfer is the one host sync of the generation
+        # (block_until_ready alone can be a no-op through remote-exec tunnels)
         tokens = postprocess_output(out, eos, generation_config.max_steps)
+        total_time = time.time() - start
+        if generation_config.stop_words:
+            tokens = self._truncate_at_stop_words(
+                tokens, generation_config.stop_words
+            )
         if streamer is not None:
             import jax.numpy as jnp
 
