@@ -119,17 +119,18 @@ def params_from_flat_dict(
 
 
 def load_params(model_dir: str, cfg: ModelConfig) -> LlamaParams:
-    """Load from a local HF checkpoint directory of ``*.safetensors`` shards."""
-    from safetensors import safe_open
+    """Load from a local HF checkpoint directory of ``*.safetensors`` shards.
 
-    tensors: Dict[str, np.ndarray] = {}
+    Uses the native mmap+thread-pool reader (layerskip_tpu/native.py) when
+    the C++ library is available, falling back to the Python safetensors
+    package otherwise.
+    """
+    from layerskip_tpu.native import load_shards
+
     shards = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
     if not shards:
         raise FileNotFoundError(f"no safetensors shards under {model_dir}")
-    for shard in shards:
-        with safe_open(shard, framework="np") as f:
-            for name in f.keys():
-                tensors[name] = f.get_tensor(name)
+    tensors: Dict[str, np.ndarray] = load_shards(shards)
     return params_from_flat_dict(tensors, cfg)
 
 
