@@ -134,6 +134,58 @@ def load_params(model_dir: str, cfg: ModelConfig) -> LlamaParams:
     return params_from_flat_dict(tensors, cfg)
 
 
+def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
+    """Write LlamaParams as an HF-compatible safetensors checkpoint + config.
+
+    Inverse of ``load_params`` (same name mapping / [out, in] transposition),
+    so checkpoints produced by the training recipe round-trip through HF
+    tooling and back into this framework. Always writes fp32 host arrays.
+    """
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(model_dir, exist_ok=True)
+    tensors: Dict[str, np.ndarray] = {
+        "model.embed_tokens.weight": np.asarray(params.embed, np.float32),
+        "model.norm.weight": np.asarray(params.final_norm, np.float32),
+    }
+    if params.lm_head is not None:
+        tensors["lm_head.weight"] = np.ascontiguousarray(
+            np.asarray(params.lm_head, np.float32).T
+        )
+    inv_map = {field: (hf, tr) for hf, (field, tr) in _LAYER_KEY_MAP.items()}
+    for i in range(cfg.num_hidden_layers):
+        for field, (hf_name, transpose) in inv_map.items():
+            w = np.asarray(getattr(params.layers, field)[i], np.float32)
+            tensors[f"model.layers.{i}.{hf_name}"] = (
+                np.ascontiguousarray(w.T) if transpose else w
+            )
+    path = os.path.join(model_dir, "model.safetensors")
+    save_file(tensors, path)
+    with open(os.path.join(model_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "architectures": ["LlamaForCausalLM"],
+                "vocab_size": cfg.vocab_size,
+                "hidden_size": cfg.hidden_size,
+                "intermediate_size": cfg.intermediate_size,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "num_key_value_heads": cfg.num_key_value_heads,
+                "head_dim": cfg.head_dim,
+                "max_position_embeddings": cfg.max_position_embeddings,
+                "rms_norm_eps": cfg.rms_norm_eps,
+                "rope_theta": cfg.rope_theta,
+                "tie_word_embeddings": cfg.tie_word_embeddings,
+                "bos_token_id": cfg.bos_token_id,
+                "eos_token_id": cfg.eos_token_id,
+            },
+            f, indent=2,
+        )
+    return path
+
+
 def params_from_torch_state_dict(state_dict, cfg: ModelConfig) -> LlamaParams:
     """Convert a torch ``LlamaForCausalLM.state_dict()`` (parity tests)."""
     tensors = {

@@ -59,6 +59,26 @@ def test_read_bf16(tmp_path):
     )
 
 
+def test_save_load_roundtrip(tmp_path):
+    """save_params -> load_params preserves logits exactly (fp32)."""
+    from layerskip_tpu.config import ModelConfig
+    from layerskip_tpu.models.params import save_params
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    save_params(params, str(tmp_path / "ckpt"), cfg)
+    cfg2 = ModelConfig.from_pretrained(str(tmp_path / "ckpt"), dtype=jnp.float32)
+    assert cfg2.hidden_size == cfg.hidden_size
+    loaded = load_params(str(tmp_path / "ckpt"), cfg2)
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=8)
+    a = llama.forward(params, cfg, ids, cache, jnp.int32(0))
+    b = llama.forward(loaded, cfg2, ids, cache, jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(a.logits), np.asarray(b.logits), atol=1e-5, rtol=1e-5
+    )
+
+
 def test_load_params_via_native(tmp_path):
     """Round-trip: save a tiny model as HF-style shards, load, compare logits."""
     cfg = tiny_config()
