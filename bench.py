@@ -18,28 +18,31 @@ the trained model's acceptance rate scales within — on real hardware.
 ``vs_baseline`` divides the measured speedup by the reference's published
 2.16x headline so >1.0 means we beat the reference's number.
 
+Each model size runs in a subprocess: a failed (OOM) attempt then cannot
+poison the device arena for the fallback size.
+
 Usage: python bench.py [--config 7b|1b|tiny] [--exit-layer N] [--spec K]
-       [--max-steps N] [--sample]
+       [--max-steps N] [--sample] [--single]
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
+import os
+import subprocess
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-
-from layerskip_tpu.config import GenerationConfig, ModelConfig, tiny_config
-from layerskip_tpu.generation.engine import Engine, postprocess_output
-from layerskip_tpu.models.params import init_params
 
 REFERENCE_HEADLINE_SPEEDUP = 2.16  # paper abstract, CNN/DM (README.md:4)
 
 
-def llama2_7b_config() -> ModelConfig:
+def llama2_7b_config():
+    import jax.numpy as jnp
+
+    from layerskip_tpu.config import ModelConfig
+
     return ModelConfig(
         vocab_size=32000, hidden_size=4096, intermediate_size=11008,
         num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=32,
@@ -48,7 +51,11 @@ def llama2_7b_config() -> ModelConfig:
     )
 
 
-def llama32_1b_config() -> ModelConfig:
+def llama32_1b_config():
+    import jax.numpy as jnp
+
+    from layerskip_tpu.config import ModelConfig
+
     return ModelConfig(
         vocab_size=128256, hidden_size=2048, intermediate_size=8192,
         num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
@@ -57,27 +64,50 @@ def llama32_1b_config() -> ModelConfig:
     )
 
 
-def make_params(cfg: ModelConfig, exit_layer: int):
+def build_config(name: str):
+    import jax.numpy as jnp
+
+    from layerskip_tpu.config import tiny_config
+
+    if name == "7b":
+        return llama2_7b_config()
+    if name == "1b":
+        return llama32_1b_config()
+    return tiny_config(dtype=jnp.bfloat16)
+
+
+def make_params(cfg, exit_layer: int):
     """Random weights; layers >= exit_layer made identity (zero wo/w_down).
 
-    The tail-zeroing donates its input so no transient copy of the GB-scale
-    stacked weights is made (at 7B, a copy would not fit next to the model).
+    Built entirely inside one jit so only the final buffers are ever
+    allocated — at 7B any eager transient copy would not fit next to the
+    model on a 16 GB chip.
     """
-    params = init_params(jax.random.PRNGKey(0), cfg)
-    e = exit_layer
-    zero_tail = jax.jit(lambda w: w.at[e:].set(0.0), donate_argnums=0)
-    wo = zero_tail(params.layers.wo)
-    w_down = zero_tail(params.layers.w_down)
-    return params.replace(layers=params.layers.replace(wo=wo, w_down=w_down))
+    import jax
+
+    from layerskip_tpu.models.params import init_params
+
+    def build(key):
+        p = init_params(key, cfg)
+        layers = p.layers.replace(
+            wo=p.layers.wo.at[exit_layer:].set(0.0),
+            w_down=p.layers.w_down.at[exit_layer:].set(0.0),
+        )
+        return p.replace(layers=layers)
+
+    return jax.jit(build)(jax.random.PRNGKey(0))
 
 
 def timed_generate(engine, prompt, gen_cfg, repeats=3):
     import numpy as np
 
-    rng = jax.random.PRNGKey(0)
+    import jax
+
+    from layerskip_tpu.generation.engine import postprocess_output
+
     # warmup + compile; materialize to host (block_until_ready can be a
     # no-op through remote-execution tunnels — a D2H copy cannot lie)
-    out = engine.generate(prompt, gen_cfg, rng)
+    out = engine.generate(prompt, gen_cfg, jax.random.PRNGKey(0))
     np.asarray(out.tokens)
     best_tps = 0.0
     for i in range(repeats):
@@ -92,7 +122,54 @@ def timed_generate(engine, prompt, gen_cfg, repeats=3):
     return best_tps, out
 
 
-def main():
+def run_single(args) -> dict:
+    """Run one config in-process and return the result dict."""
+    import jax
+
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import Engine
+
+    cfg = build_config(args.config)
+    exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
+    params = make_params(cfg, exit_layer)
+    engine = Engine(params, cfg)
+    prompt = list(range(5, 5 + args.prompt_len))
+
+    common = dict(
+        max_steps=args.max_steps, sample=args.sample, temperature=0.6,
+        top_k=0, top_p=0.9,
+    )
+    ar_cfg = GenerationConfig(
+        generation_strategy="autoregressive", exit_layer=-1, **common
+    )
+    sp_cfg = GenerationConfig(
+        generation_strategy="self_speculative", exit_layer=exit_layer,
+        num_speculations=args.spec, **common
+    )
+    print(f"[bench] config={args.config} exit={exit_layer} spec={args.spec} "
+          f"backend={jax.default_backend()}", file=sys.stderr)
+    ar_tps, _ = timed_generate(engine, prompt, ar_cfg, args.repeats)
+    print(f"[bench] AR tokens/s = {ar_tps:.2f}", file=sys.stderr)
+    sp_tps, sp_out = timed_generate(engine, prompt, sp_cfg, args.repeats)
+    acc = float(int(sp_out.matches)) / max(int(sp_out.drafts), 1)
+    print(f"[bench] spec tokens/s = {sp_tps:.2f} acceptance={acc:.3f}",
+          file=sys.stderr)
+    speedup = sp_tps / ar_tps if ar_tps > 0 else 0.0
+    return {
+        "metric": (
+            f"selfspec_speedup_vs_ar_{args.config}"
+            f"_exit{exit_layer}_spec{args.spec}"
+        ),
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / REFERENCE_HEADLINE_SPEEDUP, 4),
+        "ar_tokens_per_s": round(ar_tps, 2),
+        "spec_tokens_per_s": round(sp_tps, 2),
+        "acceptance": round(acc, 4),
+    }
+
+
+def parse_args(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="7b", choices=["7b", "1b", "tiny"])
     ap.add_argument("--exit-layer", type=int, default=8)
@@ -101,68 +178,35 @@ def main():
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--sample", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
-    args = ap.parse_args()
+    ap.add_argument("--single", action="store_true",
+                    help="run only --config in-process (no fallback chain)")
+    return ap.parse_args(argv)
 
-    def build(cfg_name):
-        if cfg_name == "7b":
-            return llama2_7b_config()
-        if cfg_name == "1b":
-            return llama32_1b_config()
-        return tiny_config(dtype=jnp.bfloat16)
 
-    cfg_name = args.config
-    while True:
-        cfg = build(cfg_name)
-        exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
-        try:
-            params = make_params(cfg, exit_layer)
-            engine = Engine(params, cfg)
-            prompt = list(range(5, 5 + args.prompt_len))
+def main():
+    args = parse_args()
+    if args.single:
+        print(json.dumps(run_single(args)))
+        return
 
-            common = dict(
-                max_steps=args.max_steps, sample=args.sample, temperature=0.6,
-                top_k=0, top_p=0.9,
-            )
-            ar_cfg = GenerationConfig(
-                generation_strategy="autoregressive", exit_layer=-1, **common
-            )
-            sp_cfg = GenerationConfig(
-                generation_strategy="self_speculative", exit_layer=exit_layer,
-                num_speculations=args.spec, **common
-            )
-            print(f"[bench] config={cfg_name} exit={exit_layer} spec={args.spec} "
-                  f"backend={jax.default_backend()}", file=sys.stderr)
-            ar_tps, _ = timed_generate(engine, prompt, ar_cfg, args.repeats)
-            print(f"[bench] AR tokens/s = {ar_tps:.2f}", file=sys.stderr)
-            sp_tps, sp_out = timed_generate(engine, prompt, sp_cfg, args.repeats)
-            acc = float(int(sp_out.matches)) / max(int(sp_out.drafts), 1)
-            print(f"[bench] spec tokens/s = {sp_tps:.2f} acceptance={acc:.3f}",
-                  file=sys.stderr)
-            break
-        except Exception as exc:  # OOM etc: step down a size
-            print(f"[bench] {cfg_name} failed ({type(exc).__name__}: {exc}); "
-                  "falling back", file=sys.stderr)
-            # release the failed attempt's device memory before retrying
-            import gc
-
-            params = engine = None  # noqa: F841
-            exc = None
-            jax.clear_caches()
-            gc.collect()
-            if cfg_name == "7b":
-                cfg_name = "1b"
-            elif cfg_name == "1b":
-                cfg_name = "tiny"
-            else:
-                raise
-
-    speedup = sp_tps / ar_tps if ar_tps > 0 else 0.0
-    print(json.dumps({
-        "metric": f"selfspec_speedup_vs_ar_{cfg_name}_exit{exit_layer}_spec{args.spec}",
-        "value": round(speedup, 4),
-        "unit": "x",
-        "vs_baseline": round(speedup / REFERENCE_HEADLINE_SPEEDUP, 4),
-    }))
+    order = {"7b": ["7b", "1b", "tiny"], "1b": ["1b", "tiny"], "tiny": ["tiny"]}
+    for cfg_name in order[args.config]:
+        cmd = [
+            sys.executable, os.path.abspath(__file__), "--single",
+            "--config", cfg_name,
+            "--exit-layer", str(args.exit_layer), "--spec", str(args.spec),
+            "--max-steps", str(args.max_steps),
+            "--prompt-len", str(args.prompt_len),
+            "--repeats", str(args.repeats),
+        ] + (["--sample"] if args.sample else [])
+        proc = subprocess.run(cmd, stdout=subprocess.PIPE)
+        out = proc.stdout.decode().strip().splitlines()
+        if proc.returncode == 0 and out:
+            print(out[-1])
+            return
+        print(f"[bench] {cfg_name} subprocess failed "
+              f"(rc={proc.returncode}); falling back", file=sys.stderr)
+    raise SystemExit("all bench configs failed")
 
 
 if __name__ == "__main__":

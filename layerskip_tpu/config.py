@@ -162,3 +162,4 @@ class GenerationConfig:
     # TPU additions (static shapes):
     max_prompt_len: int = 0  # 0 -> bucketed automatically
     max_seq_len: int = 0  # 0 -> model max_position_embeddings
+    kv_quant: bool = False  # int8 KV cache (halves KV HBM traffic)

@@ -48,7 +48,21 @@ from layerskip_tpu.generation.sampling import (
 )
 from layerskip_tpu.models import llama
 from layerskip_tpu.models.llama import LlamaParams
-from layerskip_tpu.ops.kv_cache import KVCache
+from layerskip_tpu.ops.kv_cache import KVCache, QuantKV
+
+
+def _mk_group_cache(
+    cfg: "ModelConfig", nlayers: int, b: int, max_len: int, kv_quant: bool
+) -> KVCache:
+    """Preallocate a layer-group KV cache (bf16 or int8-quantized)."""
+    shape = (nlayers, b, max_len, cfg.num_key_value_heads, cfg.head_dim)
+    if kv_quant:
+        mk = lambda: QuantKV(  # noqa: E731
+            q=jnp.zeros(shape, jnp.int8),
+            scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+        )
+        return KVCache(k=mk(), v=mk())
+    return KVCache(k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype))
 
 
 def _is_eos(tokens: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
@@ -102,6 +116,7 @@ def ar_generate(
     eos_ids: Tuple[int, ...],
     max_cache_len: int,
     ngram: int = 0,  # no_repeat_ngram_size (0 = off)
+    kv_quant: bool = False,  # int8 KV cache
 ) -> GenerateOutput:
     """Whole AR generation as one XLA program.
 
@@ -112,10 +127,7 @@ def ar_generate(
     b, p = ids.shape
     nlayers = exit_layer if exit_layer > 0 else cfg.num_hidden_layers
     layers = params.layers.slice(0, nlayers)
-    kv_shape = (nlayers, b, max_cache_len, cfg.num_key_value_heads, cfg.head_dim)
-    cache = KVCache(
-        k=jnp.zeros(kv_shape, cfg.dtype), v=jnp.zeros(kv_shape, cfg.dtype)
-    )
+    cache = _mk_group_cache(cfg, nlayers, b, max_cache_len, kv_quant)
     v_size = cfg.vocab_size
 
     def ban(logits, hist, hist_len):
@@ -222,6 +234,7 @@ def _spec_prefill(
     eos_ids: Tuple[int, ...],
     max_cache_len: int,
     ngram: int = 0,
+    kv_quant: bool = False,
 ) -> _SpecState:
     """Prompt prefill -> initial speculation state.
 
@@ -235,14 +248,11 @@ def _spec_prefill(
     e, nl, w = exit_layer, cfg.num_hidden_layers, num_speculations
     assert 0 < e < nl and w >= 1
 
-    def mk_cache(nlayers):
-        shape = (nlayers, b, max_cache_len, cfg.num_key_value_heads, cfg.head_dim)
-        return KVCache(
-            k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype)
-        )
-
     res = llama.forward_split(
-        params, cfg, ids, mk_cache(e), mk_cache(nl - e), jnp.int32(0), e
+        params, cfg, ids,
+        _mk_group_cache(cfg, e, b, max_cache_len, kv_quant),
+        _mk_group_cache(cfg, nl - e, b, max_cache_len, kv_quant),
+        jnp.int32(0), e,
     )
     last_logits = jax.lax.dynamic_slice_in_dim(res.logits, true_len - 1, 1, axis=1)[
         :, 0
@@ -289,6 +299,7 @@ def spec_generate(
     eos_ids: Tuple[int, ...],
     max_cache_len: int,
     ngram: int = 0,
+    kv_quant: bool = False,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
@@ -300,6 +311,7 @@ def spec_generate(
         params, cfg, ids, true_len, rng,
         max_steps=max_steps, exit_layer=e, num_speculations=w,
         scfg=scfg, eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
+        kv_quant=kv_quant,
     )
     b = ids.shape[0]
 
@@ -507,9 +519,10 @@ class Engine:
         scfg: SamplingConfig,
         eos_ids: Tuple[int, ...],
         ngram: int = 0,
+        kv_quant: bool = False,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
-               num_speculations, scfg, eos_ids, ngram)
+               num_speculations, scfg, eos_ids, ngram, kv_quant)
         if key in self._exec_cache:
             return self._exec_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -522,6 +535,7 @@ class Engine:
                     max_steps=max_steps, exit_layer=exit_layer,
                     num_speculations=num_speculations, scfg=scfg,
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
+                    kv_quant=kv_quant,
                 )
 
         elif strategy == "autoregressive":
@@ -531,6 +545,7 @@ class Engine:
                     params, self.cfg, ids, true_len, rng,
                     max_steps=max_steps, exit_layer=exit_layer, scfg=scfg,
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
+                    kv_quant=kv_quant,
                 )
 
         else:
@@ -572,7 +587,7 @@ class Engine:
         fn = self._compiled(
             strategy, bucket, b, gen_cfg.max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
-            int(gen_cfg.no_repeat_ngram_size or 0),
+            int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

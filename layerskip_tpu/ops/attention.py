@@ -55,7 +55,16 @@ def gqa_attention(
     q_heads_per_kv: int,
 ) -> jnp.ndarray:
     """Returns attention output [B, T, Hq, Dh] in q.dtype."""
-    if _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
+    from layerskip_tpu.ops.kv_cache import QuantKV
+
+    if isinstance(k_cache, QuantKV):
+        # int8 KV: dequant is elementwise and fuses into the attention
+        # matmul under XLA, so the int8 bytes are what crosses HBM. (The
+        # Pallas kernel takes the bf16 path only — a dequantized operand
+        # would materialize and forfeit the savings.)
+        k_cache = k_cache.dequantize(q.dtype)
+        v_cache = v_cache.dequantize(q.dtype)
+    elif _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
         from layerskip_tpu.ops.pallas.decode_attention import decode_attention
 
         return decode_attention(

@@ -64,8 +64,8 @@ def init_kv_cache(
 
 
 def write_kv(
-    k_layer: jnp.ndarray,
-    v_layer: jnp.ndarray,
+    k_layer,
+    v_layer,
     k_new: jnp.ndarray,
     v_new: jnp.ndarray,
     write_pos: jnp.ndarray,
@@ -74,8 +74,14 @@ def write_kv(
 
     Positions beyond the valid length may hold stale data; correctness relies
     on the attention mask (keys ``j <= q_pos``) and on the engine only ever
-    advancing write positions past committed tokens.
+    advancing write positions past committed tokens. ``k_layer``/``v_layer``
+    may be plain arrays or per-layer ``QuantKV`` buffers (int8 path).
     """
+    if isinstance(k_layer, QuantKV):
+        return (
+            k_layer.write(k_new, write_pos),
+            v_layer.write(v_new, write_pos),
+        )
     zero = jnp.zeros((), jnp.int32)
     k_layer = jax.lax.dynamic_update_slice(
         k_layer, k_new, (zero, write_pos.astype(jnp.int32), zero, zero)
@@ -84,3 +90,63 @@ def write_kv(
         v_layer, v_new, (zero, write_pos.astype(jnp.int32), zero, zero)
     )
     return k_layer, v_layer
+
+
+# ---------------------------------------------------------------------------
+# int8 KV quantization
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class QuantKV:
+    """int8 KV buffer with per-(token, head) symmetric scales.
+
+    q: [..., S, H, Dh] int8; scale: [..., S, H] fp. Halves KV HBM traffic —
+    the usual decode bottleneck at long context. Dequantization is an
+    elementwise multiply that XLA fuses into the attention matmul, so the
+    int8 bytes are read exactly once. No reference counterpart (the
+    reference's cache is fp16 legacy tuples, SURVEY §5.7).
+    """
+
+    q: jnp.ndarray
+    scale: jnp.ndarray
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def write(self, new: jnp.ndarray, write_pos: jnp.ndarray) -> "QuantKV":
+        """Quantize a [B, T, H, Dh] block and insert at ``write_pos``."""
+        zero = jnp.zeros((), jnp.int32)
+        pos = write_pos.astype(jnp.int32)
+        nf = new.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(nf), axis=-1)  # [B, T, H]
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(nf / scale[..., None]), -127, 127).astype(jnp.int8)
+        return QuantKV(
+            q=jax.lax.dynamic_update_slice(self.q, q, (zero, pos, zero, zero)),
+            scale=jax.lax.dynamic_update_slice(
+                self.scale, scale.astype(self.scale.dtype), (zero, pos, zero)
+            ),
+        )
+
+    def dequantize(self, dtype) -> jnp.ndarray:
+        return (
+            self.q.astype(jnp.float32) * self.scale.astype(jnp.float32)[..., None]
+        ).astype(dtype)
+
+
+def init_quant_kv_cache(cfg: ModelConfig, batch: int, max_len: int) -> KVCache:
+    """KVCache whose k/v are stacked QuantKV buffers ([L, B, S, H, Dh])."""
+    shape = (
+        cfg.num_hidden_layers,
+        batch,
+        max_len,
+        cfg.num_key_value_heads,
+        cfg.head_dim,
+    )
+    mk = lambda: QuantKV(  # noqa: E731
+        q=jnp.zeros(shape, jnp.int8),
+        scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+    )
+    return KVCache(k=mk(), v=mk())

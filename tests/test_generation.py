@@ -156,3 +156,29 @@ def test_top_k_top_p_filter():
     # tiny top_p keeps only the max (min_tokens_to_keep=1)
     out = np.asarray(top_k_top_p_filter(logits, top_k=0, top_p=1e-6))
     assert (out[0] > -1e29).tolist() == [False, False, False, True, False]
+
+
+def test_strategy_classes_api(tiny_model):
+    """Reference-style class API (generator_base.py:51-62) delegates to the
+    engines and produces the same tokens as the direct path."""
+    from layerskip_tpu.generation.strategies import (
+        AutoRegressiveGenerationStrategy,
+        SelfSpeculativeGenerationStrategy,
+    )
+
+    params, cfg = tiny_model
+    eng = _ENGINES.setdefault(id(params), Engine(params, cfg))
+    prompt = [3, 17, 52, 9, 30, 77, 11]
+    direct, _ = _run(params, cfg, _greedy_cfg("autoregressive"), prompt)
+
+    ar = AutoRegressiveGenerationStrategy().generate_token_ids(
+        eng, prompt, (), _greedy_cfg("autoregressive")
+    )
+    assert ar.predicted_tokens == direct
+    assert ar.acceptance_rate is None
+
+    sp = SelfSpeculativeGenerationStrategy().generate_token_ids(
+        eng, prompt, (), _greedy_cfg("self_speculative", exit_layer=2, num_spec=4)
+    )
+    assert sp.predicted_tokens == direct
+    assert 0.0 <= sp.acceptance_rate <= 1.0

@@ -83,3 +83,41 @@ def test_quantized_greedy_spec_equals_ar(model):
         (), 16,
     )
     assert ar == spec
+
+
+def test_int8_kv_cache_generation(model):
+    """int8 KV: generation runs and greedy spec==AR still holds; tokens track
+    the bf16-KV stream closely (quantization noise may diverge late)."""
+    params, cfg = model
+    eng = Engine(params, cfg)
+    prompt = [3, 17, 52, 9]
+    ar_q = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=16, sample=False, generation_strategy="autoregressive",
+            kv_quant=True)),
+        (), 16,
+    )
+    spec_q = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=16, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=4, kv_quant=True)),
+        (), 16,
+    )
+    assert ar_q == spec_q
+    assert len(ar_q) == 16
+
+
+def test_quant_kv_write_and_dequant():
+    from layerskip_tpu.ops.kv_cache import QuantKV
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    buf = QuantKV(
+        q=jnp.zeros((1, 8, 2, 4), jnp.int8),
+        scale=jnp.zeros((1, 8, 2), jnp.bfloat16),
+    )
+    block = jnp.asarray(rng.standard_normal((1, 3, 2, 4)), jnp.float32)
+    buf = buf.write(block, jnp.int32(2))
+    deq = np.asarray(buf.dequantize(jnp.float32))
+    np.testing.assert_allclose(deq[:, 2:5], np.asarray(block), atol=0.03, rtol=0.02)
+    assert (deq[:, :2] == 0).all() and (deq[:, 5:] == 0).all()
