@@ -73,6 +73,18 @@ def _is_eos(tokens: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
     return hit
 
 
+def _row_update(buf: jnp.ndarray, block: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
+    """Per-row dynamic update: buf [B, L], block [B, T], pos [B]."""
+    return jax.vmap(
+        lambda b_, n_, p_: jax.lax.dynamic_update_slice(b_, n_, (p_,))
+    )(buf, block, pos.astype(jnp.int32))
+
+
+def _row_gather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """x [B, T, ...] -> x[r, idx[r]] per row ([B, ...])."""
+    return jax.vmap(lambda row, i: row[i])(x, idx.astype(jnp.int32))
+
+
 class GenerateOutput(NamedTuple):
     """Device-side result of one generation (pre-EOS-truncation).
 
@@ -106,8 +118,8 @@ class _ARState:
 def ar_generate(
     params: LlamaParams,
     cfg: ModelConfig,
-    ids: jnp.ndarray,  # [B, P] right-padded prompt
-    true_len: jnp.ndarray,  # [] int32
+    ids: jnp.ndarray,  # [B, P] right-padded prompt (per-row lengths)
+    true_len: jnp.ndarray,  # [] or [B] int32
     rng: jax.Array,
     *,
     max_steps: int,
@@ -137,34 +149,35 @@ def ar_generate(
             logits, no_repeat_ngram_banned(hist, hist_len, ngram, v_size)
         )
 
+    true_len = jnp.broadcast_to(jnp.asarray(true_len, jnp.int32), (b,))
+
     # Prefill the padded prompt; logits at true_len-1 give the first token.
     h = llama.embed_tokens(params, ids)
     h, k, v = llama.run_layers(cfg, layers, h, cache.k, cache.v, jnp.int32(0))
-    last_h = jax.lax.dynamic_slice_in_dim(h, true_len - 1, 1, axis=1)
-    logits0 = llama.lm_logits(params, cfg, last_h)[:, 0]  # [B, V]
+    last_h = _row_gather(h, true_len - 1)  # [B, D]
+    logits0 = llama.lm_logits(params, cfg, last_h[:, None])[:, 0]  # [B, V]
     hist = jnp.concatenate([ids, jnp.zeros((b, max_steps + 1), jnp.int32)], axis=1)
     logits0 = ban(logits0, hist, true_len)
     rng, key = jax.random.split(rng)
     tok0 = draw(token_distribution(logits0, scfg), key, scfg)  # [B]
-    hist = jax.lax.dynamic_update_slice(hist, tok0[:, None], (0, true_len))
+    hist = _row_update(hist, tok0[:, None], true_len)
 
     out = jnp.zeros((b, max_steps), jnp.int32)
     out = out.at[:, 0].set(tok0)
     # The reference breaks *before* appending EOS; out_len counts committed.
-    eos0 = jnp.any(_is_eos(tok0, eos_ids))
     state = _ARState(
         cache=KVCache(k=k, v=v),
         ctx=true_len,
         next_tok=tok0[:, None],
         out=out,
         hist=hist,
-        out_len=jnp.int32(1),
-        done=eos0 | (max_steps <= 1),
+        out_len=jnp.ones((b,), jnp.int32),
+        done=_is_eos(tok0, eos_ids) | (max_steps <= 1),
         rng=rng,
     )
 
     def cond(s: _ARState):
-        return ~s.done
+        return jnp.any(~s.done)
 
     def body(s: _ARState):
         h = llama.embed_tokens(params, s.next_tok)
@@ -173,15 +186,20 @@ def ar_generate(
         logits = ban(logits, s.hist, true_len + s.out_len)
         rng, key = jax.random.split(s.rng)
         tok = draw(token_distribution(logits, scfg), key, scfg)
-        out = jax.lax.dynamic_update_slice(s.out, tok[:, None], (0, s.out_len))
-        hist = jax.lax.dynamic_update_slice(
-            s.hist, tok[:, None], (0, true_len + s.out_len)
+        active = ~s.done  # frozen rows keep buffers/counters unchanged
+        out = jnp.where(
+            active[:, None], _row_update(s.out, tok[:, None], s.out_len), s.out
         )
-        out_len = s.out_len + 1
-        done = jnp.any(_is_eos(tok, eos_ids)) | (out_len >= max_steps)
+        hist = jnp.where(
+            active[:, None],
+            _row_update(s.hist, tok[:, None], true_len + s.out_len),
+            s.hist,
+        )
+        out_len = s.out_len + active.astype(jnp.int32)
+        done = s.done | _is_eos(tok, eos_ids) | (out_len >= max_steps)
         return _ARState(
             cache=KVCache(k=k, v=v),
-            ctx=s.ctx + 1,
+            ctx=s.ctx + active.astype(jnp.int32),
             next_tok=tok[:, None],
             out=out,
             hist=hist,
@@ -193,7 +211,7 @@ def ar_generate(
     final = jax.lax.while_loop(cond, body, state)
     return GenerateOutput(
         tokens=final.out,
-        num_tokens=jnp.full((b,), final.out_len, jnp.int32),
+        num_tokens=final.out_len,
         matches=jnp.int32(0),
         drafts=jnp.int32(0),
     )
@@ -208,13 +226,13 @@ def ar_generate(
 class _SpecState:
     early: KVCache  # layers [0, E)
     full: KVCache  # layers [E, L)
-    ctx: jnp.ndarray  # [] int32 committed context length (excl. next_tok)
-    prompt_len: jnp.ndarray  # [] int32 (true prompt length)
+    ctx: jnp.ndarray  # [B] int32 committed context length (excl. next_tok)
+    prompt_len: jnp.ndarray  # [B] int32 (true prompt lengths)
     next_tok: jnp.ndarray  # [B, 1] int32 committed but not yet in KV
     out: jnp.ndarray  # [B, OUT] int32
     hist: jnp.ndarray  # [B, P+OUT] prompt+generated (for logits processors)
-    out_len: jnp.ndarray  # [] int32
-    done: jnp.ndarray  # [] bool
+    out_len: jnp.ndarray  # [B] int32
+    done: jnp.ndarray  # [B] bool
     rng: jax.Array
     matches: jnp.ndarray  # [] int32
     drafts: jnp.ndarray  # [] int32
@@ -223,8 +241,8 @@ class _SpecState:
 def _spec_prefill(
     params: LlamaParams,
     cfg: ModelConfig,
-    ids: jnp.ndarray,  # [B, P] right-padded prompt
-    true_len: jnp.ndarray,  # [] int32
+    ids: jnp.ndarray,  # [B, P] right-padded prompt (per-row lengths)
+    true_len: jnp.ndarray,  # [] or [B] int32
     rng: jax.Array,
     *,
     max_steps: int,
@@ -247,6 +265,7 @@ def _spec_prefill(
     b, p = ids.shape
     e, nl, w = exit_layer, cfg.num_hidden_layers, num_speculations
     assert 0 < e < nl and w >= 1
+    true_len = jnp.broadcast_to(jnp.asarray(true_len, jnp.int32), (b,))
 
     res = llama.forward_split(
         params, cfg, ids,
@@ -254,9 +273,7 @@ def _spec_prefill(
         _mk_group_cache(cfg, nl - e, b, max_cache_len, kv_quant),
         jnp.int32(0), e,
     )
-    last_logits = jax.lax.dynamic_slice_in_dim(res.logits, true_len - 1, 1, axis=1)[
-        :, 0
-    ]
+    last_logits = _row_gather(res.logits, true_len - 1)  # [B, V]
     out_size = max_steps + w + 1  # rounds may overshoot max_steps by <= W
     hist = jnp.concatenate([ids, jnp.zeros((b, out_size), jnp.int32)], axis=1)
     if ngram > 0:
@@ -266,7 +283,7 @@ def _spec_prefill(
         )
     rng, key = jax.random.split(rng)
     tok0 = draw(token_distribution(last_logits, scfg), key, scfg)  # [B]
-    hist = jax.lax.dynamic_update_slice(hist, tok0[:, None], (0, true_len))
+    hist = _row_update(hist, tok0[:, None], true_len)
 
     out = jnp.zeros((b, out_size), jnp.int32).at[:, 0].set(tok0)
     return _SpecState(
@@ -277,8 +294,8 @@ def _spec_prefill(
         next_tok=tok0[:, None],
         out=out,
         hist=hist,
-        out_len=jnp.int32(1),
-        done=jnp.any(_is_eos(tok0, eos_ids)) | (max_steps <= 1),
+        out_len=jnp.ones((b,), jnp.int32),
+        done=_is_eos(tok0, eos_ids) | (max_steps <= 1),
         rng=rng,
         matches=jnp.int32(0),
         drafts=jnp.int32(0),
@@ -316,7 +333,7 @@ def spec_generate(
     b = ids.shape[0]
 
     def cond(s: _SpecState):
-        return ~s.done
+        return jnp.any(~s.done)
 
     def body(s: _SpecState):
         s, _, _ = _spec_round(
@@ -329,7 +346,7 @@ def spec_generate(
     final = jax.lax.while_loop(cond, body, state)
     return GenerateOutput(
         tokens=final.out,
-        num_tokens=jnp.full((b,), jnp.minimum(final.out_len, max_steps), jnp.int32),
+        num_tokens=jnp.minimum(final.out_len, max_steps),
         matches=final.matches,
         drafts=final.drafts,
     )
@@ -355,7 +372,7 @@ def _spec_round(
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
     v_size = cfg.vocab_size
-    # committed history length incl. next_tok (prompt + out_len tokens)
+    # committed history lengths incl. next_tok (prompt + out_len tokens), [B]
     hist_len0 = s.prompt_len + s.out_len
 
     def ban(logits, hist, hist_len):
@@ -375,9 +392,7 @@ def _spec_round(
         logits = ban(r.logits[:, -1], hist, hist_len0 + i)
         probs = token_distribution(logits, scfg)  # [B, V]
         d_tok = draw(probs, key, scfg)  # [B]
-        hist = jax.lax.dynamic_update_slice(
-            hist, d_tok[:, None], (0, hist_len0 + i)
-        )
+        hist = _row_update(hist, d_tok[:, None], hist_len0 + i)
         return (r.cache, d_tok[:, None], rng, hist), (d_tok, probs, r.hidden[:, 0])
 
     (early, last_inp, rng, hist), (d_toks, d_probs, exit_h) = jax.lax.scan(
@@ -426,7 +441,7 @@ def _spec_round(
     # Reference clamps speculations near max_steps
     # (self_speculation_generator.py:63-66); we clamp acceptances so the
     # committed count and bookkeeping match.
-    w_eff = jnp.clip(max_steps - s.out_len - 1, 0, w)
+    w_eff = jnp.clip(max_steps - s.out_len - 1, 0, w)  # [B]
     n = jnp.minimum(n_raw, w_eff)  # [B]
 
     # Extra token: residual resample on rejection, bonus draw otherwise
@@ -449,19 +464,24 @@ def _spec_round(
     window = jnp.where(
         jnp.arange(w + 1)[None, :] == n[:, None], extra_tok[:, None], window
     )
-    out = jax.lax.dynamic_update_slice(s.out, window, (0, s.out_len))
+    active = ~s.done  # frozen rows keep buffers/counters/KV frontier fixed
+    out = jnp.where(
+        active[:, None], _row_update(s.out, window, s.out_len), s.out
+    )
     # keep the processor history aligned: drafts are already in place; this
     # overwrites the rejected tail and writes the extra token at position n
-    hist = jax.lax.dynamic_update_slice(hist, window, (0, hist_len0))
-    n0 = n[0]  # batch=1 semantics for loop control (reference eval.py:82)
-    committed = n0 + 1
+    hist = jnp.where(
+        active[:, None], _row_update(hist, window, hist_len0), s.hist
+    )
+    committed = jnp.where(active, n + 1, 0)  # [B]
     out_len = s.out_len + committed
 
     # EOS inside the committed window?
     idx = jnp.arange(w + 1)[None, :]
-    eos_hit = jnp.any(_is_eos(window, eos_ids) & (idx <= n[:, None]))
-    done = eos_hit | (out_len >= max_steps)
+    eos_hit = jnp.any(_is_eos(window, eos_ids) & (idx <= n[:, None]), axis=1)
+    done = s.done | eos_hit | (out_len >= max_steps)
 
+    act32 = active.astype(jnp.int32)
     new_state = _SpecState(
         early=vres.early_cache,
         full=vres.full_cache,
@@ -473,8 +493,8 @@ def _spec_round(
         out_len=out_len,
         done=done,
         rng=rng,
-        matches=s.matches + n0,
-        drafts=s.drafts + jnp.maximum(w_eff, 1),
+        matches=s.matches + jnp.sum(n * act32),
+        drafts=s.drafts + jnp.sum(jnp.maximum(w_eff, 1) * act32),
     )
     return new_state, window, n
 
@@ -556,20 +576,13 @@ class Engine:
 
     def generate(
         self,
-        prompt_ids,  # sequence of int (batch=1) or [B, T] array-like
+        prompt_ids,  # list[int] (batch=1), list[list[int]] (ragged batch), or [B, T]
         gen_cfg: GenerationConfig,
         rng: Optional[jax.Array] = None,
         eos_ids: Sequence[int] = (),
     ) -> GenerateOutput:
-        import numpy as np
-
-        ids = np.asarray(prompt_ids, dtype=np.int32)
-        if ids.ndim == 1:
-            ids = ids[None]
-        b, t = ids.shape
-        bucket = _bucket(max(t, 1))
-        padded = np.zeros((b, bucket), np.int32)
-        padded[:, :t] = ids
+        padded, true_lens = _pad_prompts(prompt_ids)
+        b, bucket = padded.shape
 
         scfg = SamplingConfig(
             sample=gen_cfg.sample,
@@ -591,7 +604,7 @@ class Engine:
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        return fn(self.params, jnp.asarray(padded), jnp.int32(t), rng)
+        return fn(self.params, jnp.asarray(padded), jnp.asarray(true_lens), rng)
 
     # -- stepped / streaming mode -------------------------------------------
 
@@ -653,13 +666,8 @@ class Engine:
         """
         import numpy as np
 
-        ids = np.asarray(prompt_ids, dtype=np.int32)
-        if ids.ndim == 1:
-            ids = ids[None]
-        b, t = ids.shape
-        bucket = _bucket(max(t, 1))
-        padded = np.zeros((b, bucket), np.int32)
-        padded[:, :t] = ids
+        padded, true_lens = _pad_prompts(prompt_ids)
+        b, bucket = padded.shape
 
         scfg = SamplingConfig(
             sample=gen_cfg.sample, temperature=gen_cfg.temperature,
@@ -676,11 +684,13 @@ class Engine:
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        state = prefill(self.params, jnp.asarray(padded), jnp.int32(t), rng)
+        state = prefill(
+            self.params, jnp.asarray(padded), jnp.asarray(true_lens), rng
+        )
         first = int(np.asarray(state.next_tok)[0, 0])
         if on_round is not None:
             on_round([], [first])
-        while not bool(state.done):
+        while not bool(np.asarray(state.done).all()):
             state, window, n = round_fn(self.params, state)
             if on_round is not None:
                 win = np.asarray(window)[0].tolist()
@@ -688,24 +698,58 @@ class Engine:
                 on_round(win[:w], win[: n0 + 1])
         return GenerateOutput(
             tokens=state.out,
-            num_tokens=jnp.full(
-                (b,), jnp.minimum(state.out_len, gen_cfg.max_steps), jnp.int32
-            ),
+            num_tokens=jnp.minimum(state.out_len, gen_cfg.max_steps),
             matches=state.matches,
             drafts=state.drafts,
         )
 
 
+def _pad_prompts(prompt_ids):
+    """Normalize prompts to a right-padded [B, bucket] array + [B] lengths.
+
+    Accepts a flat list of ints (batch=1), a list of per-row token lists
+    (ragged batch), or a rectangular array.
+    """
+    import numpy as np
+
+    if (
+        isinstance(prompt_ids, (list, tuple))
+        and prompt_ids
+        and isinstance(prompt_ids[0], (list, tuple))
+    ):
+        rows = [list(r) for r in prompt_ids]
+    else:
+        arr = np.asarray(prompt_ids)
+        rows = [arr.tolist()] if arr.ndim == 1 else [r.tolist() for r in arr]
+    lens = [max(len(r), 1) for r in rows]
+    bucket = _bucket(max(lens))
+    padded = np.zeros((len(rows), bucket), np.int32)
+    for i, r in enumerate(rows):
+        padded[i, : len(r)] = r
+    return padded, np.asarray(lens, np.int32)
+
+
+def postprocess_batch(
+    out: GenerateOutput, eos_ids: Sequence[int], max_steps: int
+) -> list:
+    """Host-side EOS truncation per batch row (reference excludes the EOS
+    token itself, self_speculation_generator.py:82-91)."""
+    import numpy as np
+
+    tokens = np.asarray(out.tokens)
+    counts = np.asarray(out.num_tokens)
+    result = []
+    for r in range(tokens.shape[0]):
+        toks = tokens[r][: int(counts[r])][:max_steps].tolist()
+        for e in eos_ids:
+            if e in toks:
+                toks = toks[: toks.index(e)]
+        result.append(toks)
+    return result
+
+
 def postprocess_output(
     out: GenerateOutput, eos_ids: Sequence[int], max_steps: int
 ) -> list:
-    """Host-side EOS truncation (reference excludes the EOS token itself,
-    self_speculation_generator.py:82-91). Batch row 0 (reference is B=1)."""
-    import numpy as np
-
-    toks = np.asarray(out.tokens)[0][: int(np.asarray(out.num_tokens)[0])]
-    toks = toks[:max_steps].tolist()
-    for e in eos_ids:
-        if e in toks:
-            toks = toks[: toks.index(e)]
-    return toks
+    """Row-0 convenience wrapper (the reference is B=1, eval.py:82)."""
+    return postprocess_batch(out, eos_ids, max_steps)[0]

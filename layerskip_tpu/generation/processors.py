@@ -27,7 +27,7 @@ NEG_INF = -1e30
 
 def no_repeat_ngram_banned(
     history: jnp.ndarray,  # [B, H] prompt+generated token buffer
-    hist_len: jnp.ndarray,  # [] int32 valid length
+    hist_len: jnp.ndarray,  # [] or [B] int32 valid length(s)
     ngram: int,  # static n (ban token completing any repeated n-gram)
     vocab_size: int,
 ) -> jnp.ndarray:
@@ -35,22 +35,24 @@ def no_repeat_ngram_banned(
 
     Matches HF ``NoRepeatNGramLogitsProcessor`` semantics: with the last
     ``n-1`` tokens as context, ban every token x such that the n-gram
-    ``context + [x]`` already occurs in the history.
+    ``context + [x]`` already occurs in the history. ``hist_len`` may be
+    per-row (batched decode at different lengths).
     """
     assert ngram >= 1
     b, h = history.shape
+    hist_len = jnp.broadcast_to(jnp.asarray(hist_len, jnp.int32), (b,))
     n1 = ngram - 1
     if n1 == 0:
         # n=1: every previously seen token is banned
         idx = jnp.arange(h)
-        seen = idx[None, :] < hist_len
+        seen = idx[None, :] < hist_len[:, None]
         return _scatter_ban(history, seen, vocab_size)
 
-    # last (n-1)-gram; undefined when hist_len < n-1 (mask handles it)
+    # last (n-1)-gram per row; undefined when hist_len < n-1 (mask handles it)
     start = jnp.maximum(hist_len - n1, 0)
     gram = jax.vmap(
-        lambda row: jax.lax.dynamic_slice(row, (start,), (n1,))
-    )(history)  # [B, n-1]
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (n1,))
+    )(history, start)  # [B, n-1]
 
     # window i matches iff history[i : i+n-1] == gram and i+n-1 < hist_len
     wins = h - ngram + 1
@@ -60,8 +62,8 @@ def no_repeat_ngram_banned(
     for j in range(n1):
         match &= history[:, j : j + wins] == gram[:, j : j + 1]
     idx = jnp.arange(wins)
-    match &= (idx[None, :] + n1) < hist_len
-    match &= hist_len >= n1  # no context yet -> nothing banned
+    match &= (idx[None, :] + n1) < hist_len[:, None]
+    match &= (hist_len >= n1)[:, None]  # no context yet -> nothing banned
     banned_tokens = history[:, n1 : n1 + wins]  # token that completed each window
     return _scatter_ban(banned_tokens, match, vocab_size)
 

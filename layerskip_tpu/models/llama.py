@@ -102,16 +102,20 @@ def run_layers(
     h: jnp.ndarray,  # [B, T, D]
     k: jnp.ndarray,  # [Lsub, B, S, Hkv, Dh]
     v: jnp.ndarray,
-    past_len: jnp.ndarray,  # scalar int32: past length for THIS layer group
+    past_len: jnp.ndarray,  # [] or [B] int32: past length for THIS layer group
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Run a contiguous layer range via lax.scan; returns (h, k, v)."""
+    """Run a contiguous layer range via lax.scan; returns (h, k, v).
+
+    ``past_len`` may be per-batch-row ([B]) — each row then gets its own
+    RoPE positions, attention frontier, and KV write offset (continuous
+    batching; the reference is hard batch=1, eval.py:82).
+    """
     b, t, _ = h.shape
     past_len = past_len.astype(jnp.int32)
-    q_positions = past_len + jnp.arange(t, dtype=jnp.int32)
+    q_positions = past_len[..., None] + jnp.arange(t, dtype=jnp.int32)
+    q_positions = jnp.broadcast_to(q_positions, (b, t))  # [B, T]
     inv_freq = rope_inv_freq(cfg)
-    cos, sin = rope_cos_sin(q_positions, inv_freq)  # [T, Dh]
-    cos = jnp.broadcast_to(cos[None], (b, t, cfg.head_dim))
-    sin = jnp.broadcast_to(sin[None], (b, t, cfg.head_dim))
+    cos, sin = rope_cos_sin(q_positions, inv_freq)  # [B, T, Dh]
 
     def body(h, xs):
         lp, k_layer, v_layer = xs

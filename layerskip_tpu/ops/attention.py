@@ -50,13 +50,22 @@ def gqa_attention(
     q: jnp.ndarray,  # [B, T, Hq, Dh]  (post-RoPE)
     k_cache: jnp.ndarray,  # [B, S, Hkv, Dh] (post-RoPE, updated)
     v_cache: jnp.ndarray,  # [B, S, Hkv, Dh]
-    q_positions: jnp.ndarray,  # [T] absolute positions of queries (int32)
+    q_positions: jnp.ndarray,  # [T] or [B, T] absolute query positions (int32)
     *,
     q_heads_per_kv: int,
 ) -> jnp.ndarray:
-    """Returns attention output [B, T, Hq, Dh] in q.dtype."""
+    """Returns attention output [B, T, Hq, Dh] in q.dtype.
+
+    ``q_positions`` may be per-batch-row ([B, T]) — rows of a batch decode at
+    different sequence offsets (continuous batching), so each row gets its
+    own visibility frontier.
+    """
     from layerskip_tpu.ops.kv_cache import QuantKV
 
+    b, t, hq, dh = q.shape
+    q_positions = jnp.broadcast_to(
+        q_positions.astype(jnp.int32), (b, t)
+    )
     if isinstance(k_cache, QuantKV):
         # int8 KV: dequant is elementwise and fuses into the attention
         # matmul under XLA, so the int8 bytes are what crosses HBM. (The
@@ -70,7 +79,6 @@ def gqa_attention(
         return decode_attention(
             q, k_cache, v_cache, q_positions, q_heads_per_kv=q_heads_per_kv
         )
-    b, t, hq, dh = q.shape
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]
     g = q_heads_per_kv
@@ -84,8 +92,8 @@ def gqa_attention(
     scores = scores * (1.0 / jnp.sqrt(dh).astype(jnp.float32))
 
     key_idx = jnp.arange(s, dtype=jnp.int32)
-    mask = key_idx[None, :] <= q_positions.astype(jnp.int32)[:, None]  # [T, S]
-    scores = jnp.where(mask[None, None, None], scores, NEG_INF)
+    mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum(

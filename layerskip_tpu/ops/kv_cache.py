@@ -75,20 +75,32 @@ def write_kv(
     Positions beyond the valid length may hold stale data; correctness relies
     on the attention mask (keys ``j <= q_pos``) and on the engine only ever
     advancing write positions past committed tokens. ``k_layer``/``v_layer``
-    may be plain arrays or per-layer ``QuantKV`` buffers (int8 path).
+    may be plain arrays or per-layer ``QuantKV`` buffers (int8 path);
+    ``write_pos`` is a scalar (shared frontier) or a [B] vector (per-row
+    frontiers — continuous batching).
     """
     if isinstance(k_layer, QuantKV):
         return (
             k_layer.write(k_new, write_pos),
             v_layer.write(v_new, write_pos),
         )
-    zero = jnp.zeros((), jnp.int32)
-    k_layer = jax.lax.dynamic_update_slice(
-        k_layer, k_new, (zero, write_pos.astype(jnp.int32), zero, zero)
-    )
-    v_layer = jax.lax.dynamic_update_slice(
-        v_layer, v_new, (zero, write_pos.astype(jnp.int32), zero, zero)
-    )
+    pos = write_pos.astype(jnp.int32)
+    if pos.ndim == 0:
+        zero = jnp.zeros((), jnp.int32)
+        k_layer = jax.lax.dynamic_update_slice(
+            k_layer, k_new, (zero, pos, zero, zero)
+        )
+        v_layer = jax.lax.dynamic_update_slice(
+            v_layer, v_new, (zero, pos, zero, zero)
+        )
+        return k_layer, v_layer
+
+    def row(buf, new, p):
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(buf, new, (p, zero, zero))
+
+    k_layer = jax.vmap(row)(k_layer, k_new, pos)
+    v_layer = jax.vmap(row)(v_layer, v_new, pos)
     return k_layer, v_layer
 
 
@@ -116,18 +128,31 @@ class QuantKV:
         return self.q.shape
 
     def write(self, new: jnp.ndarray, write_pos: jnp.ndarray) -> "QuantKV":
-        """Quantize a [B, T, H, Dh] block and insert at ``write_pos``."""
+        """Quantize a [B, T, H, Dh] block and insert at ``write_pos``
+        (scalar shared frontier or [B] per-row frontiers)."""
         zero = jnp.zeros((), jnp.int32)
         pos = write_pos.astype(jnp.int32)
         nf = new.astype(jnp.float32)
         amax = jnp.max(jnp.abs(nf), axis=-1)  # [B, T, H]
         scale = jnp.maximum(amax / 127.0, 1e-8)
         q = jnp.clip(jnp.round(nf / scale[..., None]), -127, 127).astype(jnp.int8)
+        scale = scale.astype(self.scale.dtype)
+        if pos.ndim == 0:
+            return QuantKV(
+                q=jax.lax.dynamic_update_slice(self.q, q, (zero, pos, zero, zero)),
+                scale=jax.lax.dynamic_update_slice(
+                    self.scale, scale, (zero, pos, zero)
+                ),
+            )
         return QuantKV(
-            q=jax.lax.dynamic_update_slice(self.q, q, (zero, pos, zero, zero)),
-            scale=jax.lax.dynamic_update_slice(
-                self.scale, scale.astype(self.scale.dtype), (zero, pos, zero)
-            ),
+            q=jax.vmap(
+                lambda buf, n, p: jax.lax.dynamic_update_slice(
+                    buf, n, (p, zero, zero)
+                )
+            )(self.q, q, pos),
+            scale=jax.vmap(
+                lambda buf, n, p: jax.lax.dynamic_update_slice(buf, n, (p, zero))
+            )(self.scale, scale, pos),
         )
 
     def dequantize(self, dtype) -> jnp.ndarray:

@@ -40,7 +40,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, m_ref, o_ref, *, scale: float):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [T*G, S]
-    scores = jnp.where(m_ref[:] != 0, scores, NEG_INF)
+    scores = jnp.where(m_ref[0] != 0, scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
     out = jax.lax.dot_general(
@@ -56,7 +56,7 @@ def decode_attention(
     q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
     k_cache: jnp.ndarray,  # [B, S, Hkv, Dh]
     v_cache: jnp.ndarray,  # [B, S, Hkv, Dh]
-    q_positions: jnp.ndarray,  # [T] int32
+    q_positions: jnp.ndarray,  # [T] or [B, T] int32
     *,
     q_heads_per_kv: int,
     interpret: bool = False,
@@ -74,9 +74,10 @@ def decode_attention(
     k_t = k_cache.transpose(0, 2, 1, 3)  # [B, Hkv, S, Dh]
     v_t = v_cache.transpose(0, 2, 1, 3)
 
+    q_positions = jnp.broadcast_to(q_positions.astype(jnp.int32), (b, t))
     key_idx = jnp.arange(s, dtype=jnp.int32)
-    mask = (key_idx[None, :] <= q_positions.astype(jnp.int32)[:, None])  # [T, S]
-    mask8 = jnp.repeat(mask, g, axis=0).astype(jnp.int8)  # [T*G, S], t-outer
+    mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
+    mask8 = jnp.repeat(mask, g, axis=1).astype(jnp.int8)  # [B, T*G, S], t-outer
 
     out = pl.pallas_call(
         functools.partial(_attn_kernel, scale=1.0 / (dh ** 0.5)),
@@ -88,7 +89,7 @@ def decode_attention(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, s, dh), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((t * g, s), lambda i, j: (0, 0),
+            pl.BlockSpec((1, t * g, s), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
