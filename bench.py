@@ -79,21 +79,52 @@ def build_config(name: str):
 def make_params(cfg, exit_layer: int):
     """Random weights; layers >= exit_layer made identity (zero wo/w_down).
 
-    Built entirely inside one jit so only the final buffers are ever
-    allocated — at 7B any eager transient copy would not fit next to the
-    model on a 16 GB chip.
+    Built inside one jit with *per-layer* sampling: jax.random.normal's
+    internal uint32 bits temporarily cost 2x the tensor size, and a whole
+    stacked [L, K, N] sample at 7B (5.8 GB temp) does not fit next to the
+    rest of the model on a 16 GB chip. A fori_loop over layers bounds the
+    transient to one layer's worth.
     """
     import jax
+    import jax.numpy as jnp
 
-    from layerskip_tpu.models.params import init_params
+    from layerskip_tpu.models.llama import LayerParams, LlamaParams
+
+    d, f = cfg.hidden_size, cfg.intermediate_size
+    hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    nl, v = cfg.num_hidden_layers, cfg.vocab_size
+    dt = cfg.dtype
+
+    def stacked(key, shape, zero_from=None):
+        def body(i, acc):
+            x = jax.random.normal(jax.random.fold_in(key, i), shape[1:], dt)
+            x = x * jnp.asarray(0.02, dt)
+            if zero_from is not None:
+                x = jnp.where(i >= zero_from, jnp.zeros_like(x), x)
+            return jax.lax.dynamic_update_slice(
+                acc, x[None], (i,) + (0,) * (len(shape) - 1)
+            )
+        return jax.lax.fori_loop(0, shape[0], body, jnp.zeros(shape, dt))
 
     def build(key):
-        p = init_params(key, cfg)
-        layers = p.layers.replace(
-            wo=p.layers.wo.at[exit_layer:].set(0.0),
-            w_down=p.layers.w_down.at[exit_layer:].set(0.0),
+        ks = jax.random.split(key, 8)
+        layers = LayerParams(
+            attn_norm=jnp.ones((nl, d), dt),
+            wq=stacked(ks[0], (nl, d, hq * dh)),
+            wk=stacked(ks[1], (nl, d, hkv * dh)),
+            wv=stacked(ks[2], (nl, d, hkv * dh)),
+            wo=stacked(ks[3], (nl, hq * dh, d), zero_from=exit_layer),
+            mlp_norm=jnp.ones((nl, d), dt),
+            w_gate=stacked(ks[4], (nl, d, f)),
+            w_up=stacked(ks[5], (nl, d, f)),
+            w_down=stacked(ks[6], (nl, f, d), zero_from=exit_layer),
         )
-        return p.replace(layers=layers)
+        embed = jax.random.normal(ks[7], (v, d), dt) * jnp.asarray(0.02, dt)
+        return LlamaParams(
+            embed=embed, layers=layers,
+            final_norm=jnp.ones((d,), dt),
+            lm_head=None if cfg.tie_word_embeddings else jnp.transpose(embed),
+        )
 
     return jax.jit(build)(jax.random.PRNGKey(0))
 

@@ -173,6 +173,7 @@ def forward_early(
     early_cache: KVCache,  # the early layer group only ([E, B, S, Hkv, Dh])
     draft_len: jnp.ndarray,  # early-layer-group past length
     exit_layer: int,  # static
+    early_layers: Optional[LayerParams] = None,  # pre-sliced layers [0, E)
 ) -> ForwardResult:
     """Draft pass: layers [0, exit_layer) + shared norm/head
     (reference ``forward_early``, llama_model_utils.py:213-276).
@@ -186,8 +187,13 @@ def forward_early(
     """
     h = embed_tokens(params, ids)
     e = exit_layer
+    # Callers in a loop should pass ``early_layers`` pre-sliced OUTSIDE the
+    # loop: XLA does not reliably hoist the stacked-weight slice out of
+    # scan/while bodies, and a per-step materialization of E layers' weights
+    # doubles draft-step HBM traffic (measured on v5e).
+    layers = early_layers if early_layers is not None else params.layers.slice(0, e)
     h, ke, ve = run_layers(
-        cfg, params.layers.slice(0, e), h, early_cache.k, early_cache.v, draft_len
+        cfg, layers, h, early_cache.k, early_cache.v, draft_len
     )
     return ForwardResult(
         logits=lm_logits(params, cfg, h), cache=KVCache(k=ke, v=ve), hidden=h
@@ -213,6 +219,8 @@ def forward_remainder(
     draft_len: jnp.ndarray,  # early-group past length (== full_len + W)
     full_len: jnp.ndarray,  # full-group past length
     exit_layer: int,  # static
+    early_layers: Optional[LayerParams] = None,  # pre-sliced [0, E)
+    full_layers: Optional[LayerParams] = None,  # pre-sliced [E, L)
 ) -> RemainderResult:
     """Verification pass (reference ``forward_remainder``, llama_model_utils.py:280-391).
 
@@ -226,16 +234,20 @@ def forward_remainder(
     the engine's single length counter here.
     """
     e = exit_layer
+    lf = cfg.num_hidden_layers
+    if early_layers is None:
+        early_layers = params.layers.slice(0, e)
+    if full_layers is None:
+        full_layers = params.layers.slice(e, lf)
     # --- early layers: 1 token at position draft_len ---
     h1 = embed_tokens(params, last_draft_token)  # [B, 1, D]
     h1, ke, ve = run_layers(
-        cfg, params.layers.slice(0, e), h1, early_cache.k, early_cache.v, draft_len
+        cfg, early_layers, h1, early_cache.k, early_cache.v, draft_len
     )
     # --- full layers: stitched window at positions full_len .. full_len+W ---
     full_h = jnp.concatenate([exit_hidden, h1], axis=1)  # [B, W+1, D]
-    lf = cfg.num_hidden_layers
     full_h, kf, vf = run_layers(
-        cfg, params.layers.slice(e, lf), full_h, full_cache.k, full_cache.v, full_len
+        cfg, full_layers, full_h, full_cache.k, full_cache.v, full_len
     )
     return RemainderResult(
         logits=lm_logits(params, cfg, full_h),
