@@ -45,5 +45,34 @@ def make_mesh(
     return Mesh(arr, axis_names=("dp", "tp"))
 
 
+def make_train_mesh(
+    dp: int = 1,
+    fsdp: int = 1,
+    tp: int = 1,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """[dp, fsdp, tp] mesh for training/large-scale runs.
+
+    * ``dp``   — pure data parallel (gradient all-reduce)
+    * ``fsdp`` — stacked-layer weight sharding (ZeRO-3-style: each scan step
+                 all-gathers one layer's shard); the same axis doubles as the
+                 sequence-parallel axis for activations (Megatron-SP style —
+                 norms/elementwise run sequence-sharded, matmuls gather)
+    * ``tp``   — Megatron tensor parallel (feature dims)
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if dp * fsdp * tp != len(devices):
+        raise ValueError(
+            f"dp*fsdp*tp={dp * fsdp * tp} != #devices={len(devices)}"
+        )
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh((dp, fsdp, tp), devices=devices)
+    except Exception:
+        arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
 def single_device_mesh() -> Mesh:
     return make_mesh(1, 1, devices=jax.devices()[:1])

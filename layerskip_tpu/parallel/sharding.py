@@ -26,25 +26,33 @@ from layerskip_tpu.models.llama import LayerParams, LlamaParams
 from layerskip_tpu.ops.kv_cache import KVCache
 
 
-def layer_specs() -> LayerParams:
-    """PartitionSpecs for the stacked [L, ...] layer weights."""
+def layer_specs(fsdp: bool = False) -> LayerParams:
+    """PartitionSpecs for the stacked [L, ...] layer weights.
+
+    With ``fsdp=True`` the leading (layer) axis is additionally sharded on
+    the ``fsdp`` mesh axis (ZeRO-3-style: the layer scan all-gathers one
+    layer's weights per step, overlapping with the previous layer's compute).
+    """
+    l = "fsdp" if fsdp else None
     return LayerParams(
-        attn_norm=P(None, None),
-        wq=P(None, None, "tp"),
-        wk=P(None, None, "tp"),
-        wv=P(None, None, "tp"),
-        wo=P(None, "tp", None),
-        mlp_norm=P(None, None),
-        w_gate=P(None, None, "tp"),
-        w_up=P(None, None, "tp"),
-        w_down=P(None, "tp", None),
+        attn_norm=P(l, None),
+        wq=P(l, None, "tp"),
+        wk=P(l, None, "tp"),
+        wv=P(l, None, "tp"),
+        wo=P(l, "tp", None),
+        mlp_norm=P(l, None),
+        w_gate=P(l, None, "tp"),
+        w_up=P(l, None, "tp"),
+        w_down=P(l, "tp", None),
     )
 
 
-def param_specs(tie_word_embeddings: bool = False) -> LlamaParams:
+def param_specs(
+    tie_word_embeddings: bool = False, fsdp: bool = False
+) -> LlamaParams:
     return LlamaParams(
         embed=P("tp", None),  # vocab-parallel embedding
-        layers=layer_specs(),
+        layers=layer_specs(fsdp),
         final_norm=P(None),
         lm_head=None if tie_word_embeddings else P(None, "tp"),
     )

@@ -1,0 +1,258 @@
+"""Serving layer: dynamic request batching over the jitted engines.
+
+Net-new relative to the reference (an interactive REPL is its only serving
+story, generate.py:106-142). Production decode on TPU wants fixed-shape
+batched programs; this module bridges asynchronous requests onto them:
+
+  * ``BatchScheduler`` — groups pending requests into fixed-size batches
+    (padding with dummy rows so the compiled executable is reused), runs the
+    batched engine, and resolves per-request futures. Requests with
+    incompatible GenerationConfigs are grouped separately.
+  * ``serve`` — a stdlib ThreadingHTTPServer exposing POST /generate
+    ({"prompt": str, ...overrides}) and GET /healthz.
+
+The scheduler is deliberately simple (gather window + fixed batch slots) —
+the engine already supports per-row prompt lengths and per-row EOS freezing,
+which is what makes naive batching effective here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Sequence
+
+import jax
+
+from layerskip_tpu.config import GenerationConfig, ModelConfig
+from layerskip_tpu.generation.engine import Engine, postprocess_batch
+
+
+@dataclasses.dataclass
+class _Request:
+    prompt_ids: List[int]
+    gen_cfg: GenerationConfig
+    future: Future
+    rng_seed: int = 0
+
+
+def _cfg_key(cfg: GenerationConfig):
+    """Requests batch together iff their compiled program is identical."""
+    return (
+        cfg.generation_strategy, cfg.max_steps, cfg.exit_layer,
+        cfg.num_speculations, cfg.sample, cfg.temperature, cfg.top_k,
+        cfg.top_p, cfg.no_repeat_ngram_size, cfg.kv_quant,
+        tuple(cfg.stop_token_ids or ()),
+    )
+
+
+class BatchScheduler:
+    """Gathers requests into fixed-size batches and runs the engine.
+
+    ``batch_size`` is the compiled batch width: short batches are padded with
+    copies of row 0 (their outputs are dropped), so there is exactly one
+    executable per (config, prompt-bucket).
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        batch_size: int = 4,
+        gather_window_s: float = 0.005,
+        eos_ids: Sequence[int] = (),
+    ):
+        self.engine = engine
+        self.batch_size = batch_size
+        self.gather_window_s = gather_window_s
+        self.eos_ids = list(eos_ids) or list(engine.cfg.eos_token_ids)
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"batches": 0, "requests": 0, "padded_rows": 0}
+
+    # -- client API --
+
+    def submit(
+        self, prompt_ids: List[int], gen_cfg: GenerationConfig, rng_seed: int = 0
+    ) -> Future:
+        """Returns a Future resolving to the generated token list."""
+        fut: Future = Future()
+        self._queue.put(_Request(list(prompt_ids), gen_cfg, fut, rng_seed))
+        return fut
+
+    def generate(self, prompt_ids, gen_cfg, rng_seed: int = 0, timeout=None):
+        return self.submit(prompt_ids, gen_cfg, rng_seed).result(timeout)
+
+    # -- lifecycle --
+
+    def start(self) -> "BatchScheduler":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    # -- internals --
+
+    def _gather(self) -> List[_Request]:
+        try:
+            first = self._queue.get(timeout=0.05)
+        except queue.Empty:
+            return []
+        batch = [first]
+        deadline = time.monotonic() + self.gather_window_s
+        key = _cfg_key(first.gen_cfg)
+        spill: List[_Request] = []
+        while len(batch) < self.batch_size and time.monotonic() < deadline:
+            try:
+                req = self._queue.get(timeout=max(deadline - time.monotonic(), 0))
+            except queue.Empty:
+                break
+            if _cfg_key(req.gen_cfg) == key:
+                batch.append(req)
+            else:
+                spill.append(req)
+        for req in spill:  # different program: next batch
+            self._queue.put(req)
+        return batch
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            batch = self._gather()
+            if not batch:
+                continue
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # resolve futures with the error
+                for req in batch:
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+
+    def _run_batch(self, batch: List[_Request]) -> None:
+        gen_cfg = batch[0].gen_cfg
+        prompts = [r.prompt_ids for r in batch]
+        pad_rows = self.batch_size - len(prompts)
+        prompts = prompts + [prompts[0]] * pad_rows
+        eos = self.eos_ids
+        if gen_cfg.stop_token_ids:
+            eos = eos + list(gen_cfg.stop_token_ids)
+        rng = jax.random.PRNGKey(batch[0].rng_seed)
+        out = self.engine.generate(prompts, gen_cfg, rng, eos)
+        rows = postprocess_batch(out, eos, gen_cfg.max_steps)
+        for req, row in zip(batch, rows):
+            req.future.set_result(row)
+        self.stats["batches"] += 1
+        self.stats["requests"] += len(batch)
+        self.stats["padded_rows"] += pad_rows
+
+
+def serve(
+    scheduler: BatchScheduler,
+    tokenizer,
+    default_cfg: GenerationConfig,
+    host: str = "127.0.0.1",
+    port: int = 8000,
+):
+    """Blocking stdlib HTTP server over a running scheduler.
+
+    POST /generate  {"prompt": "...", "max_steps": 64, ...} ->
+                    {"text": "...", "tokens": [...]}
+    GET  /healthz   -> {"ok": true, "stats": {...}}
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "stats": scheduler.stats})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                self._json(404, {"error": "not found"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(n) or b"{}")
+                prompt = payload.pop("prompt")
+                seed = int(payload.pop("seed", 0))
+                overrides = {
+                    k: v for k, v in payload.items()
+                    if hasattr(default_cfg, k)
+                }
+                cfg = dataclasses.replace(default_cfg, **overrides)
+                if hasattr(tokenizer, "encode"):
+                    ids = list(tokenizer.encode(prompt))
+                else:
+                    enc = tokenizer(prompt)
+                    ids = list(
+                        enc["input_ids"] if isinstance(enc, dict) else enc.input_ids
+                    )
+                tokens = scheduler.generate(ids, cfg, seed, timeout=300)
+                self._json(200, {
+                    "tokens": tokens,
+                    "text": tokenizer.decode(tokens),
+                })
+            except Exception as exc:
+                self._json(500, {"error": str(exc)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    print(f"serving on http://{host}:{port}  (POST /generate)")
+    try:
+        server.serve_forever()
+    finally:
+        server.shutdown()
+
+
+def main():
+    """CLI: python -m layerskip_tpu.serving --model <dir|random:preset> ..."""
+    import argparse
+
+    from layerskip_tpu.cli.loading import load_model_and_tokenizer
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--generation_strategy", default="self_speculative")
+    ap.add_argument("--exit_layer", type=int, default=8)
+    ap.add_argument("--num_speculations", type=int, default=6)
+    ap.add_argument("--max_steps", type=int, default=256)
+    ap.add_argument("--sample", type=lambda s: s.lower() == "true", default=True)
+    args = ap.parse_args()
+
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model)
+    engine = Engine(params, cfg)
+    default_cfg = GenerationConfig(
+        generation_strategy=args.generation_strategy,
+        exit_layer=min(args.exit_layer, cfg.num_hidden_layers - 1),
+        num_speculations=args.num_speculations,
+        max_steps=args.max_steps,
+        sample=args.sample,
+    )
+    sched = BatchScheduler(engine, batch_size=args.batch_size).start()
+    serve(sched, tokenizer, default_cfg, args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

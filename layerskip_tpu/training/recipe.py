@@ -27,6 +27,8 @@ import dataclasses
 import math
 from typing import Optional, Tuple
 
+from jax.sharding import PartitionSpec
+
 import jax
 import jax.numpy as jnp
 
@@ -46,6 +48,8 @@ class TrainConfig:
     early_exit_layers: Tuple[int, ...] = ()  # exits AFTER these layer indices; () => all
     e_scale: float = 1.0  # early-exit loss scale
     rotational_r: int = 0  # R>0: only every R-th exit active, rotating per step
+    act_spec: Optional[Tuple[Optional[str], ...]] = None  # activation sharding,
+    # e.g. ("dp", "fsdp", None): batch on dp, sequence-parallel on fsdp
     label_smoothing: float = 0.0
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
@@ -155,6 +159,10 @@ def layerskip_loss(
 
     b, t = ids.shape
     h = llama.embed_tokens(params, ids)
+    if tcfg.act_spec is not None:
+        # sequence-parallel residual stream: elementwise/norm work runs
+        # sequence-sharded; GSPMD gathers around the attention matmuls
+        h = jax.lax.with_sharding_constraint(h, PartitionSpec(*tcfg.act_spec))
     positions = jnp.arange(t, dtype=jnp.int32)
     cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg))
     cos = jnp.broadcast_to(cos[None], (b, t, cfg.head_dim))
@@ -171,6 +179,10 @@ def layerskip_loss(
         return h, h
 
     h_final, h_all = jax.lax.scan(body, h, (params.layers, keep))
+    if tcfg.act_spec is not None:
+        h_final = jax.lax.with_sharding_constraint(
+            h_final, PartitionSpec(*tcfg.act_spec)
+        )
 
     final_loss = token_cross_entropy(
         llama.lm_logits(params, cfg, h_final), labels, tcfg.label_smoothing

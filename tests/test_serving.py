@@ -1,0 +1,136 @@
+"""Serving layer: dynamic batcher + HTTP endpoint.
+
+The reference has no serving surface at all (SURVEY: REPL only); these pin
+the scheduler's correctness (batched results == direct engine results, mixed
+configs split into separate programs) and the HTTP contract end-to-end on
+localhost.
+"""
+
+import json
+import threading
+import urllib.request
+
+import pytest
+
+import jax
+
+from layerskip_tpu.config import GenerationConfig, tiny_config
+from layerskip_tpu.generation.engine import Engine, postprocess_output
+from layerskip_tpu.models.params import init_params
+from layerskip_tpu.serving import BatchScheduler
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_config(num_hidden_layers=4, hidden_size=64, vocab_size=128)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    return Engine(params, cfg)
+
+
+GEN = GenerationConfig(
+    max_steps=12, sample=False, generation_strategy="self_speculative",
+    exit_layer=2, num_speculations=3,
+)
+
+
+def test_scheduler_matches_direct(engine):
+    sched = BatchScheduler(engine, batch_size=4, eos_ids=[127]).start()
+    try:
+        prompts = [[3, 17, 52], [5, 9], [100, 2, 44, 8, 61], [7, 7, 7, 7]]
+        futures = [sched.submit(p, GEN) for p in prompts]
+        got = [f.result(timeout=300) for f in futures]
+        want = [
+            postprocess_output(
+                engine.generate(p, GEN, jax.random.PRNGKey(0), [127]), [127], 12
+            )
+            for p in prompts
+        ]
+        assert got == want
+        assert sched.stats["requests"] == 4
+    finally:
+        sched.stop()
+
+
+def test_scheduler_pads_partial_batches(engine):
+    sched = BatchScheduler(engine, batch_size=4, eos_ids=[127]).start()
+    try:
+        got = sched.generate([3, 17, 52], GEN, timeout=300)
+        want = postprocess_output(
+            engine.generate([3, 17, 52], GEN, jax.random.PRNGKey(0), [127]),
+            [127], 12,
+        )
+        assert got == want
+        assert sched.stats["padded_rows"] == 3
+    finally:
+        sched.stop()
+
+
+def test_scheduler_splits_incompatible_configs(engine):
+    sched = BatchScheduler(engine, batch_size=4, eos_ids=[127],
+                           gather_window_s=0.2).start()
+    try:
+        other = GenerationConfig(
+            max_steps=8, sample=False, generation_strategy="autoregressive"
+        )
+        f1 = sched.submit([3, 17, 52], GEN)
+        f2 = sched.submit([3, 17, 52], other)
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        assert len(r1) == 12 and len(r2) == 8
+        assert sched.stats["batches"] == 2
+    finally:
+        sched.stop()
+
+
+def test_http_serving(engine):
+    """Full localhost round-trip through the stdlib HTTP server."""
+    import socket
+    from http.server import ThreadingHTTPServer
+
+    from layerskip_tpu import serving as serving_mod
+
+    class Tok:
+        eos_token_id = 127
+
+        def encode(self, s):
+            return [3, 17, 52]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(t)) for t in ids)
+
+    sched = BatchScheduler(engine, batch_size=2, eos_ids=[127]).start()
+    # find a free port
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    server_thread = threading.Thread(
+        target=serving_mod.serve,
+        args=(sched, Tok(), GEN, "127.0.0.1", port),
+        daemon=True,
+    )
+    server_thread.start()
+    import time
+
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=1
+            ) as r:
+                assert json.load(r)["ok"] is True
+            break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        pytest.fail("server did not come up")
+
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/generate",
+        data=json.dumps({"prompt": "hi", "max_steps": 6}).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as r:
+        payload = json.load(r)
+    assert len(payload["tokens"]) == 6
+    assert payload["text"]
+    sched.stop()
