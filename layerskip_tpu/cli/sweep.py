@@ -24,14 +24,14 @@ from layerskip_tpu.generation.generator import LlamaGenerator
 
 @dataclasses.dataclass
 class SweepArguments:
-    """reference: sweep.py:27-34."""
+    """reference: sweep.py:27-34 (same flag names/defaults)."""
 
-    min_exit_layer: int = 1
-    max_exit_layer: int = 15
-    step_exit_layer: int = 1
-    min_num_speculations: int = 1
-    max_num_speculations: int = 6
-    step_num_speculations: int = 1
+    exit_layer_first: int = 1
+    exit_layer_last: int = 15
+    exit_layer_step: int = 1
+    num_speculations_first: int = 1
+    num_speculations_last: int = 6
+    num_speculations_step: int = 1
 
 
 FIELDS = [
@@ -53,14 +53,14 @@ def sweep(
     csv_path = os.path.join(args.output_dir, f"sweep_{int(time.time())}.csv")
     rows = []
     gen_cfg = dataclasses.replace(gen_cfg, generation_strategy="self_speculative")
-    max_exit = min(sweep_args.max_exit_layer, cfg.num_hidden_layers - 1)
+    max_exit = min(sweep_args.exit_layer_last, cfg.num_hidden_layers - 1)
     for exit_layer in range(
-        sweep_args.min_exit_layer, max_exit + 1, sweep_args.step_exit_layer
+        sweep_args.exit_layer_first, max_exit + 1, sweep_args.exit_layer_step
     ):
         for num_spec in range(
-            sweep_args.min_num_speculations,
-            sweep_args.max_num_speculations + 1,
-            sweep_args.step_num_speculations,
+            sweep_args.num_speculations_first,
+            sweep_args.num_speculations_last + 1,
+            sweep_args.num_speculations_step,
         ):
             cell_cfg = dataclasses.replace(
                 gen_cfg, exit_layer=exit_layer, num_speculations=num_spec

@@ -272,3 +272,24 @@ def test_eval_harness_wrapper_generate_until():
     assert len(out) == 1 and isinstance(out[0], str)
     lls = wrap._loglikelihood_tokens([("k", [3, 4], [5])])
     assert len(lls) == 1 and lls[0][0] < 0
+
+
+def test_sweep_cli(jsonl_dataset, tmp_path):
+    from layerskip_tpu.cli.benchmark import BenchmarkArguments
+    from layerskip_tpu.cli.sweep import SweepArguments, sweep
+
+    args = Arguments(model="random:tiny", output_dir=str(tmp_path))
+    bench_args = BenchmarkArguments(
+        dataset="custom_jsonl", data_path=jsonl_dataset, random_shuffle=False,
+        num_samples=1,
+    )
+    sweep_args = SweepArguments(
+        exit_layer_first=1, exit_layer_last=3, exit_layer_step=2,
+        num_speculations_first=2, num_speculations_last=2,
+    )
+    gen_cfg = GenerationConfig(max_steps=6, sample=False)
+    rows = sweep(args, bench_args, sweep_args, gen_cfg)
+    assert len(rows) == 2  # exit 1, 3 x spec 2
+    assert all(r["tokens_per_second"] > 0 for r in rows)
+    csvs = [f for f in os.listdir(tmp_path) if f.endswith(".csv")]
+    assert csvs
