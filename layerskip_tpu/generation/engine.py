@@ -596,7 +596,9 @@ class Engine:
         rng: Optional[jax.Array] = None,
         eos_ids: Sequence[int] = (),
     ) -> GenerateOutput:
-        padded, true_lens = _pad_prompts(prompt_ids)
+        padded, true_lens = _pad_prompts(
+            prompt_ids, fixed_bucket=gen_cfg.max_prompt_len or None
+        )
         b, bucket = padded.shape
 
         scfg = SamplingConfig(
@@ -719,11 +721,14 @@ class Engine:
         )
 
 
-def _pad_prompts(prompt_ids):
+def _pad_prompts(prompt_ids, fixed_bucket=None):
     """Normalize prompts to a right-padded [B, bucket] array + [B] lengths.
 
     Accepts a flat list of ints (batch=1), a list of per-row token lists
-    (ragged batch), or a rectangular array.
+    (ragged batch), or a rectangular array. ``fixed_bucket`` (from
+    GenerationConfig.max_prompt_len) pins the pad width so every request
+    shares one executable; prompts longer than it are left-truncated (the
+    recent context wins, as in serving practice).
     """
     import numpy as np
 
@@ -736,8 +741,10 @@ def _pad_prompts(prompt_ids):
     else:
         arr = np.asarray(prompt_ids)
         rows = [arr.tolist()] if arr.ndim == 1 else [r.tolist() for r in arr]
+    if fixed_bucket:
+        rows = [r[-fixed_bucket:] for r in rows]
     lens = [max(len(r), 1) for r in rows]
-    bucket = _bucket(max(lens))
+    bucket = fixed_bucket or _bucket(max(lens))
     padded = np.zeros((len(rows), bucket), np.int32)
     for i, r in enumerate(rows):
         padded[i, : len(r)] = r

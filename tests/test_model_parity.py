@@ -118,3 +118,37 @@ def test_early_exit_matches_truncated_model(torch_model_and_cfg):
         params, cfg, jnp.asarray(ids_np), cache, jnp.int32(0), exit_layer
     )
     np.testing.assert_allclose(np.asarray(res.logits), ref, atol=3e-4, rtol=1e-3)
+
+
+def test_llama3_rope_scaling_matches_hf():
+    """rope_inv_freq's llama3 branch vs transformers' _compute_llama3_parameters."""
+    from layerskip_tpu.config import RopeScaling, tiny_config
+    from layerskip_tpu.ops.rope import rope_inv_freq
+
+    cfg = tiny_config(
+        hidden_size=128, num_attention_heads=2,  # head_dim 64
+        rope_scaling=RopeScaling(
+            rope_type="llama3", factor=8.0, low_freq_factor=1.0,
+            high_freq_factor=4.0, original_max_position_embeddings=8192,
+        ),
+        rope_theta=500000.0,
+    )
+    ours = np.asarray(rope_inv_freq(cfg))
+
+    from transformers import LlamaConfig
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+
+    hf_cfg = LlamaConfig(
+        hidden_size=cfg.hidden_size,
+        num_attention_heads=cfg.num_attention_heads,
+        head_dim=cfg.head_dim,
+        rope_theta=cfg.rope_theta,
+        rope_scaling={
+            "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 8192,
+        },
+        max_position_embeddings=cfg.max_position_embeddings,
+    )
+    hf_inv, _ = ROPE_INIT_FUNCTIONS["llama3"](hf_cfg, device="cpu")
+    np.testing.assert_allclose(ours, hf_inv.numpy(), rtol=1e-6)
