@@ -138,7 +138,7 @@ def ar_generate(
     """
     b, p = ids.shape
     nlayers = exit_layer if exit_layer > 0 else cfg.num_hidden_layers
-    layers = params.layers.slice(0, nlayers)
+    layers = params.layers  # full stack; the cache group picks layers [0, n)
     cache = _mk_group_cache(cfg, nlayers, b, max_cache_len, kv_quant)
     v_size = cfg.vocab_size
 
@@ -331,10 +331,6 @@ def spec_generate(
         kv_quant=kv_quant,
     )
     b = ids.shape[0]
-    # hoist the stacked-weight slices out of the while loop — XLA does not
-    # reliably do this itself and a per-draft-step slice doubles HBM traffic
-    early_layers = params.layers.slice(0, e)
-    full_layers = params.layers.slice(e, cfg.num_hidden_layers)
 
     def cond(s: _SpecState):
         return jnp.any(~s.done)
@@ -344,7 +340,6 @@ def spec_generate(
             params, cfg, s,
             max_steps=max_steps, exit_layer=e, num_speculations=w,
             scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-            early_layers=early_layers, full_layers=full_layers,
         )
         return s
 
@@ -368,8 +363,6 @@ def _spec_round(
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
     ngram: int = 0,
-    early_layers=None,  # pre-sliced LayerParams [0, E) — see llama.forward_early
-    full_layers=None,  # pre-sliced LayerParams [E, L)
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One draft+verify round (reference ``single_step_speculation``,
     self_speculation_generator.py:102-229). Returns
@@ -379,10 +372,6 @@ def _spec_round(
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
     v_size = cfg.vocab_size
-    if early_layers is None:
-        early_layers = params.layers.slice(0, e)
-    if full_layers is None:
-        full_layers = params.layers.slice(e, cfg.num_hidden_layers)
     # committed history lengths incl. next_tok (prompt + out_len tokens), [B]
     hist_len0 = s.prompt_len + s.out_len
 
@@ -398,9 +387,7 @@ def _spec_round(
     # reference applies logits processors to draft logits at :138-139) ----
     def dstep(carry, i):
         early, tok, rng, hist = carry
-        r = llama.forward_early(
-            params, cfg, tok, early, s.ctx + i, e, early_layers=early_layers
-        )
+        r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
         rng, key = jax.random.split(rng)
         logits = ban(r.logits[:, -1], hist, hist_len0 + i)
         probs = token_distribution(logits, scfg)  # [B, V]
@@ -429,8 +416,6 @@ def _spec_round(
         draft_len=s.ctx + w,
         full_len=s.ctx,
         exit_layer=e,
-        early_layers=early_layers,
-        full_layers=full_layers,
     )
     vlogits = vres.logits  # [B, W+1, V]
     if ngram > 0:

@@ -98,33 +98,46 @@ def _one_layer(
 
 def run_layers(
     cfg: ModelConfig,
-    layers: LayerParams,  # stacked [Lsub, ...] (any static layer range)
+    layers: LayerParams,  # FULL stacked [L, ...] weights (never pre-sliced)
     h: jnp.ndarray,  # [B, T, D]
-    k: jnp.ndarray,  # [Lsub, B, S, Hkv, Dh]
+    k: jnp.ndarray,  # [Lsub, B, S, Hkv, Dh] — KV for the layer group being run
     v: jnp.ndarray,
     past_len: jnp.ndarray,  # [] or [B] int32: past length for THIS layer group
+    layer_offset: int = 0,  # static: group = layers [offset, offset + Lsub)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run a contiguous layer range via lax.scan; returns (h, k, v).
+
+    The layer group is selected by *indexing inside the scan body* (one
+    layer's weights gathered per step) rather than slicing the stack:
+    a materialized slice costs a full copy of the group's weights in HBM
+    (12.6 GB at 7B — an OOM), while the per-step gather is fused by XLA
+    into the matmuls at roofline bandwidth.
 
     ``past_len`` may be per-batch-row ([B]) — each row then gets its own
     RoPE positions, attention frontier, and KV write offset (continuous
     batching; the reference is hard batch=1, eval.py:82).
     """
     b, t, _ = h.shape
+    n_sub = jax.tree.leaves(k)[0].shape[0]
     past_len = past_len.astype(jnp.int32)
     q_positions = past_len[..., None] + jnp.arange(t, dtype=jnp.int32)
     q_positions = jnp.broadcast_to(q_positions, (b, t))  # [B, T]
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(q_positions, inv_freq)  # [B, T, Dh]
+    layer_idx = jnp.arange(layer_offset, layer_offset + n_sub, dtype=jnp.int32)
 
     def body(h, xs):
-        lp, k_layer, v_layer = xs
+        i, k_layer, v_layer = xs
+        lp = jax.tree.map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
+            layers,
+        )
         h, k_layer, v_layer = _one_layer(
             cfg, lp, h, k_layer, v_layer, cos, sin, past_len, q_positions
         )
         return h, (k_layer, v_layer)
 
-    h, (k, v) = jax.lax.scan(body, h, (layers, k, v))
+    h, (k, v) = jax.lax.scan(body, h, (layer_idx, k, v))
     return h, k, v
 
 
@@ -173,7 +186,6 @@ def forward_early(
     early_cache: KVCache,  # the early layer group only ([E, B, S, Hkv, Dh])
     draft_len: jnp.ndarray,  # early-layer-group past length
     exit_layer: int,  # static
-    early_layers: Optional[LayerParams] = None,  # pre-sliced layers [0, E)
 ) -> ForwardResult:
     """Draft pass: layers [0, exit_layer) + shared norm/head
     (reference ``forward_early``, llama_model_utils.py:213-276).
@@ -186,14 +198,9 @@ def forward_early(
     exit_query_cache, llama_model_utils.py:266-269).
     """
     h = embed_tokens(params, ids)
-    e = exit_layer
-    # Callers in a loop should pass ``early_layers`` pre-sliced OUTSIDE the
-    # loop: XLA does not reliably hoist the stacked-weight slice out of
-    # scan/while bodies, and a per-step materialization of E layers' weights
-    # doubles draft-step HBM traffic (measured on v5e).
-    layers = early_layers if early_layers is not None else params.layers.slice(0, e)
     h, ke, ve = run_layers(
-        cfg, layers, h, early_cache.k, early_cache.v, draft_len
+        cfg, params.layers, h, early_cache.k, early_cache.v, draft_len,
+        layer_offset=0,
     )
     return ForwardResult(
         logits=lm_logits(params, cfg, h), cache=KVCache(k=ke, v=ve), hidden=h
@@ -219,8 +226,6 @@ def forward_remainder(
     draft_len: jnp.ndarray,  # early-group past length (== full_len + W)
     full_len: jnp.ndarray,  # full-group past length
     exit_layer: int,  # static
-    early_layers: Optional[LayerParams] = None,  # pre-sliced [0, E)
-    full_layers: Optional[LayerParams] = None,  # pre-sliced [E, L)
 ) -> RemainderResult:
     """Verification pass (reference ``forward_remainder``, llama_model_utils.py:280-391).
 
@@ -234,20 +239,17 @@ def forward_remainder(
     the engine's single length counter here.
     """
     e = exit_layer
-    lf = cfg.num_hidden_layers
-    if early_layers is None:
-        early_layers = params.layers.slice(0, e)
-    if full_layers is None:
-        full_layers = params.layers.slice(e, lf)
     # --- early layers: 1 token at position draft_len ---
     h1 = embed_tokens(params, last_draft_token)  # [B, 1, D]
     h1, ke, ve = run_layers(
-        cfg, early_layers, h1, early_cache.k, early_cache.v, draft_len
+        cfg, params.layers, h1, early_cache.k, early_cache.v, draft_len,
+        layer_offset=0,
     )
     # --- full layers: stitched window at positions full_len .. full_len+W ---
     full_h = jnp.concatenate([exit_hidden, h1], axis=1)  # [B, W+1, D]
     full_h, kf, vf = run_layers(
-        cfg, full_layers, full_h, full_cache.k, full_cache.v, full_len
+        cfg, params.layers, full_h, full_cache.k, full_cache.v, full_len,
+        layer_offset=e,
     )
     return RemainderResult(
         logits=lm_logits(params, cfg, full_h),
@@ -266,13 +268,15 @@ def forward_split(
     exit_layer: int,  # static
 ) -> RemainderResult:
     """Full-model forward over the split early/full caches (engine prefill)."""
-    e, lf = exit_layer, cfg.num_hidden_layers
+    e = exit_layer
     h = embed_tokens(params, ids)
     h, ke, ve = run_layers(
-        cfg, params.layers.slice(0, e), h, early_cache.k, early_cache.v, past_len
+        cfg, params.layers, h, early_cache.k, early_cache.v, past_len,
+        layer_offset=0,
     )
     h, kf, vf = run_layers(
-        cfg, params.layers.slice(e, lf), h, full_cache.k, full_cache.v, past_len
+        cfg, params.layers, h, full_cache.k, full_cache.v, past_len,
+        layer_offset=e,
     )
     return RemainderResult(
         logits=lm_logits(params, cfg, h),
