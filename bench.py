@@ -110,9 +110,9 @@ def make_params(cfg, exit_layer: int):
         ks = jax.random.split(key, 8)
         layers = LayerParams(
             attn_norm=jnp.ones((nl, d), dt),
-            wq=stacked(ks[0], (nl, d, hq * dh)),
-            wk=stacked(ks[1], (nl, d, hkv * dh)),
-            wv=stacked(ks[2], (nl, d, hkv * dh)),
+            wq=stacked(ks[0], (nl, hq * dh, d)),
+            wk=stacked(ks[1], (nl, hkv * dh, d)),
+            wv=stacked(ks[2], (nl, hkv * dh, d)),
             wo=stacked(ks[3], (nl, hq * dh, d), zero_from=exit_layer),
             mlp_norm=jnp.ones((nl, d), dt),
             w_gate=stacked(ks[4], (nl, d, f)),

@@ -446,9 +446,12 @@ def _spec_round(
 
     # Extra token: residual resample on rejection, bonus draw otherwise
     # (reference max_fn residual :27-29,:191-199; bonus :203-205).
-    pos = jnp.minimum(n, w - 1)
-    pv_n = jnp.take_along_axis(p_verify, pos[:, None, None], axis=1)[:, 0]
-    pd_n = jnp.take_along_axis(p_draft, pos[:, None, None], axis=1)[:, 0]
+    # The bonus comes from p_verify at position n itself (n can be w — the
+    # window has w+1 positions); p_draft only has w entries, so its gather
+    # clamps — it is only consumed on true rejections, where n < w.
+    pv_n = jnp.take_along_axis(p_verify, n[:, None, None], axis=1)[:, 0]
+    pd_pos = jnp.minimum(n, w - 1)
+    pd_n = jnp.take_along_axis(p_draft, pd_pos[:, None, None], axis=1)[:, 0]
     residual = jnp.clip(pv_n - pd_n, 0.0, None)
     residual = residual / jnp.maximum(
         jnp.sum(residual, axis=-1, keepdims=True), 1e-30

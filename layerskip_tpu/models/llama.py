@@ -29,7 +29,7 @@ from flax import struct
 from layerskip_tpu.config import ModelConfig
 from layerskip_tpu.ops.attention import gqa_attention
 from layerskip_tpu.ops.kv_cache import KVCache, write_kv
-from layerskip_tpu.ops.linear import QuantTensor, apply_weight
+from layerskip_tpu.ops.linear import QuantTensor, apply_weight, apply_weight_t
 from layerskip_tpu.ops.rmsnorm import rms_norm
 from layerskip_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
 
@@ -39,9 +39,11 @@ class LayerParams:
     """Per-layer weights, stacked on a leading [L] axis."""
 
     attn_norm: jnp.ndarray  # [L, D]
-    wq: jnp.ndarray  # [L, D, Hq*Dh]
-    wk: jnp.ndarray  # [L, D, Hkv*Dh]
-    wv: jnp.ndarray  # [L, D, Hkv*Dh]
+    # wq/wk/wv are stored [out, in] (HF orientation): XLA wants them K-minor
+    # in decode loops; [N, K] storage = default layout, no relayout copies.
+    wq: jnp.ndarray  # [L, Hq*Dh, D]
+    wk: jnp.ndarray  # [L, Hkv*Dh, D]
+    wv: jnp.ndarray  # [L, Hkv*Dh, D]
     wo: jnp.ndarray  # [L, Hq*Dh, D]
     mlp_norm: jnp.ndarray  # [L, D]
     w_gate: jnp.ndarray  # [L, D, F]
@@ -79,9 +81,9 @@ def _one_layer(
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
-    q = apply_weight(x, lp.wq).reshape(b, t, hq, dh)
-    k = apply_weight(x, lp.wk).reshape(b, t, hkv, dh)
-    v = apply_weight(x, lp.wv).reshape(b, t, hkv, dh)
+    q = apply_weight_t(x, lp.wq).reshape(b, t, hq, dh)
+    k = apply_weight_t(x, lp.wk).reshape(b, t, hkv, dh)
+    v = apply_weight_t(x, lp.wv).reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)

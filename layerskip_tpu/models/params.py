@@ -42,9 +42,9 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
 
     layers = LayerParams(
         attn_norm=jnp.ones((l, d), cfg.dtype),
-        wq=nrm(keys[0], (l, d, hq * dh)),
-        wk=nrm(keys[1], (l, d, hkv * dh)),
-        wv=nrm(keys[2], (l, d, hkv * dh)),
+        wq=nrm(keys[0], (l, hq * dh, d)),
+        wk=nrm(keys[1], (l, hkv * dh, d)),
+        wv=nrm(keys[2], (l, hkv * dh, d)),
         wo=nrm(keys[3], (l, hq * dh, d)),
         mlp_norm=jnp.ones((l, d), cfg.dtype),
         w_gate=nrm(keys[4], (l, d, f)),
@@ -62,15 +62,18 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
 # ---------------------------------------------------------------------------
 # HF name mapping.
 #
-# HF nn.Linear stores weight as [out, in]; our pytree stores [in, out] so the
-# forward is plain ``x @ w`` (row-major activations hitting the MXU directly).
+# HF nn.Linear stores weights [out, in]. We keep that orientation for the
+# attention input projections (wq/wk/wv — layout-friendly for TPU decode, see
+# models/llama.py) and transpose the rest to [in, out] so those forwards are
+# plain ``x @ w``.
 # ---------------------------------------------------------------------------
 
 _LAYER_KEY_MAP = {
     "input_layernorm.weight": ("attn_norm", False),
-    "self_attn.q_proj.weight": ("wq", True),
-    "self_attn.k_proj.weight": ("wk", True),
-    "self_attn.v_proj.weight": ("wv", True),
+    # q/k/v keep HF's [out, in] orientation (no transpose) — see LayerParams
+    "self_attn.q_proj.weight": ("wq", False),
+    "self_attn.k_proj.weight": ("wk", False),
+    "self_attn.v_proj.weight": ("wv", False),
     "self_attn.o_proj.weight": ("wo", True),
     "post_attention_layernorm.weight": ("mlp_norm", False),
     "mlp.gate_proj.weight": ("w_gate", True),

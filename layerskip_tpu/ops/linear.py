@@ -20,12 +20,16 @@ from flax import struct
 class QuantTensor:
     """int8 weights + per-output-channel fp32 scales.
 
-    q: [..., K, N] int8; scale: [..., N] fp32. Lives as a pytree node inside
-    LlamaParams, so layer stacking/slicing/scan all work unchanged.
+    q: [..., K, N] int8 (or [..., N, K] when ``k_last``); scale: [..., N]
+    fp32. Lives as a pytree node inside LlamaParams, so layer
+    stacking/slicing/scan all work unchanged. ``k_last`` mirrors the dense
+    orientation split: attention input projections are stored [out, in]
+    (see apply_weight_t).
     """
 
     q: jnp.ndarray
     scale: jnp.ndarray
+    k_last: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def shape(self):
@@ -36,9 +40,11 @@ class QuantTensor:
         return self.q.ndim
 
     def __getitem__(self, idx) -> "QuantTensor":
-        return QuantTensor(q=self.q[idx], scale=self.scale[idx])
+        return QuantTensor(q=self.q[idx], scale=self.scale[idx], k_last=self.k_last)
 
     def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        if self.k_last:  # [..., N, K] * scale[..., N, 1]
+            return (self.q.astype(jnp.float32) * self.scale[..., :, None]).astype(dtype)
         return (self.q.astype(jnp.float32) * self.scale[..., None, :]).astype(dtype)
 
 
@@ -53,6 +59,7 @@ def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
     """x [..., K] @ w [K, N] -> [..., N]; w may be dense or QuantTensor."""
     if isinstance(w, QuantTensor):
         assert w.q.ndim == 2, "apply_weight expects a single layer's weight"
+        assert not w.k_last, "k_last QuantTensor goes through apply_weight_t"
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
@@ -64,3 +71,29 @@ def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
             out = x2 @ w.dequantize(x.dtype)
         return out.reshape(*lead, -1)
     return x @ w
+
+
+def apply_weight_t(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x [..., K] @ w^T where w is stored [N, K] (HF [out, in] orientation).
+
+    Attention input projections (wq/wk/wv) keep this orientation: on TPU,
+    XLA's layout assignment wants them K-minor inside decode loops, and
+    storing them [N, K] (default layout == K-minor) avoids GB-scale
+    whole-stack relayout copies in the self-speculative while-program
+    (measured: 6 GiB of copies -> 0 at 7B).
+    """
+    if isinstance(w, QuantTensor):
+        assert w.q.ndim == 2 and w.k_last
+        lead = x.shape[:-1]
+        k = x.shape[-1]
+        x2 = x.reshape(-1, k)
+        if _use_pallas_qmm():
+            from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul_t
+
+            out = quant_matmul_t(x2, w.q, w.scale)
+        else:
+            out = x2 @ w.dequantize(x.dtype).T
+        return out.reshape(*lead, -1)
+    return jax.lax.dot_general(
+        x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),
+    )

@@ -63,6 +63,79 @@ def _qmm_kernel(
         )
 
 
+def _qmm_t_kernel(
+    x_ref, wq_ref, scale_ref, o_ref, acc_ref, *, k_blocks: int, k_total: int
+):
+    """Transposed-weight variant: w stored [N, K], contraction on K."""
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[:]  # [bm, bk]
+    w = wq_ref[:].astype(x.dtype)  # [bn, bk]
+    bk = x.shape[1]
+    if k_total % bk:
+        valid = k_total - kb * bk
+        col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        x = jnp.where(col < valid, x, 0)
+        wcol = jax.lax.broadcasted_iota(jnp.int32, w.shape, 1)
+        w = jnp.where(wcol < valid, w, 0)
+    acc_ref[:] += jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(kb == k_blocks - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)[None, :]).astype(
+            o_ref.dtype
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
+)
+def quant_matmul_t(
+    x: jnp.ndarray,  # [M, K] bf16/fp32
+    w_q: jnp.ndarray,  # [N, K] int8 (transposed storage)
+    scale: jnp.ndarray,  # [N] fp32
+    *,
+    block_m: int = 256,
+    block_n: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """x @ (w_q * scale)^T with fp32 accumulation; returns x.dtype."""
+    m, k = x.shape
+    n, k2 = w_q.shape
+    assert k == k2 and scale.shape == (n,)
+    bm, bn, bk = min(block_m, m), min(block_n, n), min(block_k, k)
+    k_blocks = pl.cdiv(k, bk)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn), k_blocks)
+    return pl.pallas_call(
+        functools.partial(_qmm_t_kernel, k_blocks=k_blocks, k_total=k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, bk), lambda i, j, kb: (j, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn,), lambda i, j, kb: (j,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j, kb: (i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, w_q, scale)
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_m", "block_n", "block_k", "interpret")
 )

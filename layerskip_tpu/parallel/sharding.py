@@ -36,9 +36,10 @@ def layer_specs(fsdp: bool = False) -> LayerParams:
     l = "fsdp" if fsdp else None
     return LayerParams(
         attn_norm=P(l, None),
-        wq=P(l, None, "tp"),
-        wk=P(l, None, "tp"),
-        wv=P(l, None, "tp"),
+        # wq/wk/wv stored [L, out, in]: column-parallel = shard dim 1
+        wq=P(l, "tp", None),
+        wk=P(l, "tp", None),
+        wv=P(l, "tp", None),
         wo=P(l, "tp", None),
         mlp_norm=P(l, None),
         w_gate=P(l, None, "tp"),

@@ -22,12 +22,19 @@ from layerskip_tpu.models.llama import LayerParams, LlamaParams
 from layerskip_tpu.ops.linear import QuantTensor
 
 
-def quantize_tensor(w: jnp.ndarray) -> QuantTensor:
-    """Symmetric per-output-channel int8 over the last-but-one (K) axis.
+def quantize_tensor(w: jnp.ndarray, k_last: bool = False) -> QuantTensor:
+    """Symmetric per-output-channel int8.
 
-    Works on single [K, N] weights and stacked [L, K, N] weights alike.
+    ``k_last=False``: w is [..., K, N] (contraction axis -2);
+    ``k_last=True``:  w is [..., N, K] (HF orientation — wq/wk/wv).
+    Works on single and stacked [L, ...] weights alike.
     """
     wf = w.astype(jnp.float32)
+    if k_last:
+        amax = jnp.max(jnp.abs(wf), axis=-1)  # [..., N]
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(wf / scale[..., :, None]), -127, 127).astype(jnp.int8)
+        return QuantTensor(q=q, scale=scale, k_last=True)
     amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., N]
     scale = jnp.maximum(amax / 127.0, 1e-8)
     q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
@@ -35,6 +42,7 @@ def quantize_tensor(w: jnp.ndarray) -> QuantTensor:
 
 
 _QUANT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+_K_LAST_FIELDS = ("wq", "wk", "wv")  # stored [out, in] — see models/llama.py
 
 
 def quantize_llama_params(
@@ -46,7 +54,10 @@ def quantize_llama_params(
     layer_kw = {}
     for f in LayerParams.__dataclass_fields__:
         w = getattr(params.layers, f)
-        layer_kw[f] = quantize_tensor(w) if f in _QUANT_FIELDS else w
+        layer_kw[f] = (
+            quantize_tensor(w, k_last=f in _K_LAST_FIELDS)
+            if f in _QUANT_FIELDS else w
+        )
     lm_head = params.lm_head
     if quantize_lm_head and lm_head is not None:
         lm_head = quantize_tensor(lm_head)

@@ -102,10 +102,12 @@ def _one_layer_dropped(
     b, t, d = h.shape
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
+    from layerskip_tpu.ops.linear import apply_weight_t
+
     x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
-    q = (x @ lp.wq).reshape(b, t, hq, dh)
-    k = (x @ lp.wk).reshape(b, t, hkv, dh)
-    v = (x @ lp.wv).reshape(b, t, hkv, dh)
+    q = apply_weight_t(x, lp.wq).reshape(b, t, hq, dh)
+    k = apply_weight_t(x, lp.wk).reshape(b, t, hkv, dh)
+    v = apply_weight_t(x, lp.wv).reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     # causal self-attention over the sequence itself

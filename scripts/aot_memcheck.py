@@ -1,0 +1,104 @@
+"""AOT-compile the generation programs with abstract args and print memory.
+
+Iterating on 7B compile-OOMs is slow if each attempt pays real param init
+(~200 s); this lowers with jax.ShapeDtypeStruct inputs only and prints the
+compiled memory analysis (argument/temp/peak bytes) — or the OOM breakdown.
+
+Usage: python scripts/aot_memcheck.py [--config 7b] [--mode spec|ar]
+       [--max-steps 512] [--spec 6] [--exit-layer 8]
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="7b")
+    ap.add_argument("--mode", default="spec", choices=["spec", "ar"])
+    ap.add_argument("--max-steps", type=int, default=512)
+    ap.add_argument("--spec", type=int, default=6)
+    ap.add_argument("--exit-layer", type=int, default=8)
+    ap.add_argument("--prompt-bucket", type=int, default=64)
+    args = ap.parse_args()
+
+    from bench import build_config
+    from layerskip_tpu.generation.engine import ar_generate, spec_generate
+    from layerskip_tpu.generation.sampling import SamplingConfig
+    from layerskip_tpu.models.llama import LayerParams, LlamaParams
+
+    cfg = build_config(args.config)
+    d, f, v = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    hq, hkv, dh, nl = (
+        cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim,
+        cfg.num_hidden_layers,
+    )
+    S = jax.ShapeDtypeStruct
+    dt = cfg.dtype
+    params = LlamaParams(
+        embed=S((v, d), dt),
+        layers=LayerParams(
+            attn_norm=S((nl, d), dt), wq=S((nl, hq * dh, d), dt),
+            wk=S((nl, hkv * dh, d), dt), wv=S((nl, hkv * dh, d), dt),
+            wo=S((nl, hq * dh, d), dt), mlp_norm=S((nl, d), dt),
+            w_gate=S((nl, d, f), dt), w_up=S((nl, d, f), dt),
+            w_down=S((nl, f, d), dt),
+        ),
+        final_norm=S((d,), dt),
+        lm_head=None if cfg.tie_word_embeddings else S((d, v), dt),
+    )
+    ids = S((1, args.prompt_bucket), jnp.int32)
+    true_len = S((1,), jnp.int32)
+    rng = S((2,), jnp.uint32)
+    scfg = SamplingConfig(sample=False, temperature=0.6, top_k=0, top_p=0.9)
+    max_cache_len = args.prompt_bucket + args.max_steps + args.spec + 2
+
+    if args.mode == "spec":
+        def fn(params, ids, true_len, rng):
+            return spec_generate(
+                params, cfg, ids, true_len, rng,
+                max_steps=args.max_steps, exit_layer=args.exit_layer,
+                num_speculations=args.spec, scfg=scfg, eos_ids=(2,),
+                max_cache_len=max_cache_len,
+            )
+    else:
+        def fn(params, ids, true_len, rng):
+            return ar_generate(
+                params, cfg, ids, true_len, rng,
+                max_steps=args.max_steps, exit_layer=-1, scfg=scfg,
+                eos_ids=(2,), max_cache_len=max_cache_len,
+            )
+
+    lowered = jax.jit(fn).lower(params, ids, true_len, rng)
+    print("lowered; compiling...", flush=True)
+    try:
+        compiled = lowered.compile()
+    except Exception as exc:
+        text = str(exc)
+        print("COMPILE FAILED:")
+        for line in text.splitlines():
+            if any(k in line for k in (
+                "memory", "hbm", "Largest", "Size:", "label", "Shape",
+                "Operator", "source_line",
+            )):
+                print("  " + line.strip())
+        return 1
+    try:
+        mem = compiled.memory_analysis()
+        print(f"argument bytes: {mem.argument_size_in_bytes/2**30:.2f} GiB")
+        print(f"output bytes:   {mem.output_size_in_bytes/2**30:.2f} GiB")
+        print(f"temp bytes:     {mem.temp_size_in_bytes/2**30:.2f} GiB")
+        print(f"total:          {(mem.argument_size_in_bytes+mem.temp_size_in_bytes)/2**30:.2f} GiB")
+    except Exception as exc:
+        print("no memory_analysis:", exc)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

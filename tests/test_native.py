@@ -94,9 +94,9 @@ def test_load_params_via_native(tmp_path):
     }
     name_map = {
         "attn_norm": ("input_layernorm.weight", False),
-        "wq": ("self_attn.q_proj.weight", True),
-        "wk": ("self_attn.k_proj.weight", True),
-        "wv": ("self_attn.v_proj.weight", True),
+        "wq": ("self_attn.q_proj.weight", False),  # stored [out, in]
+        "wk": ("self_attn.k_proj.weight", False),
+        "wv": ("self_attn.v_proj.weight", False),
         "wo": ("self_attn.o_proj.weight", True),
         "mlp_norm": ("post_attention_layernorm.weight", False),
         "w_gate": ("mlp.gate_proj.weight", True),
