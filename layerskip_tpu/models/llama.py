@@ -74,8 +74,9 @@ def _one_layer(
     v_layer: jnp.ndarray,
     cos: jnp.ndarray,  # [B, T, Dh]
     sin: jnp.ndarray,
-    write_pos: jnp.ndarray,  # scalar int32 (== past length for this layer)
-    q_positions: jnp.ndarray,  # [T] absolute query positions
+    write_pos: jnp.ndarray,  # [] or [B] int32 (== past length for this layer)
+    q_positions: jnp.ndarray,  # [B, T] absolute query positions
+    past_scalar=None,  # scalar past when positions are shared+contiguous
 ):
     b, t, d = h.shape
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -88,7 +89,8 @@ def _one_layer(
     k = apply_rope(k, cos, sin)
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)
     attn = gqa_attention(
-        q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv
+        q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv,
+        past_scalar=past_scalar,
     )
     h = h + apply_weight(attn.reshape(b, t, hq * dh), lp.wo)
 
@@ -122,6 +124,9 @@ def run_layers(
     b, t, _ = h.shape
     n_sub = jax.tree.leaves(k)[0].shape[0]
     past_len = past_len.astype(jnp.int32)
+    # scalar past => positions are shared and contiguous; enables the flash
+    # prefill kernel (per-row pasts fall back to the masked paths)
+    past_scalar = past_len if past_len.ndim == 0 else None
     q_positions = past_len[..., None] + jnp.arange(t, dtype=jnp.int32)
     q_positions = jnp.broadcast_to(q_positions, (b, t))  # [B, T]
     inv_freq = rope_inv_freq(cfg)
@@ -135,7 +140,8 @@ def run_layers(
             layers,
         )
         h, k_layer, v_layer = _one_layer(
-            cfg, lp, h, k_layer, v_layer, cos, sin, past_len, q_positions
+            cfg, lp, h, k_layer, v_layer, cos, sin, past_len, q_positions,
+            past_scalar=past_scalar,
         )
         return h, (k_layer, v_layer)
 

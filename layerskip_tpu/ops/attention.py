@@ -46,6 +46,18 @@ def _use_pallas(t: int, s: int, dh: int) -> bool:
     )
 
 
+def _use_flash_prefill(t: int, s: int, dh: int) -> bool:
+    if os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") == "1":
+        return False
+    return (
+        jax.default_backend() == "tpu"
+        and t > _MAX_PALLAS_QUERY
+        and t % 256 == 0
+        and s % 512 == 0
+        and dh in _PALLAS_HEAD_DIMS
+    )
+
+
 def gqa_attention(
     q: jnp.ndarray,  # [B, T, Hq, Dh]  (post-RoPE)
     k_cache: jnp.ndarray,  # [B, S, Hkv, Dh] (post-RoPE, updated)
@@ -53,6 +65,7 @@ def gqa_attention(
     q_positions: jnp.ndarray,  # [T] or [B, T] absolute query positions (int32)
     *,
     q_heads_per_kv: int,
+    past_scalar=None,  # set when positions are past + arange(T), shared rows
 ) -> jnp.ndarray:
     """Returns attention output [B, T, Hq, Dh] in q.dtype.
 
@@ -78,6 +91,14 @@ def gqa_attention(
 
         return decode_attention(
             q, k_cache, v_cache, q_positions, q_heads_per_kv=q_heads_per_kv
+        )
+    elif past_scalar is not None and _use_flash_prefill(
+        q.shape[1], k_cache.shape[1], q.shape[3]
+    ):
+        from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+        return flash_prefill_attention(
+            q, k_cache, v_cache, past_scalar, q_heads_per_kv=q_heads_per_kv
         )
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]

@@ -106,3 +106,23 @@ def test_quant_matmul_ragged_blocks():
     got = quant_matmul(x, wq, scale, block_m=8, block_n=128, block_k=128,
                        interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3, rtol=1e-4)
+
+
+@pytest.mark.parametrize("t,s,past", [(256, 512, 0), (256, 512, 100)])
+def test_flash_prefill_matches_reference(t, s, past):
+    from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+    b, hkv, g, dh = 1, 2, 2, 128
+    hq = hkv * g
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((b, t, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray(np.arange(past, past + t), jnp.int32)
+
+    ref = attn_mod.gqa_attention(q, k, v, qpos, q_heads_per_kv=g)
+    got = flash_prefill_attention(
+        q, k, v, jnp.int32(past), q_heads_per_kv=g,
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
