@@ -126,3 +126,19 @@ def test_flash_prefill_matches_reference(t, s, past):
         block_q=128, block_k=128, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_quant_matmul_t_matches():
+    from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul_t
+    from layerskip_tpu.quant import quantize_tensor
+
+    rng = np.random.default_rng(8)
+    m, k, n = 16, 256, 192
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)  # [N, K]
+    qt = quantize_tensor(w, k_last=True)
+    ref = x @ np.asarray(qt.dequantize(jnp.float32)).T
+    got = quant_matmul_t(x, qt.q, qt.scale, block_m=8, block_n=128,
+                         block_k=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3,
+                               rtol=1e-4)
