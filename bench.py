@@ -129,26 +129,30 @@ def make_params(cfg, exit_layer: int):
     return jax.jit(build)(jax.random.PRNGKey(0))
 
 
-def timed_generate(engine, prompt, gen_cfg, repeats=3):
+def timed_generate(engine, prompt, gen_cfg, repeats=3, batch=1):
     import numpy as np
 
     import jax
 
     from layerskip_tpu.generation.engine import postprocess_output
 
+    from layerskip_tpu.generation.engine import postprocess_batch
+
+    prompts = [list(prompt)] * batch if batch > 1 else prompt
     # warmup + compile; materialize to host (block_until_ready can be a
     # no-op through remote-execution tunnels — a D2H copy cannot lie)
-    out = engine.generate(prompt, gen_cfg, jax.random.PRNGKey(0))
+    out = engine.generate(prompts, gen_cfg, jax.random.PRNGKey(0))
     np.asarray(out.tokens)
     best_tps = 0.0
     for i in range(repeats):
         t0 = time.time()
-        out = engine.generate(prompt, gen_cfg, jax.random.PRNGKey(i))
-        toks = postprocess_output(out, (), gen_cfg.max_steps)
+        out = engine.generate(prompts, gen_cfg, jax.random.PRNGKey(i))
+        rows = postprocess_batch(out, (), gen_cfg.max_steps)
         dt = time.time() - t0
-        tps = len(toks) / dt if dt > 0 else 0.0
+        total = sum(len(r) for r in rows)
+        tps = total / dt if dt > 0 else 0.0
         best_tps = max(best_tps, tps)
-        print(f"[bench]   run {i}: {len(toks)} toks in {dt:.3f}s "
+        print(f"[bench]   run {i}: {total} toks in {dt:.3f}s "
               f"({tps:.2f} tok/s)", file=sys.stderr)
     return best_tps, out
 
@@ -179,9 +183,9 @@ def run_single(args) -> dict:
     )
     print(f"[bench] config={args.config} exit={exit_layer} spec={args.spec} "
           f"backend={jax.default_backend()}", file=sys.stderr)
-    ar_tps, _ = timed_generate(engine, prompt, ar_cfg, args.repeats)
+    ar_tps, _ = timed_generate(engine, prompt, ar_cfg, args.repeats, args.batch)
     print(f"[bench] AR tokens/s = {ar_tps:.2f}", file=sys.stderr)
-    sp_tps, sp_out = timed_generate(engine, prompt, sp_cfg, args.repeats)
+    sp_tps, sp_out = timed_generate(engine, prompt, sp_cfg, args.repeats, args.batch)
     acc = float(int(sp_out.matches)) / max(int(sp_out.drafts), 1)
     print(f"[bench] spec tokens/s = {sp_tps:.2f} acceptance={acc:.3f}",
           file=sys.stderr)
@@ -209,6 +213,8 @@ def parse_args(argv=None):
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--sample", action="store_true")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="rows per generation (identical prompts)")
     ap.add_argument("--single", action="store_true",
                     help="run only --config in-process (no fallback chain)")
     return ap.parse_args(argv)
@@ -229,6 +235,7 @@ def main():
             "--max-steps", str(args.max_steps),
             "--prompt-len", str(args.prompt_len),
             "--repeats", str(args.repeats),
+            "--batch", str(args.batch),
         ] + (["--sample"] if args.sample else [])
         proc = subprocess.run(cmd, stdout=subprocess.PIPE)
         out = proc.stdout.decode().strip().splitlines()

@@ -29,7 +29,7 @@ log = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class BenchmarkArguments:
-    """reference: benchmark.py:43-50."""
+    """reference: benchmark.py:43-50 (+ TPU profiling extension)."""
 
     dataset: str = "cnn_dm_summarization"
     data_path: Optional[str] = None
@@ -37,6 +37,7 @@ class BenchmarkArguments:
     num_samples: Optional[int] = None
     n_shot: int = 0
     template: Optional[str] = None
+    profile_dir: Optional[str] = None  # capture a jax.profiler trace here
 
 
 def benchmark(
@@ -56,6 +57,12 @@ def benchmark(
         template=benchmark_arguments.template,
     )
     metrics = EvaluationMetrics.build_metrics()
+    profiling = None
+    if benchmark_arguments.profile_dir:
+        from layerskip_tpu.utils.profiling import trace
+
+        profiling = trace(benchmark_arguments.profile_dir)
+        profiling.__enter__()
     for i, example in enumerate(evaluation_set):
         result = generator.generate(
             prompt=example.input, generation_config=generation_config, seed=seed
@@ -69,6 +76,9 @@ def benchmark(
             log.warning("skipping empty generation for metrics")
             continue
         metrics.update(example, result)
+    if profiling is not None:
+        profiling.__exit__(None, None, None)
+        print(f"profiler trace written to {benchmark_arguments.profile_dir}")
     return metrics.compute(), metrics
 
 
