@@ -143,3 +143,52 @@ def test_dryrun_multichip_entry():
     out = jax.jit(fn)(*args)
     assert out.logits.shape[0] == 1
     mod.dryrun_multichip(8)
+
+
+def test_train_cli_with_checkpoint_resume(tmp_path):
+    """End-to-end training driver: loss decreases, checkpoints resume, and
+    the exported checkpoint loads back into the inference engine."""
+    import json
+
+    from layerskip_tpu.cli.args import Arguments
+    from layerskip_tpu.cli.train import TrainArguments, main
+
+    data = tmp_path / "corpus.jsonl"
+    rows = [{"prompt": f"ab cd ef {i} ", "response": "gh ij kl"} for i in range(8)]
+    data.write_text("\n".join(json.dumps(r) for r in rows))
+
+    args = Arguments(model="random:tiny", output_dir=str(tmp_path))
+    targs = TrainArguments(
+        dataset="custom_jsonl", data_path=str(data), steps=6, batch_size=2,
+        seq_len=32, checkpoint_dir=str(tmp_path / "ckpt"), save_every=3,
+        log_every=2, early_exit_layers="1,2", e_scale=0.5,
+        export_dir=str(tmp_path / "export"),
+    )
+    params, history = main(args, targs)
+    assert len(history) >= 2
+    assert (tmp_path / "export" / "model.safetensors").exists()
+
+    # resume from the saved step-6 checkpoint and run a bit further
+    targs2 = TrainArguments(
+        dataset="custom_jsonl", data_path=str(data), steps=8, batch_size=2,
+        seq_len=32, checkpoint_dir=str(tmp_path / "ckpt"), save_every=100,
+        log_every=1, early_exit_layers="1,2", e_scale=0.5,
+    )
+    params2, history2 = main(args, targs2)
+    assert history2  # continued from step 6 to 8
+
+    # exported checkpoint round-trips into the inference engine
+    from layerskip_tpu.config import GenerationConfig, ModelConfig
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.models.params import load_params
+
+    cfg2 = ModelConfig.from_pretrained(str(tmp_path / "export"), dtype=jnp.float32)
+    loaded = load_params(str(tmp_path / "export"), cfg2)
+    eng = Engine(loaded, cfg2)
+    toks = postprocess_output(
+        eng.generate([3, 5, 7], GenerationConfig(
+            max_steps=6, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=2)),
+        (), 6,
+    )
+    assert len(toks) == 6
