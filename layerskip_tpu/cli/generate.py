@@ -29,9 +29,23 @@ from layerskip_tpu.generation.streamer import SpeculativeTextStreamer, TextStrea
 
 @dataclasses.dataclass
 class GenerateArguments:
-    """reference: generate.py:32-39."""
+    """reference: generate.py:32-39 (+ chat templating extension)."""
 
     streamer: str = "none"  # none | standard | speculative
+    chat: bool = False  # wrap prompts with the tokenizer's chat template
+
+
+def _apply_chat_template(tokenizer, user_message: str) -> str:
+    """Wrap a raw message with the model's chat template when available."""
+    if hasattr(tokenizer, "apply_chat_template"):
+        try:
+            return tokenizer.apply_chat_template(
+                [{"role": "user", "content": user_message}],
+                tokenize=False, add_generation_prompt=True,
+            )
+        except Exception:
+            pass
+    return user_message
 
 
 def main(args: Arguments, gen_args: GenerateArguments, gen_cfg: GenerationConfig):
@@ -47,6 +61,8 @@ def main(args: Arguments, gen_args: GenerateArguments, gen_cfg: GenerationConfig
         prompt = line.rstrip("\n")
         if not prompt:
             continue
+        if gen_args.chat:
+            prompt = _apply_chat_template(tokenizer, prompt)
         try:
             if use_spec_stream:
                 result = _stream_speculative(generator, prompt, gen_cfg, args.seed)
