@@ -14,8 +14,6 @@ import json
 import logging
 import os
 import time
-from typing import Optional
-
 from layerskip_tpu.cli.args import Arguments, parse_dataclasses
 from layerskip_tpu.cli.benchmark import BenchmarkArguments
 from layerskip_tpu.cli.loading import load_model_and_tokenizer

@@ -14,7 +14,6 @@ it.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import json
 import logging
 import os
@@ -25,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from layerskip_tpu.cli.args import Arguments, parse_dataclasses, simple_parse_args_string
+from layerskip_tpu.cli.args import Arguments, parse_dataclasses
 from layerskip_tpu.cli.loading import load_model_and_tokenizer
 from layerskip_tpu.config import GenerationConfig, ModelConfig
 from layerskip_tpu.generation.generator import LlamaGenerator

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import dataclasses
 import sys
-from typing import Optional
 
 import jax
 

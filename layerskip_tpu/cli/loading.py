@@ -13,7 +13,7 @@ zero-egress counterpart of pointing the reference at a hub model id.
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

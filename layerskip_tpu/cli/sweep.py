@@ -13,7 +13,6 @@ import csv
 import dataclasses
 import os
 import time
-from typing import Optional
 
 from layerskip_tpu.cli.args import Arguments, parse_dataclasses
 from layerskip_tpu.cli.benchmark import BenchmarkArguments, benchmark

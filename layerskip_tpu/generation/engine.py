@@ -32,7 +32,6 @@ self_speculation_generator.py:186-199).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax

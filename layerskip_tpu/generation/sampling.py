@@ -17,7 +17,7 @@ longest-prefix token match — one code path serves both modes
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

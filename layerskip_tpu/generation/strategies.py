@@ -17,10 +17,9 @@ from typing import List, Optional, Sequence
 
 import jax
 
-from layerskip_tpu.config import GenerationConfig, ModelConfig
+from layerskip_tpu.config import GenerationConfig
 from layerskip_tpu.generation.engine import Engine, postprocess_output
 from layerskip_tpu.generation.generator import GenerationStrategyResult
-from layerskip_tpu.models.llama import LlamaParams
 
 
 class GenerationStrategy(abc.ABC):

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import sys
 import threading
-from typing import List, Optional
+from typing import List
 
 MAGENTA = "\033[35m"
 GREEN = "\033[32m"

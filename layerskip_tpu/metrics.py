@@ -22,7 +22,7 @@ from __future__ import annotations
 import math
 import re
 from collections import Counter
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 def _tokenize(text: str) -> List[str]:

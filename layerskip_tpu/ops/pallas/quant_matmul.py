@@ -58,7 +58,7 @@ def _qmm_kernel(
 
     @pl.when(kb == k_blocks - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)[None, :]).astype(
+        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(jnp.float32)[None, :]).astype(
             o_ref.dtype
         )
 
@@ -89,7 +89,7 @@ def _qmm_t_kernel(
 
     @pl.when(kb == k_blocks - 1)
     def _():
-        o_ref[:] = (acc_ref[:] * scale_ref[:].astype(jnp.float32)[None, :]).astype(
+        o_ref[:] = (acc_ref[:] * scale_ref[0].astype(jnp.float32)[None, :]).astype(
             o_ref.dtype
         )
 
@@ -120,7 +120,7 @@ def quant_matmul_t(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bk), lambda i, j, kb: (j, kb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j, kb: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, kb: (i, j), memory_space=pltpu.VMEM
@@ -133,7 +133,7 @@ def quant_matmul_t(
             bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, w_q, scale)
+    )(x, w_q, scale.reshape(1, -1))
 
 
 @functools.partial(
@@ -162,7 +162,7 @@ def quant_matmul(
         in_specs=[
             pl.BlockSpec((bm, bk), lambda i, j, kb: (i, kb), memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, kb: (kb, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bn,), lambda i, j, kb: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, kb: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (bm, bn), lambda i, j, kb: (i, j), memory_space=pltpu.VMEM
@@ -175,4 +175,4 @@ def quant_matmul(
             bytes_accessed=m * k * x.dtype.itemsize + k * n + m * n * x.dtype.itemsize,
             transcendentals=0,
         ),
-    )(x, w_q, scale)
+    )(x, w_q, scale.reshape(1, -1))

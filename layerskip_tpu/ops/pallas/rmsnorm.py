@@ -24,7 +24,7 @@ def _rmsnorm_kernel(x_ref, w_ref, o_ref, *, eps: float):
     x = x_ref[:].astype(jnp.float32)
     var = jnp.mean(x * x, axis=-1, keepdims=True)
     o_ref[:] = (
-        x * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
+        x * jax.lax.rsqrt(var + eps) * w_ref[0].astype(jnp.float32)
     ).astype(o_ref.dtype)
 
 
@@ -33,7 +33,7 @@ def _rmsnorm_residual_kernel(x_ref, r_ref, w_ref, o_ref, new_r_ref, *, eps: floa
     new_r_ref[:] = h.astype(new_r_ref.dtype)
     var = jnp.mean(h * h, axis=-1, keepdims=True)
     o_ref[:] = (
-        h * jax.lax.rsqrt(var + eps) * w_ref[:].astype(jnp.float32)
+        h * jax.lax.rsqrt(var + eps) * w_ref[0].astype(jnp.float32)
     ).astype(o_ref.dtype)
 
 
@@ -59,12 +59,12 @@ def rms_norm(
         grid=grid,
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows, d), x.dtype),
         interpret=interpret,
-    )(x2, weight)
+    )(x2, weight.reshape(1, d))
     return out.reshape(shape)
 
 
@@ -92,7 +92,7 @@ def rms_norm_residual(
         in_specs=[
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((d,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((bm, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
@@ -103,5 +103,5 @@ def rms_norm_residual(
             jax.ShapeDtypeStruct((rows, d), x.dtype),
         ),
         interpret=interpret,
-    )(x.reshape(rows, d), residual.reshape(rows, d), weight)
+    )(x.reshape(rows, d), residual.reshape(rows, d), weight.reshape(1, d))
     return out.reshape(shape), new_r.reshape(shape)

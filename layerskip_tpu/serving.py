@@ -28,7 +28,7 @@ from typing import List, Optional, Sequence
 
 import jax
 
-from layerskip_tpu.config import GenerationConfig, ModelConfig
+from layerskip_tpu.config import GenerationConfig
 from layerskip_tpu.generation.engine import Engine, postprocess_batch
 
 

@@ -15,7 +15,6 @@ TPU-native observability layer:
 from __future__ import annotations
 
 import contextlib
-import statistics
 import time
 from collections import defaultdict
 from typing import Dict, List
