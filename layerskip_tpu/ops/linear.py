@@ -48,9 +48,15 @@ class QuantTensor:
         return (self.q.astype(jnp.float32) * self.scale[..., None, :]).astype(dtype)
 
 
-def _use_pallas_qmm() -> bool:
+_PALLAS_QMM_MIN_M = 256  # below this, XLA's fused dequant-matmul wins:
+# the dequant multiply fuses into the dot so int8 bytes are read once, and
+# tiny-M Pallas blocks (padded to 8 sublanes) waste the MXU (measured at 1B)
+
+
+def _use_pallas_qmm(m: int) -> bool:
     return (
         jax.default_backend() == "tpu"
+        and m >= _PALLAS_QMM_MIN_M
         and os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") != "1"
     )
 
@@ -63,7 +69,7 @@ def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
-        if _use_pallas_qmm():
+        if _use_pallas_qmm(x2.shape[0]):
             from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul
 
             out = quant_matmul(x2, w.q, w.scale)
@@ -87,7 +93,7 @@ def apply_weight_t(x: jnp.ndarray, w) -> jnp.ndarray:
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
-        if _use_pallas_qmm():
+        if _use_pallas_qmm(x2.shape[0]):
             from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul_t
 
             out = quant_matmul_t(x2, w.q, w.scale)
