@@ -61,6 +61,7 @@ class ModelConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     rope_scaling: RopeScaling = dataclasses.field(default_factory=RopeScaling)
+    attention_bias: bool = False  # Qwen2-family QKV biases
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
@@ -97,6 +98,11 @@ class ModelConfig:
             rms_norm_eps=d.get("rms_norm_eps", 1e-5),
             rope_theta=d.get("rope_theta", 10000.0),
             rope_scaling=RopeScaling.from_hf(d.get("rope_scaling")),
+            # Qwen2 checkpoints predate the explicit flag; their model_type
+            # implies QKV biases
+            attention_bias=d.get(
+                "attention_bias", d.get("model_type") == "qwen2"
+            ),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=d.get("eos_token_id", 2),

@@ -49,6 +49,10 @@ class LayerParams:
     w_gate: jnp.ndarray  # [L, D, F]
     w_up: jnp.ndarray  # [L, D, F]
     w_down: jnp.ndarray  # [L, F, D]
+    # optional attention input-projection biases (Qwen2-family; None for Llama)
+    bq: Optional[jnp.ndarray] = None  # [L, Hq*Dh]
+    bk: Optional[jnp.ndarray] = None  # [L, Hkv*Dh]
+    bv: Optional[jnp.ndarray] = None  # [L, Hkv*Dh]
 
     def slice(self, start: int, end: int) -> "LayerParams":
         return jax.tree.map(lambda x: x[start:end], self)
@@ -82,9 +86,16 @@ def _one_layer(
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
-    q = apply_weight_t(x, lp.wq).reshape(b, t, hq, dh)
-    k = apply_weight_t(x, lp.wk).reshape(b, t, hkv, dh)
-    v = apply_weight_t(x, lp.wv).reshape(b, t, hkv, dh)
+    q = apply_weight_t(x, lp.wq)
+    k = apply_weight_t(x, lp.wk)
+    v = apply_weight_t(x, lp.wv)
+    if lp.bq is not None:  # Qwen2-family QKV biases
+        q = q + lp.bq
+        k = k + lp.bk
+        v = v + lp.bv
+    q = q.reshape(b, t, hq, dh)
+    k = k.reshape(b, t, hkv, dh)
+    v = v.reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)

@@ -50,6 +50,9 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
         w_gate=nrm(keys[4], (l, d, f)),
         w_up=nrm(keys[5], (l, d, f)),
         w_down=nrm(keys[6], (l, f, d)),
+        bq=jnp.zeros((l, hq * dh), cfg.dtype) if cfg.attention_bias else None,
+        bk=jnp.zeros((l, hkv * dh), cfg.dtype) if cfg.attention_bias else None,
+        bv=jnp.zeros((l, hkv * dh), cfg.dtype) if cfg.attention_bias else None,
     )
     embed = nrm(keys[7], (v, d))
     lm_head = None if cfg.tie_word_embeddings else jnp.transpose(embed)
@@ -74,6 +77,9 @@ _LAYER_KEY_MAP = {
     "self_attn.q_proj.weight": ("wq", False),
     "self_attn.k_proj.weight": ("wk", False),
     "self_attn.v_proj.weight": ("wv", False),
+    "self_attn.q_proj.bias": ("bq", False),
+    "self_attn.k_proj.bias": ("bk", False),
+    "self_attn.v_proj.bias": ("bv", False),
     "self_attn.o_proj.weight": ("wo", True),
     "post_attention_layernorm.weight": ("mlp_norm", False),
     "mlp.gate_proj.weight": ("w_gate", True),
@@ -106,6 +112,8 @@ def params_from_flat_dict(
 
     def stack(field):
         mats = layer_arrays[field]
+        if field in ("bq", "bk", "bv") and all(m is None for m in mats):
+            return None  # Llama-family: no attention biases
         assert all(m is not None for m in mats), f"missing layers for {field}"
         return jnp.asarray(np.stack(mats), cfg.dtype)
 
@@ -160,7 +168,10 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     inv_map = {field: (hf, tr) for hf, (field, tr) in _LAYER_KEY_MAP.items()}
     for i in range(cfg.num_hidden_layers):
         for field, (hf_name, transpose) in inv_map.items():
-            w = np.asarray(getattr(params.layers, field)[i], np.float32)
+            stacked = getattr(params.layers, field)
+            if stacked is None:  # e.g. Llama has no attention biases
+                continue
+            w = np.asarray(stacked[i], np.float32)
             tensors[f"model.layers.{i}.{hf_name}"] = (
                 np.ascontiguousarray(w.T) if transpose else w
             )
@@ -180,6 +191,7 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
                 "max_position_embeddings": cfg.max_position_embeddings,
                 "rms_norm_eps": cfg.rms_norm_eps,
                 "rope_theta": cfg.rope_theta,
+                "attention_bias": cfg.attention_bias,
                 "tie_word_embeddings": cfg.tie_word_embeddings,
                 "bos_token_id": cfg.bos_token_id,
                 "eos_token_id": cfg.eos_token_id,

@@ -26,7 +26,7 @@ from layerskip_tpu.models.llama import LayerParams, LlamaParams
 from layerskip_tpu.ops.kv_cache import KVCache
 
 
-def layer_specs(fsdp: bool = False) -> LayerParams:
+def layer_specs(fsdp: bool = False, attention_bias: bool = False) -> LayerParams:
     """PartitionSpecs for the stacked [L, ...] layer weights.
 
     With ``fsdp=True`` the leading (layer) axis is additionally sharded on
@@ -45,15 +45,20 @@ def layer_specs(fsdp: bool = False) -> LayerParams:
         w_gate=P(l, None, "tp"),
         w_up=P(l, None, "tp"),
         w_down=P(l, "tp", None),
+        bq=P(l, "tp") if attention_bias else None,
+        bk=P(l, "tp") if attention_bias else None,
+        bv=P(l, "tp") if attention_bias else None,
     )
 
 
 def param_specs(
-    tie_word_embeddings: bool = False, fsdp: bool = False
+    tie_word_embeddings: bool = False,
+    fsdp: bool = False,
+    attention_bias: bool = False,
 ) -> LlamaParams:
     return LlamaParams(
         embed=P("tp", None),  # vocab-parallel embedding
-        layers=layer_specs(fsdp),
+        layers=layer_specs(fsdp, attention_bias),
         final_norm=P(None),
         lm_head=None if tie_word_embeddings else P(None, "tp"),
     )
@@ -89,5 +94,11 @@ def to_named(mesh: Mesh, spec_tree: Any) -> Any:
 
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """Place a (host or single-device) param pytree onto the mesh."""
-    shardings = to_named(mesh, param_specs(params.lm_head is None))
+    shardings = to_named(
+        mesh,
+        param_specs(
+            params.lm_head is None,
+            attention_bias=params.layers.bq is not None,
+        ),
+    )
     return jax.tree.map(jax.device_put, params, shardings)

@@ -105,9 +105,14 @@ def _one_layer_dropped(
     from layerskip_tpu.ops.linear import apply_weight_t
 
     x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
-    q = apply_weight_t(x, lp.wq).reshape(b, t, hq, dh)
-    k = apply_weight_t(x, lp.wk).reshape(b, t, hkv, dh)
-    v = apply_weight_t(x, lp.wv).reshape(b, t, hkv, dh)
+    q = apply_weight_t(x, lp.wq)
+    k = apply_weight_t(x, lp.wk)
+    v = apply_weight_t(x, lp.wv)
+    if lp.bq is not None:  # Qwen2-family QKV biases
+        q, k, v = q + lp.bq, k + lp.bk, v + lp.bv
+    q = q.reshape(b, t, hq, dh)
+    k = k.reshape(b, t, hkv, dh)
+    v = v.reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     # causal self-attention over the sequence itself
