@@ -76,7 +76,7 @@ def build_config(name: str):
     return tiny_config(dtype=jnp.bfloat16)
 
 
-def make_params(cfg, exit_layer: int):
+def make_params(cfg, exit_layer: int, quant: bool = False):
     """Random weights; layers >= exit_layer made identity (zero wo/w_down).
 
     Built inside one jit with *per-layer* sampling: jax.random.normal's
@@ -89,30 +89,56 @@ def make_params(cfg, exit_layer: int):
     import jax.numpy as jnp
 
     from layerskip_tpu.models.llama import LayerParams, LlamaParams
+    from layerskip_tpu.ops.linear import QuantTensor
 
     d, f = cfg.hidden_size, cfg.intermediate_size
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     nl, v = cfg.num_hidden_layers, cfg.vocab_size
     dt = cfg.dtype
 
-    def stacked(key, shape, zero_from=None):
-        def body(i, acc):
+    def stacked(key, shape, zero_from=None, k_last=False):
+        """Per-layer sampling; optionally emits int8 QuantTensor directly
+        (quantizing a materialized bf16 7B next to itself OOMs)."""
+        def sample(i):
             x = jax.random.normal(jax.random.fold_in(key, i), shape[1:], dt)
             x = x * jnp.asarray(0.02, dt)
             if zero_from is not None:
                 x = jnp.where(i >= zero_from, jnp.zeros_like(x), x)
-            return jax.lax.dynamic_update_slice(
-                acc, x[None], (i,) + (0,) * (len(shape) - 1)
+            return x
+
+        if not quant:
+            def body(i, acc):
+                return jax.lax.dynamic_update_slice(
+                    acc, sample(i)[None], (i,) + (0,) * (len(shape) - 1)
+                )
+            return jax.lax.fori_loop(0, shape[0], body, jnp.zeros(shape, dt))
+
+        axis = -1 if k_last else -2
+        def bodyq(i, acc):
+            q_acc, s_acc = acc
+            xf = sample(i).astype(jnp.float32)
+            amax = jnp.max(jnp.abs(xf), axis=axis)
+            scale = jnp.maximum(amax / 127.0, 1e-8)
+            sc = scale[..., :, None] if k_last else scale[..., None, :]
+            qi = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+            return (
+                jax.lax.dynamic_update_slice(q_acc, qi[None], (i, 0, 0)),
+                jax.lax.dynamic_update_slice(s_acc, scale[None], (i, 0)),
             )
-        return jax.lax.fori_loop(0, shape[0], body, jnp.zeros(shape, dt))
+        sshape = shape[:1] + (shape[1] if k_last else shape[2],)
+        q, s = jax.lax.fori_loop(
+            0, shape[0], bodyq,
+            (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
+        )
+        return QuantTensor(q=q, scale=s, k_last=k_last)
 
     def build(key):
         ks = jax.random.split(key, 8)
         layers = LayerParams(
             attn_norm=jnp.ones((nl, d), dt),
-            wq=stacked(ks[0], (nl, hq * dh, d)),
-            wk=stacked(ks[1], (nl, hkv * dh, d)),
-            wv=stacked(ks[2], (nl, hkv * dh, d)),
+            wq=stacked(ks[0], (nl, hq * dh, d), k_last=True),
+            wk=stacked(ks[1], (nl, hkv * dh, d), k_last=True),
+            wv=stacked(ks[2], (nl, hkv * dh, d), k_last=True),
             wo=stacked(ks[3], (nl, hq * dh, d), zero_from=exit_layer),
             mlp_norm=jnp.ones((nl, d), dt),
             w_gate=stacked(ks[4], (nl, d, f)),
@@ -166,7 +192,7 @@ def run_single(args) -> dict:
 
     cfg = build_config(args.config)
     exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
-    params = make_params(cfg, exit_layer)
+    params = make_params(cfg, exit_layer, quant=args.quant)
     engine = Engine(params, cfg)
     prompt = list(range(5, 5 + args.prompt_len))
 
@@ -193,7 +219,8 @@ def run_single(args) -> dict:
     return {
         "metric": (
             f"selfspec_speedup_vs_ar_{args.config}"
-            f"_exit{exit_layer}_spec{args.spec}"
+            + ("_int8" if args.quant else "")
+            + f"_exit{exit_layer}_spec{args.spec}"
         ),
         "value": round(speedup, 4),
         "unit": "x",
@@ -215,6 +242,8 @@ def parse_args(argv=None):
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--batch", type=int, default=1,
                     help="rows per generation (identical prompts)")
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 weight-only quantized model")
     ap.add_argument("--single", action="store_true",
                     help="run only --config in-process (no fallback chain)")
     return ap.parse_args(argv)
@@ -236,7 +265,8 @@ def main():
             "--prompt-len", str(args.prompt_len),
             "--repeats", str(args.repeats),
             "--batch", str(args.batch),
-        ] + (["--sample"] if args.sample else [])
+        ] + (["--sample"] if args.sample else []) + (
+            ["--quant"] if args.quant else [])
         proc = subprocess.run(cmd, stdout=subprocess.PIPE)
         out = proc.stdout.decode().strip().splitlines()
         if proc.returncode == 0 and out:
