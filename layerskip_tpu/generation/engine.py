@@ -233,8 +233,8 @@ class _SpecState:
     out_len: jnp.ndarray  # [B] int32
     done: jnp.ndarray  # [B] bool
     rng: jax.Array
-    matches: jnp.ndarray  # [] int32
-    drafts: jnp.ndarray  # [] int32
+    matches: jnp.ndarray  # [B] int32 accepted drafts per row
+    drafts: jnp.ndarray  # [B] int32 drafted tokens per row
 
 
 def _spec_prefill(
@@ -296,8 +296,8 @@ def _spec_prefill(
         out_len=jnp.ones((b,), jnp.int32),
         done=_is_eos(tok0, eos_ids) | (max_steps <= 1),
         rng=rng,
-        matches=jnp.int32(0),
-        drafts=jnp.int32(0),
+        matches=jnp.zeros((b,), jnp.int32),
+        drafts=jnp.zeros((b,), jnp.int32),
     )
 
 
@@ -346,8 +346,8 @@ def spec_generate(
     return GenerateOutput(
         tokens=final.out,
         num_tokens=jnp.minimum(final.out_len, max_steps),
-        matches=final.matches,
-        drafts=final.drafts,
+        matches=jnp.sum(final.matches),
+        drafts=jnp.sum(final.drafts),
     )
 
 
@@ -495,10 +495,80 @@ def _spec_round(
         out_len=out_len,
         done=done,
         rng=rng,
-        matches=s.matches + jnp.sum(n * act32),
-        drafts=s.drafts + jnp.sum(jnp.maximum(w_eff, 1) * act32),
+        matches=s.matches + n * act32,
+        drafts=s.drafts + jnp.maximum(w_eff, 1) * act32,
     )
     return new_state, window, n
+
+
+def _spec_insert_rows(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    s: _SpecState,
+    row_mask: jnp.ndarray,  # [B] bool: rows to (re)initialize
+    ids: jnp.ndarray,  # [B, P] right-padded prompts (only masked rows read)
+    true_len: jnp.ndarray,  # [B] int32
+    *,
+    max_steps: int,
+    exit_layer: int,
+    num_speculations: int,
+    scfg: SamplingConfig,
+    eos_ids: Tuple[int, ...],
+    ngram: int = 0,
+) -> _SpecState:
+    """Prefill new requests into selected rows of a LIVE speculation state.
+
+    The continuous-batching primitive (net-new; the reference is batch=1):
+    frozen/in-flight rows keep their KV, counters and buffers while the
+    masked rows are prefilled from scratch. The batched prefill necessarily
+    runs every row through the prompt pass; non-masked rows write into a
+    trash region past their frontier (positions ``ctx``..), which the
+    masking rule keeps invisible and later writes legitimately overwrite —
+    and their state is restored wholesale afterwards, so the wasted compute
+    is one prompt pass per insertion.
+    """
+    b, p_bucket = ids.shape
+    e, w = exit_layer, num_speculations
+    max_len = jax.tree.leaves(s.early)[0].shape[2]
+    # Frozen rows write into a dedicated trash zone at the end of the KV
+    # buffer (the continuous-mode cache allocates ``p_bucket`` extra slots
+    # for exactly this): beyond every possible valid frontier, never visible
+    # to the masking rule, never read.
+    park = jnp.int32(max_len - p_bucket)
+    past = jnp.where(row_mask, 0, park)
+
+    res = llama.forward_split(params, cfg, ids, s.early, s.full, past, e)
+    last_logits = _row_gather(res.logits, true_len - 1)  # [B, V]
+    out_size = max_steps + w + 1
+    hist_new = jnp.concatenate(
+        [ids, jnp.zeros((b, out_size), jnp.int32)], axis=1
+    )
+    if ngram > 0:
+        last_logits = apply_ban(
+            last_logits,
+            no_repeat_ngram_banned(hist_new, true_len, ngram, cfg.vocab_size),
+        )
+    rng, key = jax.random.split(s.rng)
+    tok0 = draw(token_distribution(last_logits, scfg), key, scfg)
+    hist_new = _row_update(hist_new, tok0[:, None], true_len)
+    out_new = jnp.zeros((b, out_size), jnp.int32).at[:, 0].set(tok0)
+
+    m = row_mask
+    m1 = m[:, None]
+    return _SpecState(
+        early=res.early_cache,
+        full=res.full_cache,
+        ctx=jnp.where(m, true_len, s.ctx),
+        prompt_len=jnp.where(m, true_len, s.prompt_len),
+        next_tok=jnp.where(m1, tok0[:, None], s.next_tok),
+        out=jnp.where(m1, out_new, s.out),
+        hist=jnp.where(m1, hist_new, s.hist),
+        out_len=jnp.where(m, 1, s.out_len),
+        done=jnp.where(m, _is_eos(tok0, eos_ids) | (max_steps <= 1), s.done),
+        rng=rng,
+        matches=jnp.where(m, 0, s.matches),
+        drafts=jnp.where(m, 0, s.drafts),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -610,6 +680,92 @@ class Engine:
             rng = jax.random.PRNGKey(0)
         return fn(self.params, jnp.asarray(padded), jnp.asarray(true_lens), rng)
 
+    # -- continuous batching mode -------------------------------------------
+
+    def _compiled_continuous(
+        self,
+        prompt_bucket: int,
+        batch: int,
+        max_steps: int,
+        exit_layer: int,
+        num_speculations: int,
+        scfg: SamplingConfig,
+        eos_ids: Tuple[int, ...],
+        ngram: int = 0,
+        kv_quant: bool = False,
+    ):
+        """(blank_state_fn, insert_fn, round_fn) for in-flight batching.
+
+        The KV cache gets ``prompt_bucket`` extra trailing slots — the trash
+        zone frozen rows write through during other rows' prefills.
+        """
+        key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
+               num_speculations, scfg, eos_ids, ngram, kv_quant)
+        if key in self._stepped_cache:
+            return self._stepped_cache[key]
+        max_cache_len = 2 * prompt_bucket + max_steps + num_speculations + 2
+        cfg = self.cfg
+        e, nl, w = exit_layer, cfg.num_hidden_layers, num_speculations
+        out_size = max_steps + num_speculations + 1
+
+        def blank_state():
+            b = batch
+            return _SpecState(
+                early=_mk_group_cache(cfg, e, b, max_cache_len, kv_quant),
+                full=_mk_group_cache(cfg, nl - e, b, max_cache_len, kv_quant),
+                ctx=jnp.zeros((b,), jnp.int32),
+                prompt_len=jnp.ones((b,), jnp.int32),
+                next_tok=jnp.zeros((b, 1), jnp.int32),
+                out=jnp.zeros((b, out_size), jnp.int32),
+                hist=jnp.zeros((b, prompt_bucket + out_size), jnp.int32),
+                out_len=jnp.zeros((b,), jnp.int32),
+                done=jnp.ones((b,), bool),
+                rng=jax.random.PRNGKey(0),
+                matches=jnp.zeros((b,), jnp.int32),
+                drafts=jnp.zeros((b,), jnp.int32),
+            )
+
+        def insert_fn(params, state, row_mask, ids, true_len):
+            return _spec_insert_rows(
+                params, cfg, state, row_mask, ids, true_len,
+                max_steps=max_steps, exit_layer=e, num_speculations=w,
+                scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+            )
+
+        def round_fn(params, state):
+            return _spec_round(
+                params, cfg, state,
+                max_steps=max_steps, exit_layer=e, num_speculations=w,
+                scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+            )
+
+        fns = (
+            jax.jit(blank_state),
+            jax.jit(insert_fn, donate_argnums=(1,)),
+            jax.jit(round_fn, donate_argnums=(1,)),
+        )
+        self._stepped_cache[key] = fns
+        return fns
+
+    def continuous_session(
+        self, gen_cfg: GenerationConfig, batch: int, prompt_bucket: int,
+        eos_ids: Sequence[int] = (),
+    ) -> "ContinuousSession":
+        scfg = SamplingConfig(
+            sample=gen_cfg.sample, temperature=gen_cfg.temperature,
+            top_k=gen_cfg.top_k, top_p=gen_cfg.top_p,
+        )
+        eos = tuple(int(x) for x in eos_ids) or tuple(self.cfg.eos_token_ids)
+        if gen_cfg.stop_token_ids:
+            eos = eos + tuple(int(x) for x in gen_cfg.stop_token_ids)
+        assert gen_cfg.exit_layer > 0 and gen_cfg.num_speculations > 0
+        fns = self._compiled_continuous(
+            prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
+            gen_cfg.num_speculations, scfg, eos,
+            int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
+        )
+        return ContinuousSession(self, fns, gen_cfg, batch, prompt_bucket, eos)
+
     # -- stepped / streaming mode -------------------------------------------
 
     def _compiled_stepped(
@@ -703,9 +859,84 @@ class Engine:
         return GenerateOutput(
             tokens=state.out,
             num_tokens=jnp.minimum(state.out_len, gen_cfg.max_steps),
-            matches=state.matches,
-            drafts=state.drafts,
+            matches=jnp.sum(state.matches),
+            drafts=jnp.sum(state.drafts),
         )
+
+
+class ContinuousSession:
+    """Live multi-slot decode state for continuous batching.
+
+    Wraps the compiled (blank, insert, round) triple: rows are inserted and
+    harvested independently while other rows keep decoding — the serving
+    pattern the reference cannot express at batch=1. One small device->host
+    sync per round (the per-row done flags / outputs).
+    """
+
+    def __init__(self, engine, fns, gen_cfg, batch, prompt_bucket, eos):
+        import numpy as np
+
+        self.engine = engine
+        self._blank, self._insert, self._round = fns
+        self.gen_cfg = gen_cfg
+        self.batch = batch
+        self.prompt_bucket = prompt_bucket
+        self.eos = eos
+        self.state = self._blank()
+        self.active = np.zeros(batch, bool)  # slot occupied by a live request
+
+    def free_slots(self):
+        import numpy as np
+
+        return [i for i in range(self.batch) if not self.active[i]]
+
+    def insert(self, rows, prompts) -> None:
+        """Prefill ``prompts[k]`` into slot ``rows[k]`` (others untouched)."""
+        import numpy as np
+
+        assert len(rows) == len(prompts) and rows
+        mask = np.zeros(self.batch, bool)
+        ids = np.zeros((self.batch, self.prompt_bucket), np.int32)
+        lens = np.ones(self.batch, np.int32)
+        for r, prompt in zip(rows, prompts):
+            toks = list(prompt)[-self.prompt_bucket:]
+            mask[r] = True
+            ids[r, : len(toks)] = toks
+            lens[r] = max(len(toks), 1)
+        self.state = self._insert(
+            self.engine.params, self.state,
+            jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(lens),
+        )
+        self.active |= mask
+
+    def step(self):
+        """One draft+verify round. Returns [(row, tokens, acceptance), ...]
+        for rows that finished this step (or were already done at entry,
+        e.g. EOS on the very first token)."""
+        import numpy as np
+
+        self.state, _, _ = self._round(self.engine.params, self.state)
+        done = np.asarray(self.state.done)
+        finished = []
+        newly = [r for r in range(self.batch) if self.active[r] and done[r]]
+        if newly:
+            outs = np.asarray(self.state.out)
+            lens = np.asarray(self.state.out_len)
+            matches = np.asarray(self.state.matches)
+            drafts = np.asarray(self.state.drafts)
+            for r in newly:
+                toks = outs[r][: min(int(lens[r]), self.gen_cfg.max_steps)]
+                toks = toks.tolist()
+                for e in self.eos:
+                    if e in toks:
+                        toks = toks[: toks.index(e)]
+                acc = float(matches[r]) / max(int(drafts[r]), 1)
+                finished.append((r, toks, acc))
+                self.active[r] = False
+        return finished
+
+    def has_active(self) -> bool:
+        return bool(self.active.any())
 
 
 def _pad_prompts(prompt_ids, fixed_bucket=None):

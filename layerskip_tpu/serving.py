@@ -153,6 +153,94 @@ class BatchScheduler:
         self.stats["padded_rows"] += pad_rows
 
 
+class ContinuousBatchScheduler:
+    """In-flight continuous batching over a ContinuousSession.
+
+    Unlike BatchScheduler (gather -> run whole batch -> resolve), requests
+    join and leave the running batch at round granularity: a finished row is
+    refilled from the queue while the other rows keep decoding. All requests
+    share one GenerationConfig (one compiled program).
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        gen_cfg: GenerationConfig,
+        batch_size: int = 4,
+        prompt_bucket: int = 256,
+        eos_ids: Sequence[int] = (),
+    ):
+        self.engine = engine
+        self.gen_cfg = gen_cfg
+        self.session = engine.continuous_session(
+            gen_cfg, batch_size, prompt_bucket, eos_ids
+        )
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._slot_req = {}
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self.stats = {"rounds": 0, "requests": 0, "completed": 0}
+
+    def submit(self, prompt_ids: List[int]) -> Future:
+        fut: Future = Future()
+        self._queue.put(_Request(list(prompt_ids), self.gen_cfg, fut))
+        self.stats["requests"] += 1
+        return fut
+
+    def generate(self, prompt_ids, timeout=None):
+        return self.submit(prompt_ids).result(timeout)
+
+    def start(self) -> "ContinuousBatchScheduler":
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    def _fill_slots(self, block: bool) -> None:
+        free = self.session.free_slots()
+        rows, prompts = [], []
+        for slot in free:
+            try:
+                req = self._queue.get(timeout=0.05 if block and not rows else 0)
+            except queue.Empty:
+                break
+            rows.append(slot)
+            prompts.append(req.prompt_ids)
+            self._slot_req[slot] = req
+        if rows:
+            try:
+                self.session.insert(rows, prompts)
+            except Exception as exc:
+                for slot in rows:
+                    req = self._slot_req.pop(slot)
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+
+    def _loop(self) -> None:
+        while not self._stop.is_set():
+            self._fill_slots(block=not self.session.has_active())
+            if not self.session.has_active():
+                continue
+            try:
+                finished = self.session.step()
+            except Exception as exc:
+                for slot, req in list(self._slot_req.items()):
+                    if not req.future.done():
+                        req.future.set_exception(exc)
+                    self._slot_req.pop(slot, None)
+                continue
+            self.stats["rounds"] += 1
+            for row, tokens, acceptance in finished:
+                req = self._slot_req.pop(row, None)
+                if req is not None and not req.future.done():
+                    req.future.set_result(tokens)
+                    self.stats["completed"] += 1
+
+
 def serve(
     scheduler: BatchScheduler,
     tokenizer,

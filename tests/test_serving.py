@@ -134,3 +134,61 @@ def test_http_serving(engine):
     assert len(payload["tokens"]) == 6
     assert payload["text"]
     sched.stop()
+
+
+def test_continuous_batching_matches_direct(engine):
+    """In-flight batching: staggered requests produce exactly the tokens the
+    same prompts produce alone."""
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompts = [[3, 17, 52], [5, 9], [100, 2, 44, 8], [7, 7, 7], [11, 23, 5, 8, 2]]
+    want = [
+        postprocess_output(
+            engine.generate(p, gen, jax.random.PRNGKey(0), [127]), [127], 10
+        )
+        for p in prompts
+    ]
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16, eos_ids=[127]
+    ).start()
+    try:
+        # more requests than slots: rows must recycle in-flight
+        futures = [sched.submit(p) for p in prompts]
+        got = [f.result(timeout=300) for f in futures]
+        assert got == want
+        assert sched.stats["completed"] == len(prompts)
+        assert sched.stats["rounds"] >= 3
+    finally:
+        sched.stop()
+
+
+def test_continuous_batching_staggered_submissions(engine):
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+    import time as _time
+
+    gen = GenerationConfig(
+        max_steps=8, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=2,
+    )
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16, eos_ids=[127]
+    ).start()
+    try:
+        f1 = sched.submit([3, 17, 52])
+        _time.sleep(0.1)  # join mid-flight
+        f2 = sched.submit([5, 9])
+        r1, r2 = f1.result(timeout=300), f2.result(timeout=300)
+        w1 = postprocess_output(
+            engine.generate([3, 17, 52], gen, jax.random.PRNGKey(0), [127]),
+            [127], 8,
+        )
+        w2 = postprocess_output(
+            engine.generate([5, 9], gen, jax.random.PRNGKey(0), [127]), [127], 8
+        )
+        assert r1 == w1 and r2 == w2
+    finally:
+        sched.stop()
