@@ -35,6 +35,10 @@ import subprocess
 import sys
 import time
 
+# Persistent XLA compilation cache: 7B whole-generation programs take minutes
+# to compile through the remote-compile tunnel; cached reruns take seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
 REFERENCE_HEADLINE_SPEEDUP = 2.16  # paper abstract, CNN/DM (README.md:4)
 
 
