@@ -72,6 +72,19 @@ def _is_eos(tokens: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
     return hit
 
 
+def _row_keys(rng: jax.Array, b: int) -> jax.Array:
+    """One independent key per batch row ([B, 2])."""
+    if rng.ndim == 2:
+        return rng
+    return jax.vmap(lambda i: jax.random.fold_in(rng, i))(jnp.arange(b))
+
+
+def _split_rows(keys: jax.Array):
+    """Per-row split: [B, 2] -> (use [B, 2], carry [B, 2])."""
+    both = jax.vmap(lambda k: jax.random.split(k))(keys)  # [B, 2, 2]
+    return both[:, 0], both[:, 1]
+
+
 def _row_update(buf: jnp.ndarray, block: jnp.ndarray, pos: jnp.ndarray) -> jnp.ndarray:
     """Per-row dynamic update: buf [B, L], block [B, T], pos [B]."""
     return jax.vmap(
@@ -157,7 +170,8 @@ def ar_generate(
     logits0 = llama.lm_logits(params, cfg, last_h[:, None])[:, 0]  # [B, V]
     hist = jnp.concatenate([ids, jnp.zeros((b, max_steps + 1), jnp.int32)], axis=1)
     logits0 = ban(logits0, hist, true_len)
-    rng, key = jax.random.split(rng)
+    keys = _row_keys(rng, b)
+    key, keys = _split_rows(keys)
     tok0 = draw(token_distribution(logits0, scfg), key, scfg)  # [B]
     hist = _row_update(hist, tok0[:, None], true_len)
 
@@ -172,7 +186,7 @@ def ar_generate(
         hist=hist,
         out_len=jnp.ones((b,), jnp.int32),
         done=_is_eos(tok0, eos_ids) | (max_steps <= 1),
-        rng=rng,
+        rng=keys,
     )
 
     def cond(s: _ARState):
@@ -183,7 +197,7 @@ def ar_generate(
         h, k, v = llama.run_layers(cfg, layers, h, s.cache.k, s.cache.v, s.ctx)
         logits = llama.lm_logits(params, cfg, h)[:, -1]
         logits = ban(logits, s.hist, true_len + s.out_len)
-        rng, key = jax.random.split(s.rng)
+        key, rng = _split_rows(s.rng)
         tok = draw(token_distribution(logits, scfg), key, scfg)
         active = ~s.done  # frozen rows keep buffers/counters unchanged
         out = jnp.where(
@@ -280,8 +294,9 @@ def _spec_prefill(
             last_logits,
             no_repeat_ngram_banned(hist, true_len, ngram, cfg.vocab_size),
         )
-    rng, key = jax.random.split(rng)
-    tok0 = draw(token_distribution(last_logits, scfg), key, scfg)  # [B]
+    keys = _row_keys(rng, b)
+    use, keys = _split_rows(keys)
+    tok0 = draw(token_distribution(last_logits, scfg), use, scfg)  # [B]
     hist = _row_update(hist, tok0[:, None], true_len)
 
     out = jnp.zeros((b, out_size), jnp.int32).at[:, 0].set(tok0)
@@ -295,7 +310,7 @@ def _spec_prefill(
         hist=hist,
         out_len=jnp.ones((b,), jnp.int32),
         done=_is_eos(tok0, eos_ids) | (max_steps <= 1),
-        rng=rng,
+        rng=keys,
         matches=jnp.zeros((b,), jnp.int32),
         drafts=jnp.zeros((b,), jnp.int32),
     )
@@ -387,7 +402,7 @@ def _spec_round(
     def dstep(carry, i):
         early, tok, rng, hist = carry
         r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
-        rng, key = jax.random.split(rng)
+        key, rng = _split_rows(rng)
         logits = ban(r.logits[:, -1], hist, hist_len0 + i)
         probs = token_distribution(logits, scfg)  # [B, V]
         d_tok = draw(probs, key, scfg)  # [B]
@@ -433,8 +448,9 @@ def _spec_round(
         p_verify[:, :w], drafts[..., None], axis=-1
     )[..., 0]  # [B, W]
     pd_d = jnp.take_along_axis(p_draft, drafts[..., None], axis=-1)[..., 0]
-    rng, ku, kr = jax.random.split(rng, 3)
-    u = jax.random.uniform(ku, (b, w))
+    ku, rng = _split_rows(rng)
+    kr, rng = _split_rows(rng)
+    u = jax.vmap(lambda k: jax.random.uniform(k, (w,)))(ku)  # [B, W]
     accept = u * pd_d < pv_d
     n_raw = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # [B]
     # Reference clamps speculations near max_steps
@@ -508,6 +524,7 @@ def _spec_insert_rows(
     row_mask: jnp.ndarray,  # [B] bool: rows to (re)initialize
     ids: jnp.ndarray,  # [B, P] right-padded prompts (only masked rows read)
     true_len: jnp.ndarray,  # [B] int32
+    seeds: Optional[jnp.ndarray] = None,  # [B] int32 per-request sampling seeds
     *,
     max_steps: int,
     exit_layer: int,
@@ -548,7 +565,12 @@ def _spec_insert_rows(
             last_logits,
             no_repeat_ngram_banned(hist_new, true_len, ngram, cfg.vocab_size),
         )
-    rng, key = jax.random.split(s.rng)
+    keys = _row_keys(s.rng, b)
+    if seeds is not None:
+        base = jax.random.PRNGKey(0)
+        fresh = jax.vmap(lambda sd: jax.random.fold_in(base, sd))(seeds)
+        keys = jnp.where(row_mask[:, None], fresh, keys)
+    key, keys = _split_rows(keys)
     tok0 = draw(token_distribution(last_logits, scfg), key, scfg)
     hist_new = _row_update(hist_new, tok0[:, None], true_len)
     out_new = jnp.zeros((b, out_size), jnp.int32).at[:, 0].set(tok0)
@@ -565,7 +587,7 @@ def _spec_insert_rows(
         hist=jnp.where(m1, hist_new, s.hist),
         out_len=jnp.where(m, 1, s.out_len),
         done=jnp.where(m, _is_eos(tok0, eos_ids) | (max_steps <= 1), s.done),
-        rng=rng,
+        rng=keys,
         matches=jnp.where(m, 0, s.matches),
         drafts=jnp.where(m, 0, s.drafts),
     )
@@ -725,9 +747,9 @@ class Engine:
                 drafts=jnp.zeros((b,), jnp.int32),
             )
 
-        def insert_fn(params, state, row_mask, ids, true_len):
+        def insert_fn(params, state, row_mask, ids, true_len, seeds):
             return _spec_insert_rows(
-                params, cfg, state, row_mask, ids, true_len,
+                params, cfg, state, row_mask, ids, true_len, seeds,
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
             )
@@ -890,22 +912,30 @@ class ContinuousSession:
 
         return [i for i in range(self.batch) if not self.active[i]]
 
-    def insert(self, rows, prompts) -> None:
-        """Prefill ``prompts[k]`` into slot ``rows[k]`` (others untouched)."""
+    def insert(self, rows, prompts, seeds=None) -> None:
+        """Prefill ``prompts[k]`` into slot ``rows[k]`` (others untouched).
+
+        ``seeds[k]`` gives each request its own reproducible sampling
+        stream (per-row rng keys).
+        """
         import numpy as np
 
         assert len(rows) == len(prompts) and rows
         mask = np.zeros(self.batch, bool)
         ids = np.zeros((self.batch, self.prompt_bucket), np.int32)
         lens = np.ones(self.batch, np.int32)
-        for r, prompt in zip(rows, prompts):
+        seed_vec = np.zeros(self.batch, np.int32)
+        for k, (r, prompt) in enumerate(zip(rows, prompts)):
             toks = list(prompt)[-self.prompt_bucket:]
             mask[r] = True
             ids[r, : len(toks)] = toks
             lens[r] = max(len(toks), 1)
+            if seeds is not None:
+                seed_vec[r] = int(seeds[k])
         self.state = self._insert(
             self.engine.params, self.state,
             jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(lens),
+            jnp.asarray(seed_vec),
         )
         self.active |= mask
 

@@ -81,12 +81,20 @@ def token_distribution(logits: jnp.ndarray, scfg: SamplingConfig) -> jnp.ndarray
 
 
 def draw(probs: jnp.ndarray, rng: jax.Array, scfg: SamplingConfig) -> jnp.ndarray:
-    """Draw token ids from [..., V] probabilities (argmax when greedy)."""
+    """Draw token ids from [..., V] probabilities (argmax when greedy).
+
+    ``rng`` may be a single key or per-row keys [B, 2] matching probs'
+    leading axis — each batch row then samples from an independent stream
+    (reproducible per-request sampling in batched serving).
+    """
     if not scfg.sample:
         return jnp.argmax(probs, axis=-1).astype(jnp.int32)
-    return jax.random.categorical(rng, jnp.log(probs + 1e-30), axis=-1).astype(
-        jnp.int32
-    )
+    logp = jnp.log(probs + 1e-30)
+    if rng.ndim == 2 and probs.ndim >= 2 and rng.shape[0] == probs.shape[0]:
+        return jax.vmap(
+            lambda k, lp: jax.random.categorical(k, lp, axis=-1)
+        )(rng, logp).astype(jnp.int32)
+    return jax.random.categorical(rng, logp, axis=-1).astype(jnp.int32)
 
 
 def sample_token(

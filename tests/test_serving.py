@@ -192,3 +192,32 @@ def test_continuous_batching_staggered_submissions(engine):
         assert r1 == w1 and r2 == w2
     finally:
         sched.stop()
+
+
+def test_continuous_per_request_seeds(engine):
+    """Sampling requests with distinct seeds produce distinct streams; the
+    same seed reproduces the same stream (per-row rng keys)."""
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    gen = GenerationConfig(
+        max_steps=12, sample=True, temperature=1.2, top_k=0, top_p=1.0,
+        generation_strategy="self_speculative", exit_layer=2,
+        num_speculations=3,
+    )
+    session = engine.continuous_session(gen, batch=2, prompt_bucket=16,
+                                        eos_ids=[127])
+    prompt = [3, 17, 52]
+
+    def run(seed, slot):
+        session.insert([slot], [prompt], seeds=[seed])
+        while True:
+            finished = session.step()
+            for row, toks, _ in finished:
+                if row == slot:
+                    return toks
+
+    a = run(7, 0)
+    b = run(99, 1)
+    c = run(7, 1)  # same seed, different slot
+    assert a == c  # seed determines the stream, not the slot
+    assert a != b  # different seeds diverge (overwhelmingly likely)
