@@ -15,12 +15,14 @@ from typing import Any, Dict, List, Optional, Sequence, Type
 
 @dataclasses.dataclass
 class Arguments:
-    """reference: arguments.py:19-24."""
+    """reference: arguments.py:19-24 (+ TPU mesh flags)."""
 
     model: str
     model_args: Optional[str] = None
     seed: int = 42
     output_dir: str = "./logs"
+    dp: int = 1  # data-parallel mesh axis (weights replicated)
+    tp: int = 1  # tensor-parallel mesh axis (weights sharded)
 
 
 def handle_arg_string(arg: str) -> Any:

@@ -186,7 +186,7 @@ def main(args: Arguments, eval_args: EvalArguments, gen_cfg: GenerationConfig):
         ) from e
 
     assert eval_args.batch_size == 1, "batch_size must be 1"  # eval.py:82
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed)
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
     generator = LlamaGenerator(tokenizer, params, cfg)
     wrap = EvalHarnessLM(generator, gen_cfg)
     results = lm_eval.simple_evaluate(

@@ -61,14 +61,30 @@ def _preset_config(name: str) -> ModelConfig:
     raise ValueError(f"unknown random preset: {name}")
 
 
+def maybe_shard(params: LlamaParams, dp: int = 1, tp: int = 1) -> LlamaParams:
+    """Shard params over a (dp, tp) mesh when more than one device is asked.
+
+    TPU-native counterpart of the reference's ``device_map="auto"``
+    (generate.py:59-64) — proper tensor parallelism instead of naive
+    pipeline placement.
+    """
+    if dp * tp <= 1:
+        return params
+    from layerskip_tpu.parallel.mesh import make_mesh
+    from layerskip_tpu.parallel.sharding import shard_params
+
+    return shard_params(params, make_mesh(dp=dp, tp=tp))
+
+
 def load_model_and_tokenizer(
-    model: str, dtype=jnp.bfloat16, seed: int = 0
+    model: str, dtype=jnp.bfloat16, seed: int = 0, dp: int = 1, tp: int = 1
 ) -> Tuple[LlamaParams, ModelConfig, object]:
-    """``model`` is a local HF checkpoint dir or ``random:<preset>``."""
+    """``model`` is a local HF checkpoint dir or ``random:<preset>``;
+    ``dp``/``tp`` > 1 shards the weights over the local device mesh."""
     if model.startswith("random:"):
         cfg = _preset_config(model.split(":", 1)[1])
         params = init_params(jax.random.PRNGKey(seed), cfg)
-        return params, cfg, SimpleTokenizer(cfg.vocab_size)
+        return maybe_shard(params, dp, tp), cfg, SimpleTokenizer(cfg.vocab_size)
 
     if not os.path.isdir(model):
         raise FileNotFoundError(
@@ -81,4 +97,4 @@ def load_model_and_tokenizer(
     from transformers import AutoTokenizer
 
     tokenizer = AutoTokenizer.from_pretrained(model)
-    return params, cfg, tokenizer
+    return maybe_shard(params, dp, tp), cfg, tokenizer
