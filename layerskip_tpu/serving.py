@@ -295,7 +295,10 @@ def serve(
                     ids = list(
                         enc["input_ids"] if isinstance(enc, dict) else enc.input_ids
                     )
-                tokens = scheduler.generate(ids, cfg, seed, timeout=300)
+                if isinstance(scheduler, ContinuousBatchScheduler):
+                    tokens = scheduler.generate(ids, timeout=300)
+                else:
+                    tokens = scheduler.generate(ids, cfg, seed, timeout=300)
                 self._json(200, {
                     "tokens": tokens,
                     "text": tokenizer.decode(tokens),
@@ -322,6 +325,9 @@ def main():
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--batch-size", type=int, default=4)
+    ap.add_argument("--continuous", action="store_true",
+                    help="in-flight continuous batching (one shared config)")
+    ap.add_argument("--prompt-bucket", type=int, default=256)
     ap.add_argument("--generation_strategy", default="self_speculative")
     ap.add_argument("--exit_layer", type=int, default=8)
     ap.add_argument("--num_speculations", type=int, default=6)
@@ -338,7 +344,13 @@ def main():
         max_steps=args.max_steps,
         sample=args.sample,
     )
-    sched = BatchScheduler(engine, batch_size=args.batch_size).start()
+    if args.continuous:
+        sched = ContinuousBatchScheduler(
+            engine, default_cfg, batch_size=args.batch_size,
+            prompt_bucket=args.prompt_bucket,
+        ).start()
+    else:
+        sched = BatchScheduler(engine, batch_size=args.batch_size).start()
     serve(sched, tokenizer, default_cfg, args.host, args.port)
 
 
