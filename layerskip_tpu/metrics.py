@@ -48,9 +48,29 @@ def rouge_n(pred: str, target: str, n: int) -> float:
     return _fmeasure(match, max(len(pt) - n + 1, 0), max(len(tt) - n + 1, 0))
 
 
+def _intern(a: List[str], b: List[str]):
+    """Map token strings of both sequences to shared int ids (for the
+    native kernels)."""
+    vocab = {}
+    def ids(toks):
+        out = []
+        for t in toks:
+            if t not in vocab:
+                vocab[t] = len(vocab)
+            out.append(vocab[t])
+        return out
+    return ids(a), ids(b)
+
+
 def _lcs_len(a: List[str], b: List[str]) -> int:
     if not a or not b:
         return 0
+    from layerskip_tpu import native
+
+    ia, ib = _intern(a, b)
+    n = native.lcs_length(ia, ib)
+    if n is not None:
+        return n
     prev = [0] * (len(b) + 1)
     for x in a:
         cur = [0] * (len(b) + 1)
@@ -66,7 +86,12 @@ def rouge_l(pred: str, target: str) -> float:
 
 
 def edit_distance(a: str, b: str) -> int:
-    """Character-level Levenshtein distance."""
+    """Character-level Levenshtein distance (native kernel when available)."""
+    from layerskip_tpu import native
+
+    n = native.levenshtein(a, b)
+    if n is not None:
+        return n
     if len(a) < len(b):
         a, b = b, a
     prev = list(range(len(b) + 1))

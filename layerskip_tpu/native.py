@@ -22,6 +22,7 @@ import numpy as np
 
 _NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "lib", "libsafetensors_reader.so")
+_METRICS_LIB_PATH = os.path.join(_NATIVE_DIR, "lib", "libtext_metrics.so")
 
 _DTYPES = {
     "F64": np.float64, "F32": np.float32, "F16": np.float16,
@@ -169,3 +170,70 @@ def load_shards(paths: List[str], nthreads: int = 8) -> Dict[str, np.ndarray]:
     for t in threads:
         t.join()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Native text metrics (levenshtein / LCS) — used by layerskip_tpu.metrics.
+# ---------------------------------------------------------------------------
+
+_metrics_lib = None
+_metrics_lock = threading.Lock()
+
+
+def _get_metrics_lib():
+    global _metrics_lib
+    with _metrics_lock:
+        if _metrics_lib is not None:
+            return _metrics_lib or None
+        if not os.path.exists(_METRICS_LIB_PATH):
+            build = os.path.join(_NATIVE_DIR, "build.sh")
+            try:
+                subprocess.run([build], check=True, capture_output=True)
+            except Exception:
+                _metrics_lib = False
+                return None
+        try:
+            lib = ctypes.CDLL(_METRICS_LIB_PATH)
+        except OSError:
+            _metrics_lib = False
+            return None
+        for fn in (lib.levenshtein_u32, lib.lcs_u32):
+            fn.restype = ctypes.c_int64
+            fn.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ]
+        _metrics_lib = lib
+        return lib
+
+
+def _u32(arr) -> "np.ndarray":
+    return np.ascontiguousarray(arr, dtype=np.uint32)
+
+
+def levenshtein(a, b) -> int:
+    """Edit distance between two sequences of ints (or strings)."""
+    if isinstance(a, str):
+        a = [ord(c) for c in a]
+    if isinstance(b, str):
+        b = [ord(c) for c in b]
+    lib = _get_metrics_lib()
+    if lib is None:
+        return None  # caller falls back to the Python implementation
+    aa, bb = _u32(a), _u32(b)
+    return int(lib.levenshtein_u32(
+        aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(aa),
+        bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(bb),
+    ))
+
+
+def lcs_length(a, b) -> int:
+    """Longest-common-subsequence length of two int sequences."""
+    lib = _get_metrics_lib()
+    if lib is None:
+        return None
+    aa, bb = _u32(a), _u32(b)
+    return int(lib.lcs_u32(
+        aa.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(aa),
+        bb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), len(bb),
+    ))

@@ -124,3 +124,34 @@ def test_load_params_via_native(tmp_path):
     np.testing.assert_allclose(
         np.asarray(got.logits), np.asarray(ref.logits), atol=1e-5, rtol=1e-5
     )
+
+
+def test_native_text_metrics():
+    from layerskip_tpu.native import lcs_length, levenshtein
+
+    assert levenshtein("kitten", "sitting") == 3
+    assert levenshtein([1, 2, 3], [1, 3]) == 1
+    assert lcs_length([1, 2, 3, 4], [1, 3, 4]) == 3
+    assert lcs_length([], [1]) in (0, None)
+
+
+def test_metrics_use_native_consistently():
+    """metrics.py results identical whether the native lib resolves or not."""
+    from layerskip_tpu import metrics as m
+
+    pairs = [("kitten", "sitting"), ("abc def ghi", "abc xyz ghi"), ("", "x")]
+    for a, b in pairs:
+        assert m.edit_distance(a, b) == _py_edit(a, b)
+    assert m.rouge_l("a b d", "a b c d") == pytest.approx(6 / 7)
+
+
+def _py_edit(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
