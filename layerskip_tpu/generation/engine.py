@@ -742,7 +742,7 @@ class Engine:
                 hist=jnp.zeros((b, prompt_bucket + out_size), jnp.int32),
                 out_len=jnp.zeros((b,), jnp.int32),
                 done=jnp.ones((b,), bool),
-                rng=jax.random.PRNGKey(0),
+                rng=_row_keys(jax.random.PRNGKey(0), b),
                 matches=jnp.zeros((b,), jnp.int32),
                 drafts=jnp.zeros((b,), jnp.int32),
             )
