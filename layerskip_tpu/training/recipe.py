@@ -50,6 +50,8 @@ class TrainConfig:
     rotational_r: int = 0  # R>0: only every R-th exit active, rotating per step
     act_spec: Optional[Tuple[Optional[str], ...]] = None  # activation sharding,
     # e.g. ("dp", "fsdp", None): batch on dp, sequence-parallel on fsdp
+    ring_axis: Optional[str] = None  # mesh axis for ring attention (long ctx);
+    # requires passing ``mesh`` to make_train_step / layerskip_loss
     label_smoothing: float = 0.0
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
@@ -91,7 +93,8 @@ def exit_loss_weights(
 
 
 def _one_layer_dropped(
-    cfg: ModelConfig, lp, h, cos, sin, keep: jnp.ndarray
+    cfg: ModelConfig, lp, h, cos, sin, keep: jnp.ndarray,
+    ring: Optional[Tuple] = None,  # (mesh, axis) => ring attention
 ):
     """One decoder layer without KV cache (full-sequence training pass).
 
@@ -116,15 +119,26 @@ def _one_layer_dropped(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     # causal self-attention over the sequence itself
-    g = cfg.q_heads_per_kv
-    qg = q.reshape(b, t, hkv, g, dh)
-    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
-    scores = scores / jnp.sqrt(jnp.float32(dh))
-    causal = jnp.tril(jnp.ones((t, t), bool))
-    scores = jnp.where(causal[None, None, None], scores, -1e30)
-    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-    attn = jnp.einsum("bhgts,bshd->bthgd", probs, v, preferred_element_type=jnp.float32)
-    h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
+    if ring is not None:
+        from layerskip_tpu.ops.ring_attention import ring_attention_sharded
+
+        mesh, axis = ring
+        attn = ring_attention_sharded(q, k, v, mesh, axis=axis)
+        h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
+    else:
+        g = cfg.q_heads_per_kv
+        qg = q.reshape(b, t, hkv, g, dh)
+        scores = jnp.einsum(
+            "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
+        )
+        scores = scores / jnp.sqrt(jnp.float32(dh))
+        causal = jnp.tril(jnp.ones((t, t), bool))
+        scores = jnp.where(causal[None, None, None], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        attn = jnp.einsum(
+            "bhgts,bshd->bthgd", probs, v, preferred_element_type=jnp.float32
+        )
+        h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
 
     h1 = h + h_attn
     x = rms_norm(h1, lp.mlp_norm, cfg.rms_norm_eps)
@@ -158,6 +172,7 @@ def layerskip_loss(
     labels: jnp.ndarray,  # [B, T] next-token labels (-100 ignored)
     rng: jax.Array,
     step: jnp.ndarray,
+    mesh=None,  # required when tcfg.ring_axis is set
 ):
     """Total loss = CE(final) + Σ_exits w_e · CE(exit_e), with layer dropout."""
     nl = cfg.num_hidden_layers
@@ -180,9 +195,11 @@ def layerskip_loss(
     p_drop = tcfg.p_max * depth_scale(l_idx, nl, tcfg.dropout_scale)  # [L]
     keep = jax.random.uniform(rng, (nl, b)) >= p_drop[:, None]  # [L, B]
 
+    ring = (mesh, tcfg.ring_axis) if tcfg.ring_axis else None
+
     def body(h, xs):
         lp, keep_l = xs
-        h = _one_layer_dropped(cfg, lp, h, cos, sin, keep_l)
+        h = _one_layer_dropped(cfg, lp, h, cos, sin, keep_l, ring=ring)
         return h, h
 
     h_final, h_all = jax.lax.scan(body, h, (params.layers, keep))
@@ -210,7 +227,7 @@ def layerskip_loss(
     }
 
 
-def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer=None):
+def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer=None, mesh=None):
     """Build ``(train_step, init_opt_state)`` — pure functions, jit/pjit-ready.
 
     ``optimizer`` is any optax GradientTransformation (default: adamw).
@@ -227,7 +244,9 @@ def make_train_step(cfg: ModelConfig, tcfg: TrainConfig, optimizer=None):
 
     def train_step(params, opt_state, ids, labels, rng, step):
         (loss, aux), grads = jax.value_and_grad(
-            lambda p: layerskip_loss(p, cfg, tcfg, ids, labels, rng, step),
+            lambda p: layerskip_loss(
+                p, cfg, tcfg, ids, labels, rng, step, mesh=mesh
+            ),
             has_aux=True,
         )(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
