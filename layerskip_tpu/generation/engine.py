@@ -693,8 +693,13 @@ class Engine:
         strategy = gen_cfg.generation_strategy
         if strategy == "self_speculative":
             assert exit_layer > 0 and gen_cfg.num_speculations > 0
+        max_steps = gen_cfg.max_steps
+        cap = gen_cfg.max_seq_len or self.cfg.max_position_embeddings
+        if bucket + max_steps > cap:
+            # keep positions inside the model's trained RoPE range
+            max_steps = max(cap - bucket, 1)
         fn = self._compiled(
-            strategy, bucket, b, gen_cfg.max_steps, exit_layer,
+            strategy, bucket, b, max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
         )

@@ -88,3 +88,15 @@ def test_exit_layer_last_minus_one(eng):
         max_steps=8, sample=False, generation_strategy="self_speculative",
         exit_layer=cfg.num_hidden_layers - 1, num_speculations=2), [3, 5, 9])
     assert sp == ar
+
+
+def test_max_seq_len_caps_generation(eng):
+    """max_steps is clamped so prompt + generation stay inside the model's
+    (or the config's) position range."""
+    eng_, cfg = eng
+    gen_cfg = GenerationConfig(
+        max_steps=500, sample=False, generation_strategy="autoregressive",
+        max_seq_len=80,
+    )
+    toks = _go(eng_, gen_cfg, [3, 5, 9])  # bucket 64 -> cap at 16 steps
+    assert len(toks) == 16
