@@ -28,7 +28,6 @@ Usage: python bench.py [--config 7b|1b|tiny] [--exit-layer N] [--spec K]
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import subprocess

@@ -21,7 +21,6 @@ attention; decode stays on the single-shard kernels.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
