@@ -62,6 +62,7 @@ class ModelConfig:
     rope_theta: float = 10000.0
     rope_scaling: RopeScaling = dataclasses.field(default_factory=RopeScaling)
     attention_bias: bool = False  # Qwen2-family QKV biases
+    sliding_window: Optional[int] = None  # Mistral-family windowed attention
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
@@ -103,6 +104,7 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias", d.get("model_type") == "qwen2"
             ),
+            sliding_window=d.get("sliding_window"),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=d.get("eos_token_id", 2),

@@ -101,7 +101,7 @@ def _one_layer(
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)
     attn = gqa_attention(
         q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv,
-        past_scalar=past_scalar,
+        past_scalar=past_scalar, sliding_window=cfg.sliding_window,
     )
     h = h + apply_weight(attn.reshape(b, t, hq * dh), lp.wo)
 

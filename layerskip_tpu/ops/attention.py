@@ -66,6 +66,7 @@ def gqa_attention(
     *,
     q_heads_per_kv: int,
     past_scalar=None,  # set when positions are past + arange(T), shared rows
+    sliding_window=None,  # Mistral-family: keys older than this are masked
 ) -> jnp.ndarray:
     """Returns attention output [B, T, Hq, Dh] in q.dtype.
 
@@ -79,6 +80,13 @@ def gqa_attention(
     q_positions = jnp.broadcast_to(
         q_positions.astype(jnp.int32), (b, t)
     )
+    if sliding_window is not None:
+        # windowed visibility is just a second clause on the masking rule;
+        # Pallas fast paths currently take the dense route under a window
+        past_scalar = None
+        _window = int(sliding_window)
+    else:
+        _window = None
     if isinstance(k_cache, QuantKV):
         # int8 KV: dequant is elementwise and fuses into the attention
         # matmul under XLA, so the int8 bytes are what crosses HBM. (The
@@ -86,7 +94,7 @@ def gqa_attention(
         # would materialize and forfeit the savings.)
         k_cache = k_cache.dequantize(q.dtype)
         v_cache = v_cache.dequantize(q.dtype)
-    elif _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
+    elif _window is None and _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
         from layerskip_tpu.ops.pallas.decode_attention import decode_attention
 
         return decode_attention(
@@ -114,6 +122,8 @@ def gqa_attention(
 
     key_idx = jnp.arange(s, dtype=jnp.int32)
     mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
+    if _window is not None:
+        mask &= key_idx[None, None, :] > (q_positions[:, :, None] - _window)
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)
