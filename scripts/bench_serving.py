@@ -1,0 +1,85 @@
+"""Serving throughput benchmark: continuous vs gather batching.
+
+Usage: python scripts/bench_serving.py [--config 1b] [--batch 8]
+       [--requests 32] [--max-steps 128] [--quant]
+
+Streams N requests through both schedulers over a random-weights model and
+prints aggregate tokens/s for each (stderr: progress; stdout: one JSON line).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="1b")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--requests", type=int, default=32)
+    ap.add_argument("--max-steps", type=int, default=128)
+    ap.add_argument("--exit-layer", type=int, default=8)
+    ap.add_argument("--spec", type=int, default=6)
+    ap.add_argument("--quant", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from bench import build_config, make_params
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import Engine
+    from layerskip_tpu.serving import BatchScheduler, ContinuousBatchScheduler
+
+    cfg = build_config(args.config)
+    exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
+    params = make_params(cfg, exit_layer, quant=args.quant)
+    engine = Engine(params, cfg)
+    gen = GenerationConfig(
+        max_steps=args.max_steps, sample=False,
+        generation_strategy="self_speculative",
+        exit_layer=exit_layer, num_speculations=args.spec,
+    )
+    prompts = [
+        list(range(5 + i % 7, 37 + i % 7)) for i in range(args.requests)
+    ]
+
+    def run(sched, submit):
+        submit(prompts[0]).result(timeout=2400)  # warmup/compile
+        t0 = time.time()
+        futs = [submit(p) for p in prompts]
+        total = sum(len(f.result(timeout=2400)) for f in futs)
+        dt = time.time() - t0
+        return total / dt
+
+    cont = ContinuousBatchScheduler(
+        engine, gen, batch_size=args.batch, prompt_bucket=64
+    ).start()
+    try:
+        cont_tps = run(cont, cont.submit)
+        print(f"[serve] continuous: {cont_tps:.1f} tok/s", file=sys.stderr)
+    finally:
+        cont.stop()
+
+    gather = BatchScheduler(engine, batch_size=args.batch).start()
+    try:
+        gather_tps = run(gather, lambda p: gather.submit(p, gen))
+        print(f"[serve] gather:     {gather_tps:.1f} tok/s", file=sys.stderr)
+    finally:
+        gather.stop()
+
+    print(json.dumps({
+        "metric": f"serving_tokens_per_s_{args.config}_b{args.batch}",
+        "continuous": round(cont_tps, 1),
+        "gather": round(gather_tps, 1),
+        "unit": "tok/s",
+    }))
+
+
+if __name__ == "__main__":
+    main()
