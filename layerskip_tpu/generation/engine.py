@@ -766,10 +766,32 @@ class Engine:
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
             )
 
+        def multi_round_fn(params, state, k):
+            """Up to ``k`` rounds in one dispatch (stops when all rows are
+            done) — amortizes the per-round host sync when no new requests
+            are waiting to join."""
+
+            def cond(c):
+                s, i = c
+                return (i < k) & jnp.any(~s.done)
+
+            def body(c):
+                s, i = c
+                s2, _, _ = _spec_round(
+                    params, cfg, s,
+                    max_steps=max_steps, exit_layer=e, num_speculations=w,
+                    scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                )
+                return (s2, i + 1)
+
+            s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
+            return s
+
         fns = (
             jax.jit(blank_state),
             jax.jit(insert_fn, donate_argnums=(1,)),
             jax.jit(round_fn, donate_argnums=(1,)),
+            jax.jit(multi_round_fn, donate_argnums=(1,)),
         )
         self._stepped_cache[key] = fns
         return fns
@@ -904,7 +926,7 @@ class ContinuousSession:
         import numpy as np
 
         self.engine = engine
-        self._blank, self._insert, self._round = fns
+        self._blank, self._insert, self._round, self._multi_round = fns
         self.gen_cfg = gen_cfg
         self.batch = batch
         self.prompt_bucket = prompt_bucket
@@ -944,13 +966,18 @@ class ContinuousSession:
         )
         self.active |= mask
 
-    def step(self):
-        """One draft+verify round. Returns [(row, tokens, acceptance), ...]
-        for rows that finished this step (or were already done at entry,
-        e.g. EOS on the very first token)."""
+    def step(self, max_rounds: int = 1):
+        """Run up to ``max_rounds`` draft+verify rounds in one dispatch
+        (stops early when every row finishes). Returns
+        [(row, tokens, acceptance), ...] for rows that finished."""
         import numpy as np
 
-        self.state, _, _ = self._round(self.engine.params, self.state)
+        if max_rounds > 1:
+            self.state = self._multi_round(
+                self.engine.params, self.state, jnp.int32(max_rounds)
+            )
+        else:
+            self.state, _, _ = self._round(self.engine.params, self.state)
         done = np.asarray(self.state.done)
         finished = []
         newly = [r for r in range(self.batch) if self.active[r] and done[r]]

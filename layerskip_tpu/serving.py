@@ -225,8 +225,10 @@ class ContinuousBatchScheduler:
             self._fill_slots(block=not self.session.has_active())
             if not self.session.has_active():
                 continue
+            # amortize per-round syncs while nothing is waiting to join
+            rounds = 1 if not self._queue.empty() else 4
             try:
-                finished = self.session.step()
+                finished = self.session.step(max_rounds=rounds)
             except Exception as exc:
                 for slot, req in list(self._slot_req.items()):
                     if not req.future.done():
