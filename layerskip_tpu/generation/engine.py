@@ -972,12 +972,11 @@ class ContinuousSession:
         [(row, tokens, acceptance), ...] for rows that finished."""
         import numpy as np
 
-        if max_rounds > 1:
-            self.state = self._multi_round(
-                self.engine.params, self.state, jnp.int32(max_rounds)
-            )
-        else:
-            self.state, _, _ = self._round(self.engine.params, self.state)
+        # always the same executable (k is traced): alternating between two
+        # compiled programs forces buffer relayout/copies on every switch
+        self.state = self._multi_round(
+            self.engine.params, self.state, jnp.int32(max_rounds)
+        )
         done = np.asarray(self.state.done)
         finished = []
         newly = [r for r in range(self.batch) if self.active[r] and done[r]]

@@ -225,8 +225,11 @@ class ContinuousBatchScheduler:
             self._fill_slots(block=not self.session.has_active())
             if not self.session.has_active():
                 continue
-            # amortize per-round syncs while nothing is waiting to join
-            rounds = 1 if not self._queue.empty() else 4
+            # amortize per-round syncs whenever no waiting request could
+            # join anyway (all slots busy, or nothing queued); step singly
+            # only while a free slot could be filled promptly
+            can_join = bool(self.session.free_slots()) and not self._queue.empty()
+            rounds = 1 if can_join else 8
             try:
                 finished = self.session.step(max_rounds=rounds)
             except Exception as exc:
