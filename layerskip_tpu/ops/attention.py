@@ -88,10 +88,20 @@ def gqa_attention(
     else:
         _window = None
     if isinstance(k_cache, QuantKV):
-        # int8 KV: dequant is elementwise and fuses into the attention
-        # matmul under XLA, so the int8 bytes are what crosses HBM. (The
-        # Pallas kernel takes the bf16 path only — a dequantized operand
-        # would materialize and forfeit the savings.)
+        if _window is None and _use_pallas(
+            q.shape[1], k_cache.q.shape[1], q.shape[3]
+        ):
+            # fused int8-KV kernel: dequant happens in VMEM
+            from layerskip_tpu.ops.pallas.decode_attention import (
+                decode_attention_q8,
+            )
+
+            return decode_attention_q8(
+                q, k_cache.q, k_cache.scale, v_cache.q, v_cache.scale,
+                q_positions, q_heads_per_kv=q_heads_per_kv,
+            )
+        # elsewhere: dequant is elementwise and fuses into the attention
+        # matmul under XLA, so the int8 bytes are what crosses HBM
         k_cache = k_cache.dequantize(q.dtype)
         v_cache = v_cache.dequantize(q.dtype)
     elif _window is None and _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):

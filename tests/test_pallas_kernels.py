@@ -142,3 +142,34 @@ def test_quant_matmul_t_matches():
                          block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3,
                                rtol=1e-4)
+
+
+def test_decode_attention_q8_matches_dequant():
+    from layerskip_tpu.ops.kv_cache import QuantKV
+    from layerskip_tpu.ops.pallas.decode_attention import decode_attention_q8
+
+    b, t, s, hkv, g, dh = 1, 4, 64, 2, 2, 128
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    kq = QuantKV(
+        q=jnp.zeros((b, s, hkv, dh), jnp.int8),
+        scale=jnp.zeros((b, s, hkv), jnp.float32),
+    ).write(kf, jnp.int32(0))
+    vq = QuantKV(
+        q=jnp.zeros((b, s, hkv, dh), jnp.int8),
+        scale=jnp.zeros((b, s, hkv), jnp.float32),
+    ).write(vf, jnp.int32(0))
+    qpos = jnp.asarray(np.arange(20, 24), jnp.int32)
+
+    ref = attn_mod.gqa_attention(
+        q, kq.dequantize(jnp.float32), vq.dequantize(jnp.float32), qpos,
+        q_heads_per_kv=g,
+    )
+    got = decode_attention_q8(
+        q, kq.q, kq.scale, vq.q, vq.scale, qpos, q_heads_per_kv=g,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5,
+                               rtol=2e-5)
