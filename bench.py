@@ -36,7 +36,10 @@ import time
 
 # Persistent XLA compilation cache: 7B whole-generation programs take minutes
 # to compile through the remote-compile tunnel; cached reruns take seconds.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+_REPO = os.path.dirname(os.path.abspath(__file__))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", os.path.join(_REPO, ".jax_cache"))
+if _REPO not in sys.path:  # runnable from any cwd
+    sys.path.insert(0, _REPO)
 
 REFERENCE_HEADLINE_SPEEDUP = 2.16  # paper abstract, CNN/DM (README.md:4)
 
