@@ -166,7 +166,10 @@ def test_early_exit_ar_exact_match(ref_modules, models):
     assert ours == list(ref.predicted_tokens)
 
 
-@pytest.mark.parametrize("exit_layer,nspec", [(1, 3), (2, 4), (3, 2), (2, 1)])
+@pytest.mark.parametrize(
+    "exit_layer,nspec",
+    [(1, 3), (2, 4), (3, 2), (2, 1), (1, 1), (1, 6), (3, 5), (2, 8)],
+)
 def test_self_speculative_exact_match(ref_modules, models, exit_layer, nspec):
     RefCfg, _, RefSpec = ref_modules
     hf_model, params, cfg = models
