@@ -245,6 +245,7 @@ class _SpecState:
     out: jnp.ndarray  # [B, OUT] int32
     hist: jnp.ndarray  # [B, P+OUT] prompt+generated (for logits processors)
     out_len: jnp.ndarray  # [B] int32
+    steps: jnp.ndarray  # [B] int32 per-row step budget (<= program max_steps)
     done: jnp.ndarray  # [B] bool
     rng: jax.Array
     matches: jnp.ndarray  # [B] int32 accepted drafts per row
@@ -309,6 +310,7 @@ def _spec_prefill(
         out=out,
         hist=hist,
         out_len=jnp.ones((b,), jnp.int32),
+        steps=jnp.full((b,), max_steps, jnp.int32),
         done=_is_eos(tok0, eos_ids) | (max_steps <= 1),
         rng=keys,
         matches=jnp.zeros((b,), jnp.int32),
@@ -360,7 +362,7 @@ def spec_generate(
     final = jax.lax.while_loop(cond, body, state)
     return GenerateOutput(
         tokens=final.out,
-        num_tokens=jnp.minimum(final.out_len, max_steps),
+        num_tokens=jnp.minimum(final.out_len, final.steps),
         matches=jnp.sum(final.matches),
         drafts=jnp.sum(final.drafts),
     )
@@ -456,7 +458,7 @@ def _spec_round(
     # Reference clamps speculations near max_steps
     # (self_speculation_generator.py:63-66); we clamp acceptances so the
     # committed count and bookkeeping match.
-    w_eff = jnp.clip(max_steps - s.out_len - 1, 0, w)  # [B]
+    w_eff = jnp.clip(s.steps - s.out_len - 1, 0, w)  # [B]
     n = jnp.minimum(n_raw, w_eff)  # [B]
 
     # Extra token: residual resample on rejection, bonus draw otherwise
@@ -497,7 +499,7 @@ def _spec_round(
     # EOS inside the committed window?
     idx = jnp.arange(w + 1)[None, :]
     eos_hit = jnp.any(_is_eos(window, eos_ids) & (idx <= n[:, None]), axis=1)
-    done = s.done | eos_hit | (out_len >= max_steps)
+    done = s.done | eos_hit | (out_len >= s.steps)
 
     act32 = active.astype(jnp.int32)
     new_state = _SpecState(
@@ -509,6 +511,7 @@ def _spec_round(
         out=out,
         hist=hist,
         out_len=out_len,
+        steps=s.steps,
         done=done,
         rng=rng,
         matches=s.matches + n * act32,
@@ -525,6 +528,7 @@ def _spec_insert_rows(
     ids: jnp.ndarray,  # [B, P] right-padded prompts (only masked rows read)
     true_len: jnp.ndarray,  # [B] int32
     seeds: Optional[jnp.ndarray] = None,  # [B] int32 per-request sampling seeds
+    steps: Optional[jnp.ndarray] = None,  # [B] int32 per-request max tokens
     *,
     max_steps: int,
     exit_layer: int,
@@ -577,6 +581,10 @@ def _spec_insert_rows(
 
     m = row_mask
     m1 = m[:, None]
+    row_steps = (
+        jnp.clip(steps, 1, max_steps) if steps is not None
+        else jnp.full((b,), max_steps, jnp.int32)
+    )
     return _SpecState(
         early=res.early_cache,
         full=res.full_cache,
@@ -586,7 +594,10 @@ def _spec_insert_rows(
         out=jnp.where(m1, out_new, s.out),
         hist=jnp.where(m1, hist_new, s.hist),
         out_len=jnp.where(m, 1, s.out_len),
-        done=jnp.where(m, _is_eos(tok0, eos_ids) | (max_steps <= 1), s.done),
+        steps=jnp.where(m, row_steps, s.steps),
+        done=jnp.where(
+            m, _is_eos(tok0, eos_ids) | (row_steps <= 1), s.done
+        ),
         rng=keys,
         matches=jnp.where(m, 0, s.matches),
         drafts=jnp.where(m, 0, s.drafts),
@@ -746,15 +757,16 @@ class Engine:
                 out=jnp.zeros((b, out_size), jnp.int32),
                 hist=jnp.zeros((b, prompt_bucket + out_size), jnp.int32),
                 out_len=jnp.zeros((b,), jnp.int32),
+                steps=jnp.full((b,), max_steps, jnp.int32),
                 done=jnp.ones((b,), bool),
                 rng=_row_keys(jax.random.PRNGKey(0), b),
                 matches=jnp.zeros((b,), jnp.int32),
                 drafts=jnp.zeros((b,), jnp.int32),
             )
 
-        def insert_fn(params, state, row_mask, ids, true_len, seeds):
+        def insert_fn(params, state, row_mask, ids, true_len, seeds, steps):
             return _spec_insert_rows(
-                params, cfg, state, row_mask, ids, true_len, seeds,
+                params, cfg, state, row_mask, ids, true_len, seeds, steps,
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
             )
@@ -939,11 +951,12 @@ class ContinuousSession:
 
         return [i for i in range(self.batch) if not self.active[i]]
 
-    def insert(self, rows, prompts, seeds=None) -> None:
+    def insert(self, rows, prompts, seeds=None, max_tokens=None) -> None:
         """Prefill ``prompts[k]`` into slot ``rows[k]`` (others untouched).
 
         ``seeds[k]`` gives each request its own reproducible sampling
-        stream (per-row rng keys).
+        stream; ``max_tokens[k]`` its own step budget (clamped to the
+        program's compiled ``max_steps``).
         """
         import numpy as np
 
@@ -952,6 +965,7 @@ class ContinuousSession:
         ids = np.zeros((self.batch, self.prompt_bucket), np.int32)
         lens = np.ones(self.batch, np.int32)
         seed_vec = np.zeros(self.batch, np.int32)
+        steps_vec = np.full(self.batch, self.gen_cfg.max_steps, np.int32)
         for k, (r, prompt) in enumerate(zip(rows, prompts)):
             toks = list(prompt)[-self.prompt_bucket:]
             mask[r] = True
@@ -959,10 +973,12 @@ class ContinuousSession:
             lens[r] = max(len(toks), 1)
             if seeds is not None:
                 seed_vec[r] = int(seeds[k])
+            if max_tokens is not None and max_tokens[k]:
+                steps_vec[r] = int(max_tokens[k])
         self.state = self._insert(
             self.engine.params, self.state,
             jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(lens),
-            jnp.asarray(seed_vec),
+            jnp.asarray(seed_vec), jnp.asarray(steps_vec),
         )
         self.active |= mask
 
@@ -985,8 +1001,9 @@ class ContinuousSession:
             lens = np.asarray(self.state.out_len)
             matches = np.asarray(self.state.matches)
             drafts = np.asarray(self.state.drafts)
+            steps_arr = np.asarray(self.state.steps)
             for r in newly:
-                toks = outs[r][: min(int(lens[r]), self.gen_cfg.max_steps)]
+                toks = outs[r][: min(int(lens[r]), int(steps_arr[r]))]
                 toks = toks.tolist()
                 for e in self.eos:
                     if e in toks:

@@ -38,6 +38,7 @@ class _Request:
     gen_cfg: GenerationConfig
     future: Future
     rng_seed: int = 0
+    max_tokens: int = 0  # 0 => the scheduler's compiled max_steps
 
 
 def _cfg_key(cfg: GenerationConfig):
@@ -181,14 +182,19 @@ class ContinuousBatchScheduler:
         self._thread: Optional[threading.Thread] = None
         self.stats = {"rounds": 0, "requests": 0, "completed": 0}
 
-    def submit(self, prompt_ids: List[int]) -> Future:
+    def submit(
+        self, prompt_ids: List[int], seed: int = 0, max_tokens: int = 0
+    ) -> Future:
         fut: Future = Future()
-        self._queue.put(_Request(list(prompt_ids), self.gen_cfg, fut))
+        self._queue.put(
+            _Request(list(prompt_ids), self.gen_cfg, fut, seed, max_tokens)
+        )
         self.stats["requests"] += 1
         return fut
 
-    def generate(self, prompt_ids, timeout=None):
-        return self.submit(prompt_ids).result(timeout)
+    def generate(self, prompt_ids, timeout=None, seed: int = 0,
+                 max_tokens: int = 0):
+        return self.submit(prompt_ids, seed, max_tokens).result(timeout)
 
     def start(self) -> "ContinuousBatchScheduler":
         self._thread = threading.Thread(target=self._loop, daemon=True)
@@ -202,7 +208,7 @@ class ContinuousBatchScheduler:
 
     def _fill_slots(self, block: bool) -> None:
         free = self.session.free_slots()
-        rows, prompts = [], []
+        rows, prompts, seeds, budgets = [], [], [], []
         for slot in free:
             try:
                 req = self._queue.get(timeout=0.05 if block and not rows else 0)
@@ -210,10 +216,13 @@ class ContinuousBatchScheduler:
                 break
             rows.append(slot)
             prompts.append(req.prompt_ids)
+            seeds.append(req.rng_seed)
+            budgets.append(req.max_tokens)
             self._slot_req[slot] = req
         if rows:
             try:
-                self.session.insert(rows, prompts)
+                self.session.insert(rows, prompts, seeds=seeds,
+                                    max_tokens=budgets)
             except Exception as exc:
                 for slot in rows:
                     req = self._slot_req.pop(slot)
@@ -301,7 +310,10 @@ def serve(
                         enc["input_ids"] if isinstance(enc, dict) else enc.input_ids
                     )
                 if isinstance(scheduler, ContinuousBatchScheduler):
-                    tokens = scheduler.generate(ids, timeout=300)
+                    tokens = scheduler.generate(
+                        ids, timeout=300, seed=seed,
+                        max_tokens=int(overrides.get("max_steps", 0)),
+                    )
                 else:
                     tokens = scheduler.generate(ids, cfg, seed, timeout=300)
                 self._json(200, {

@@ -221,3 +221,33 @@ def test_continuous_per_request_seeds(engine):
     c = run(7, 1)  # same seed, different slot
     assert a == c  # seed determines the stream, not the slot
     assert a != b  # different seeds diverge (overwhelmingly likely)
+
+
+def test_continuous_per_request_max_tokens(engine):
+    """Requests with different token budgets share one compiled program."""
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    gen = GenerationConfig(
+        max_steps=16, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16, eos_ids=[127]
+    ).start()
+    try:
+        futs = [
+            sched.submit([3, 17, 52], max_tokens=4),
+            sched.submit([5, 9], max_tokens=11),
+            sched.submit([7, 7, 7]),  # default 16
+        ]
+        lens = [len(f.result(timeout=300)) for f in futs]
+        assert lens == [4, 11, 16]
+        # content still matches a solo run at the same budget
+        import dataclasses as dc
+
+        want4 = postprocess_output(
+            engine.generate([3, 17, 52], dc.replace(gen, max_steps=4),
+                            jax.random.PRNGKey(0), [127]), [127], 4)
+        assert futs[0].result() == want4
+    finally:
+        sched.stop()
