@@ -27,6 +27,8 @@ def main():
     ap.add_argument("--exit-layer", type=int, default=8)
     ap.add_argument("--spec", type=int, default=6)
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--varied", action="store_true",
+                    help="heterogeneous per-request token budgets (32..max)")
     args = ap.parse_args()
 
     import jax
@@ -48,33 +50,52 @@ def main():
     prompts = [
         list(range(5 + i % 7, 37 + i % 7)) for i in range(args.requests)
     ]
+    if args.varied:
+        import random
 
-    def run(sched, submit):
-        submit(prompts[0]).result(timeout=2400)  # warmup/compile
+        rnd = random.Random(0)
+        budgets = [rnd.randrange(32, args.max_steps + 1) for _ in prompts]
+    else:
+        budgets = [0] * len(prompts)  # 0 => full max_steps
+
+    def run(submit):
+        submit(prompts[0], 0).result(timeout=2400)  # warmup/compile
         t0 = time.time()
-        futs = [submit(p) for p in prompts]
+        futs = [submit(p, bdg) for p, bdg in zip(prompts, budgets)]
         total = sum(len(f.result(timeout=2400)) for f in futs)
         dt = time.time() - t0
         return total / dt
+
+    import dataclasses
 
     cont = ContinuousBatchScheduler(
         engine, gen, batch_size=args.batch, prompt_bucket=64
     ).start()
     try:
-        cont_tps = run(cont, cont.submit)
+        cont_tps = run(lambda p, bdg: cont.submit(p, max_tokens=bdg))
         print(f"[serve] continuous: {cont_tps:.1f} tok/s", file=sys.stderr)
     finally:
         cont.stop()
 
     gather = BatchScheduler(engine, batch_size=args.batch).start()
     try:
-        gather_tps = run(gather, lambda p: gather.submit(p, gen))
+        # gather expresses per-request budgets as distinct configs (its only
+        # mechanism) — heterogeneous budgets fragment its batches
+        gather_tps = run(
+            lambda p, bdg: gather.submit(
+                p,
+                dataclasses.replace(gen, max_steps=bdg) if bdg else gen,
+            )
+        )
         print(f"[serve] gather:     {gather_tps:.1f} tok/s", file=sys.stderr)
     finally:
         gather.stop()
 
     print(json.dumps({
-        "metric": f"serving_tokens_per_s_{args.config}_b{args.batch}",
+        "metric": (
+            f"serving_tokens_per_s_{args.config}_b{args.batch}"
+            + ("_varied" if args.varied else "")
+        ),
         "continuous": round(cont_tps, 1),
         "gather": round(gather_tps, 1),
         "unit": "tok/s",
