@@ -651,6 +651,10 @@ class Engine:
         if key in self._exec_cache:
             return self._exec_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
+        if prompt_bucket % 256 == 0:
+            # round the KV buffer to the flash-prefill kernel's block size so
+            # long-prompt prefills dispatch to it (ops/attention.py)
+            max_cache_len = -(-max_cache_len // 512) * 512
 
         if strategy == "self_speculative":
 
