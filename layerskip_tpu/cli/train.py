@@ -58,9 +58,7 @@ class TrainArguments:
     save_every: int = 50
     resume: bool = True
     export_dir: Optional[str] = None  # HF safetensors export at the end
-    dp: int = 1
-    fsdp: int = 1
-    tp: int = 1
+    fsdp: int = 1  # dp/tp come from the shared Arguments flags
     log_every: int = 10
 
 
@@ -98,7 +96,10 @@ def main(args: Arguments, targs: TrainArguments):
         early_exit_layers=exits, e_scale=targs.e_scale,
         rotational_r=targs.rotational_r, learning_rate=targs.learning_rate,
         weight_decay=targs.weight_decay,
-        act_spec=("dp", "fsdp", None) if targs.dp * targs.fsdp * targs.tp > 1 else None,
+        act_spec=(
+            ("dp", "fsdp", None)
+            if args.dp * targs.fsdp * args.tp > 1 else None
+        ),
     )
     train_step, init_opt = make_train_step(cfg, tcfg)
     opt_state = init_opt(params)
@@ -126,13 +127,13 @@ def main(args: Arguments, targs: TrainArguments):
             print(f"resumed from checkpoint step {start_step}")
 
     mesh = None
-    if targs.dp * targs.fsdp * targs.tp > 1:
+    if args.dp * targs.fsdp * args.tp > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from layerskip_tpu.parallel.mesh import make_train_mesh
         from layerskip_tpu.parallel.sharding import param_specs, to_named
 
-        mesh = make_train_mesh(dp=targs.dp, fsdp=targs.fsdp, tp=targs.tp)
+        mesh = make_train_mesh(dp=args.dp, fsdp=targs.fsdp, tp=args.tp)
         shardings = to_named(mesh, param_specs(params.lm_head is None, fsdp=True))
         params = jax.tree.map(jax.device_put, params, shardings)
         batch_sharding = NamedSharding(mesh, P("dp", "fsdp"))
@@ -143,8 +144,12 @@ def main(args: Arguments, targs: TrainArguments):
         random_shuffle=True, num_samples=0, dataset=targs.dataset,
         data_path=targs.data_path, seed=args.seed,
     )
+    import contextlib
+
     step_fn = jax.jit(train_step, donate_argnums=(0, 1))
     rng = jax.random.PRNGKey(args.seed)
+    # with_sharding_constraint(PartitionSpec) needs an active mesh context
+    mesh_ctx = mesh if mesh is not None else contextlib.nullcontext()
 
     t0 = time.time()
     batches = build_batches(
@@ -158,9 +163,10 @@ def main(args: Arguments, targs: TrainArguments):
             ids_d = jax.device_put(ids_d, batch_sharding)
             labels_d = jax.device_put(labels_d, batch_sharding)
         rng, key = jax.random.split(rng)
-        params, opt_state, aux = step_fn(
-            params, opt_state, ids_d, labels_d, key, jnp.int32(step)
-        )
+        with mesh_ctx:
+            params, opt_state, aux = step_fn(
+                params, opt_state, ids_d, labels_d, key, jnp.int32(step)
+            )
         if (step + 1) % targs.log_every == 0 or step == start_step:
             loss = float(np.asarray(aux["loss"]))  # sync
             dt = time.time() - t0
