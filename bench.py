@@ -8,12 +8,21 @@ The reference's headline is ~2.16x speedup on CNN/DM summarization with the
 *trained* layerskip-llama2-7B at exit_layer=8, num_speculations=6
 (README.md:79-86; paper arXiv 2404.16710 abstract). This container has no
 network and no checkpoints, so trained-model acceptance rates cannot be
-reproduced; instead we benchmark the engine on a 7B-parameter Llama2-config
-model whose tail layers (>= exit_layer) are *identity* (their attention/MLP
-output projections are zero), which pins the draft-acceptance rate to ~1
-while keeping every matmul real (zero weights still multiply on the MXU).
-This measures the engine's speculative-execution efficiency — the ceiling
-the trained model's acceptance rate scales within — on real hardware.
+reproduced from data; instead we benchmark the engine on a 7B-parameter
+Llama2-config model whose tail layers (>= exit_layer) have their attention/
+MLP output projections scaled by ``tail_eps``:
+
+  * ``tail_eps = 0`` makes the tail an identity map — every draft is
+    accepted (acceptance ~= 1), measuring the engine's speculative-execution
+    *ceiling* (every matmul still runs: zero weights multiply on the MXU);
+  * ``tail_eps > 0`` lets the tail perturb the verifier's logits away from
+    the draft's, dialing the measured acceptance rate down continuously.
+
+The default (``--curve``) mode measures the full speedup-vs-acceptance
+curve and bisects ``tail_eps`` until the measured acceptance lands near the
+paper-realistic ~0.8 (the trained 7B's per-token acceptance regime where
+the paper reports its 2.16x); the headline metric is the speedup *at that
+operating point*, with the ceiling and the whole curve attached.
 
 ``vs_baseline`` divides the measured speedup by the reference's published
 2.16x headline so >1.0 means we beat the reference's number.
@@ -22,7 +31,7 @@ Each model size runs in a subprocess: a failed (OOM) attempt then cannot
 poison the device arena for the fallback size.
 
 Usage: python bench.py [--config 7b|1b|tiny] [--exit-layer N] [--spec K]
-       [--max-steps N] [--sample] [--single]
+       [--max-steps N] [--sample] [--single] [--tail-eps X] [--no-curve]
 """
 
 from __future__ import annotations
@@ -82,8 +91,14 @@ def build_config(name: str):
     return tiny_config(dtype=jnp.bfloat16)
 
 
-def make_params(cfg, exit_layer: int, quant: bool = False):
-    """Random weights; layers >= exit_layer made identity (zero wo/w_down).
+def make_param_builder(cfg, exit_layer: int, quant: bool = False):
+    """Returns ``build(key, tail_eps) -> LlamaParams`` (jitted once).
+
+    ``tail_eps`` is a *traced* scalar scaling the output projections
+    (wo/w_down) of layers >= exit_layer: 0 => identity tail (acceptance ~1),
+    larger => the verifier diverges more from the draft (lower acceptance).
+    Tracing it means the acceptance sweep rebuilds params without a single
+    recompile of either the builder or the generation programs.
 
     Built inside one jit with *per-layer* sampling: jax.random.normal's
     internal uint32 bits temporarily cost 2x the tensor size, and a whole
@@ -102,14 +117,16 @@ def make_params(cfg, exit_layer: int, quant: bool = False):
     nl, v = cfg.num_hidden_layers, cfg.vocab_size
     dt = cfg.dtype
 
-    def stacked(key, shape, zero_from=None, k_last=False):
+    def make_stacked(key, shape, tail_eps=None, zero_from=None, k_last=False):
         """Per-layer sampling; optionally emits int8 QuantTensor directly
         (quantizing a materialized bf16 7B next to itself OOMs)."""
         def sample(i):
             x = jax.random.normal(jax.random.fold_in(key, i), shape[1:], dt)
             x = x * jnp.asarray(0.02, dt)
             if zero_from is not None:
-                x = jnp.where(i >= zero_from, jnp.zeros_like(x), x)
+                x = jnp.where(
+                    i >= zero_from, x * tail_eps.astype(x.dtype), x
+                )
             return x
 
         if not quant:
@@ -138,18 +155,20 @@ def make_params(cfg, exit_layer: int, quant: bool = False):
         )
         return QuantTensor(q=q, scale=s, k_last=k_last)
 
-    def build(key):
+    def build(key, tail_eps):
+        tail_eps = jnp.asarray(tail_eps, jnp.float32)
+        stacked = make_stacked
         ks = jax.random.split(key, 8)
         layers = LayerParams(
             attn_norm=jnp.ones((nl, d), dt),
             wq=stacked(ks[0], (nl, hq * dh, d), k_last=True),
             wk=stacked(ks[1], (nl, hkv * dh, d), k_last=True),
             wv=stacked(ks[2], (nl, hkv * dh, d), k_last=True),
-            wo=stacked(ks[3], (nl, hq * dh, d), zero_from=exit_layer),
+            wo=stacked(ks[3], (nl, hq * dh, d), tail_eps, zero_from=exit_layer),
             mlp_norm=jnp.ones((nl, d), dt),
             w_gate=stacked(ks[4], (nl, d, f)),
             w_up=stacked(ks[5], (nl, d, f)),
-            w_down=stacked(ks[6], (nl, f, d), zero_from=exit_layer),
+            w_down=stacked(ks[6], (nl, f, d), tail_eps, zero_from=exit_layer),
         )
         embed = jax.random.normal(ks[7], (v, d), dt) * jnp.asarray(0.02, dt)
         return LlamaParams(
@@ -158,23 +177,32 @@ def make_params(cfg, exit_layer: int, quant: bool = False):
             lm_head=None if cfg.tie_word_embeddings else jnp.transpose(embed),
         )
 
-    return jax.jit(build)(jax.random.PRNGKey(0))
+    return jax.jit(build)
 
 
-def timed_generate(engine, prompt, gen_cfg, repeats=3, batch=1):
+def make_params(cfg, exit_layer: int, quant: bool = False, tail_eps: float = 0.0):
+    """Random weights; tail layers' output projections scaled by tail_eps
+    (0 = identity tail, the acceptance~1 ceiling configuration)."""
+    import jax
+
+    return make_param_builder(cfg, exit_layer, quant)(
+        jax.random.PRNGKey(0), tail_eps
+    )
+
+
+def timed_generate(engine, prompt, gen_cfg, repeats=3, batch=1, warmup=True):
     import numpy as np
 
     import jax
 
-    from layerskip_tpu.generation.engine import postprocess_output
-
     from layerskip_tpu.generation.engine import postprocess_batch
 
     prompts = [list(prompt)] * batch if batch > 1 else prompt
-    # warmup + compile; materialize to host (block_until_ready can be a
-    # no-op through remote-execution tunnels — a D2H copy cannot lie)
-    out = engine.generate(prompts, gen_cfg, jax.random.PRNGKey(0))
-    np.asarray(out.tokens)
+    if warmup:
+        # warmup + compile; materialize to host (block_until_ready can be a
+        # no-op through remote-execution tunnels — a D2H copy cannot lie)
+        out = engine.generate(prompts, gen_cfg, jax.random.PRNGKey(0))
+        np.asarray(out.tokens)
     best_tps = 0.0
     for i in range(repeats):
         t0 = time.time()
@@ -189,8 +217,13 @@ def timed_generate(engine, prompt, gen_cfg, repeats=3, batch=1):
     return best_tps, out
 
 
+TARGET_ACCEPTANCE = 0.80  # the trained-7B regime the paper's 2.16x lives in
+
+
 def run_single(args) -> dict:
     """Run one config in-process and return the result dict."""
+    import gc
+
     import jax
 
     from layerskip_tpu.config import GenerationConfig
@@ -198,9 +231,16 @@ def run_single(args) -> dict:
 
     cfg = build_config(args.config)
     exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
-    params = make_params(cfg, exit_layer, quant=args.quant)
-    engine = Engine(params, cfg)
+    builder = make_param_builder(cfg, exit_layer, quant=args.quant)
+    engine = Engine(builder(jax.random.PRNGKey(0), args.tail_eps), cfg)
     prompt = list(range(5, 5 + args.prompt_len))
+
+    def set_tail_eps(eps: float) -> None:
+        # free the old params *before* building: two 7B param sets do not
+        # coexist in a v5e's HBM
+        engine.params = None
+        gc.collect()
+        engine.params = builder(jax.random.PRNGKey(0), eps)
 
     common = dict(
         max_steps=args.max_steps, sample=args.sample, temperature=0.6,
@@ -217,23 +257,100 @@ def run_single(args) -> dict:
           f"backend={jax.default_backend()}", file=sys.stderr)
     ar_tps, _ = timed_generate(engine, prompt, ar_cfg, args.repeats, args.batch)
     print(f"[bench] AR tokens/s = {ar_tps:.2f}", file=sys.stderr)
-    sp_tps, sp_out = timed_generate(engine, prompt, sp_cfg, args.repeats, args.batch)
-    acc = float(int(sp_out.matches)) / max(int(sp_out.drafts), 1)
-    print(f"[bench] spec tokens/s = {sp_tps:.2f} acceptance={acc:.3f}",
-          file=sys.stderr)
-    speedup = sp_tps / ar_tps if ar_tps > 0 else 0.0
+
+    def spec_point(eps: float, repeats: int, warmup: bool = False) -> dict:
+        """One measured point of the speedup-vs-acceptance curve."""
+        set_tail_eps(eps)
+        tps, out = timed_generate(
+            engine, prompt, sp_cfg, repeats, args.batch, warmup=warmup
+        )
+        acc = float(int(out.matches)) / max(int(out.drafts), 1)
+        point = {
+            "tail_eps": round(eps, 5),
+            "acceptance": round(acc, 4),
+            "spec_tokens_per_s": round(tps, 2),
+            "speedup": round(tps / ar_tps, 4) if ar_tps > 0 else 0.0,
+        }
+        print(f"[bench]   eps={eps:.4f}: {tps:.2f} tok/s "
+              f"acceptance={acc:.3f} speedup={point['speedup']:.2f}x",
+              file=sys.stderr)
+        return point
+
+    if not args.curve:
+        pt = spec_point(args.tail_eps, args.repeats, warmup=True)
+        speedup = pt["speedup"]
+        return {
+            "metric": (
+                f"selfspec_speedup_vs_ar_{args.config}"
+                + ("_int8" if args.quant else "")
+                + f"_exit{exit_layer}_spec{args.spec}"
+            ),
+            "value": speedup,
+            "unit": "x",
+            "vs_baseline": round(speedup / REFERENCE_HEADLINE_SPEEDUP, 4),
+            "ar_tokens_per_s": round(ar_tps, 2),
+            "spec_tokens_per_s": pt["spec_tokens_per_s"],
+            "acceptance": pt["acceptance"],
+        }
+
+    # ---- speedup-vs-acceptance curve ------------------------------------
+    # The generation program never recompiles across eps (params are traced
+    # args), so each extra point costs runtime only.
+    ceiling = spec_point(0.0, args.repeats, warmup=True)
+    curve = [ceiling]
+    for eps in (0.05, 0.1, 0.2, 0.4):
+        curve.append(spec_point(eps, 1))
+
+    # bisect tail_eps (log-ish space) to land acceptance near the target
+    target = TARGET_ACCEPTANCE
+    pts = sorted(curve, key=lambda p: p["tail_eps"])
+    lo = max((p for p in pts if p["acceptance"] >= target),
+             key=lambda p: p["tail_eps"], default=pts[0])
+    hi = min((p for p in pts if p["acceptance"] < target),
+             key=lambda p: p["tail_eps"], default=None)
+    if hi is None:  # even the largest eps accepts too much: extend upward
+        e = pts[-1]["tail_eps"] or 0.05
+        for _ in range(6):
+            e *= 2.5
+            p = spec_point(e, 1)
+            curve.append(p)
+            if p["acceptance"] < target:
+                hi = p
+                break
+            lo = p
+    for _ in range(5):
+        if hi is None or abs(lo["acceptance"] - target) <= 0.02:
+            break
+        mid = (lo["tail_eps"] * hi["tail_eps"]) ** 0.5 if lo["tail_eps"] > 0 \
+            else hi["tail_eps"] / 2.0
+        p = spec_point(mid, 1)
+        curve.append(p)
+        if p["acceptance"] >= target:
+            lo = p
+        else:
+            hi = p
+    cands = [p for p in curve if p["tail_eps"] > 0] or curve
+    best = min(cands, key=lambda p: abs(p["acceptance"] - target))
+    head = spec_point(best["tail_eps"], args.repeats)
+    curve.append(head)
+    curve = sorted(curve, key=lambda p: p["tail_eps"])
+    speedup = head["speedup"]
     return {
         "metric": (
             f"selfspec_speedup_vs_ar_{args.config}"
             + ("_int8" if args.quant else "")
-            + f"_exit{exit_layer}_spec{args.spec}"
+            + f"_exit{exit_layer}_spec{args.spec}_acc80"
         ),
-        "value": round(speedup, 4),
+        "value": speedup,
         "unit": "x",
         "vs_baseline": round(speedup / REFERENCE_HEADLINE_SPEEDUP, 4),
         "ar_tokens_per_s": round(ar_tps, 2),
-        "spec_tokens_per_s": round(sp_tps, 2),
-        "acceptance": round(acc, 4),
+        "spec_tokens_per_s": head["spec_tokens_per_s"],
+        "acceptance": head["acceptance"],
+        "tail_eps": head["tail_eps"],
+        "ceiling_speedup": ceiling["speedup"],
+        "ceiling_acceptance": ceiling["acceptance"],
+        "curve": curve,
     }
 
 
@@ -252,11 +369,21 @@ def parse_args(argv=None):
                     help="int8 weight-only quantized model")
     ap.add_argument("--single", action="store_true",
                     help="run only --config in-process (no fallback chain)")
+    ap.add_argument("--tail-eps", type=float, default=0.0,
+                    help="tail output-projection scale (0 = acceptance~1)")
+    ap.add_argument("--curve", action="store_true",
+                    help="measure the speedup-vs-acceptance curve and report "
+                         f"the speedup at acceptance~{TARGET_ACCEPTANCE}")
+    ap.add_argument("--no-curve", action="store_true",
+                    help="driver default is --curve; this restores the "
+                         "single-point (ceiling) measurement")
     return ap.parse_args(argv)
 
 
 def main():
     args = parse_args()
+    if not args.no_curve:
+        args.curve = True
     if args.single:
         print(json.dumps(run_single(args)))
         return
@@ -271,8 +398,10 @@ def main():
             "--prompt-len", str(args.prompt_len),
             "--repeats", str(args.repeats),
             "--batch", str(args.batch),
+            "--tail-eps", str(args.tail_eps),
         ] + (["--sample"] if args.sample else []) + (
-            ["--quant"] if args.quant else [])
+            ["--quant"] if args.quant else []) + (
+            ["--curve"] if args.curve else ["--no-curve"])
         proc = subprocess.run(cmd, stdout=subprocess.PIPE)
         out = proc.stdout.decode().strip().splitlines()
         if proc.returncode == 0 and out:

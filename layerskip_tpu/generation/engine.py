@@ -501,6 +501,20 @@ def _spec_round(
     eos_hit = jnp.any(_is_eos(window, eos_ids) & (idx <= n[:, None]), axis=1)
     done = s.done | eos_hit | (out_len >= s.steps)
 
+    # ---- acceptance-rate stats (reference generator_base-style counters):
+    # the reference's draft loop *breaks* after drafting an EOS
+    # (self_speculation_generator.py:145-148), so its per-round draft count
+    # is min(W, first-EOS-draft + 1); near max_steps its W itself shrinks
+    # (self_speculation_generator.py:63-66) — a fully-clamped round (w_eff=0)
+    # drafts nothing. Matches are capped to the same denominator so
+    # acceptance stays in [0, 1]. Output tokens are unaffected.
+    d_eos = _is_eos(drafts, eos_ids)  # [B, W]
+    eos_cap = jnp.where(
+        jnp.any(d_eos, axis=1),
+        jnp.argmax(d_eos, axis=1).astype(jnp.int32) + 1,
+        jnp.int32(w),
+    )
+    drafted = jnp.minimum(w_eff, eos_cap)  # [B]
     act32 = active.astype(jnp.int32)
     new_state = _SpecState(
         early=vres.early_cache,
@@ -514,8 +528,8 @@ def _spec_round(
         steps=s.steps,
         done=done,
         rng=rng,
-        matches=s.matches + n * act32,
-        drafts=s.drafts + jnp.maximum(w_eff, 1) * act32,
+        matches=s.matches + jnp.minimum(n, drafted) * act32,
+        drafts=s.drafts + drafted * act32,
     )
     return new_state, window, n
 

@@ -30,7 +30,7 @@ from layerskip_tpu.config import ModelConfig
 from layerskip_tpu.ops.attention import gqa_attention
 from layerskip_tpu.ops.kv_cache import KVCache, write_kv
 from layerskip_tpu.ops.linear import QuantTensor, apply_weight, apply_weight_t
-from layerskip_tpu.ops.rmsnorm import rms_norm
+from layerskip_tpu.ops.rmsnorm import rms_norm, rms_norm_residual
 from layerskip_tpu.ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
 
 
@@ -103,9 +103,12 @@ def _one_layer(
         q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv,
         past_scalar=past_scalar, sliding_window=cfg.sliding_window,
     )
-    h = h + apply_weight(attn.reshape(b, t, hq * dh), lp.wo)
-
-    x = rms_norm(h, lp.mlp_norm, cfg.rms_norm_eps)
+    # fused residual-add + norm: h += attn_out and rms_norm(h) in one kernel
+    # on TPU (ops/rmsnorm.py dispatch)
+    x, h = rms_norm_residual(
+        apply_weight(attn.reshape(b, t, hq * dh), lp.wo), h,
+        lp.mlp_norm, cfg.rms_norm_eps,
+    )
     gated = jax.nn.silu(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
     h = h + apply_weight(gated, lp.w_down)
     return h, k_layer, v_layer

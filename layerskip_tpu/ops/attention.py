@@ -28,10 +28,10 @@ NEG_INF = -1e30  # large-but-finite: avoids NaNs from (-inf) - (-inf)
 
 # Pallas decode-attention dispatch: on TPU, short-query attention against the
 # long KV buffer goes through the fused kernel (ops/pallas/decode_attention)
-# — one HBM read of K/V per call instead of materializing fp32 scores.
+# — one HBM read of K/V per call instead of materializing fp32 scores. The
+# kernel is KV-blocked with an online softmax, so S is unbounded.
 # Disable with LAYERSKIP_TPU_DISABLE_PALLAS=1.
 _MAX_PALLAS_QUERY = 16  # draft T=1, verify T=W+1; prefill stays on XLA
-_MAX_PALLAS_KV = 16384  # K/V per (batch, head) must fit VMEM
 _PALLAS_HEAD_DIMS = (64, 128, 256)
 
 
@@ -41,7 +41,6 @@ def _use_pallas(t: int, s: int, dh: int) -> bool:
     return (
         jax.default_backend() == "tpu"
         and t <= _MAX_PALLAS_QUERY
-        and s <= _MAX_PALLAS_KV
         and dh in _PALLAS_HEAD_DIMS
     )
 
@@ -80,17 +79,11 @@ def gqa_attention(
     q_positions = jnp.broadcast_to(
         q_positions.astype(jnp.int32), (b, t)
     )
-    if sliding_window is not None:
-        # windowed visibility is just a second clause on the masking rule;
-        # Pallas fast paths currently take the dense route under a window
-        past_scalar = None
-        _window = int(sliding_window)
-    else:
-        _window = None
+    # windowed visibility is one extra clause on the masking rule, carried
+    # straight into every kernel (Mistral no longer falls back to dense)
+    _window = int(sliding_window) if sliding_window is not None else 0
     if isinstance(k_cache, QuantKV):
-        if _window is None and _use_pallas(
-            q.shape[1], k_cache.q.shape[1], q.shape[3]
-        ):
+        if _use_pallas(q.shape[1], k_cache.q.shape[1], q.shape[3]):
             # fused int8-KV kernel: dequant happens in VMEM
             from layerskip_tpu.ops.pallas.decode_attention import (
                 decode_attention_q8,
@@ -99,16 +92,18 @@ def gqa_attention(
             return decode_attention_q8(
                 q, k_cache.q, k_cache.scale, v_cache.q, v_cache.scale,
                 q_positions, q_heads_per_kv=q_heads_per_kv,
+                sliding_window=_window,
             )
         # elsewhere: dequant is elementwise and fuses into the attention
         # matmul under XLA, so the int8 bytes are what crosses HBM
         k_cache = k_cache.dequantize(q.dtype)
         v_cache = v_cache.dequantize(q.dtype)
-    elif _window is None and _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
+    elif _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
         from layerskip_tpu.ops.pallas.decode_attention import decode_attention
 
         return decode_attention(
-            q, k_cache, v_cache, q_positions, q_heads_per_kv=q_heads_per_kv
+            q, k_cache, v_cache, q_positions, q_heads_per_kv=q_heads_per_kv,
+            sliding_window=_window,
         )
     elif past_scalar is not None and _use_flash_prefill(
         q.shape[1], k_cache.shape[1], q.shape[3]
@@ -116,7 +111,8 @@ def gqa_attention(
         from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
         return flash_prefill_attention(
-            q, k_cache, v_cache, past_scalar, q_heads_per_kv=q_heads_per_kv
+            q, k_cache, v_cache, past_scalar, q_heads_per_kv=q_heads_per_kv,
+            sliding_window=_window,
         )
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]
@@ -132,7 +128,7 @@ def gqa_attention(
 
     key_idx = jnp.arange(s, dtype=jnp.int32)
     mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
-    if _window is not None:
+    if _window > 0:
         mask &= key_idx[None, None, :] > (q_positions[:, :, None] - _window)
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 

@@ -39,6 +39,7 @@ def _flash_kernel(
     scale: float,
     block_q: int,
     block_k: int,
+    window: int = 0,  # Mistral-style sliding window (0 = dense causal)
 ):
     iq = pl.program_id(2)
     kb = pl.program_id(3)
@@ -57,10 +58,16 @@ def _flash_kernel(
     k_pos = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1
     )
-    # skip blocks fully above the causal frontier
+    # skip blocks fully above the causal frontier (and, with a window,
+    # blocks whose every key is older than any query's window)
     first_q_pos = past + iq * block_q
+    run = kb * block_k <= first_q_pos + block_q - 1
+    if window > 0:
+        run = jnp.logical_and(
+            run, kb * block_k + block_k - 1 > first_q_pos - window
+        )
 
-    @pl.when(kb * block_k <= first_q_pos + block_q - 1)
+    @pl.when(run)
     def _():
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
@@ -68,11 +75,15 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BQ, BK]
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
+        if window > 0:
+            s = jnp.where(k_pos > q_pos - window, s, NEG_INF)
 
         m_prev = m_ref[:]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_prev - m_cur)
-        p = jnp.exp(s - m_cur)  # [BQ, BK]
+        # NEG_INF is finite: a fully-masked row (possible under a window)
+        # would otherwise get exp(0)=1 per masked lane
+        p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - m_cur), 0.0)  # [BQ, BK]
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v_ref[0, 0].astype(jnp.float32),
@@ -89,7 +100,9 @@ def _flash_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("q_heads_per_kv", "block_q", "block_k", "interpret"),
+    static_argnames=(
+        "q_heads_per_kv", "sliding_window", "block_q", "block_k", "interpret"
+    ),
 )
 def flash_prefill_attention(
     q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
@@ -98,6 +111,7 @@ def flash_prefill_attention(
     past_len: jnp.ndarray,  # [] int32 (shared prefill offset; usually 0)
     *,
     q_heads_per_kv: int,
+    sliding_window: int = 0,
     block_q: int = 256,
     block_k: int = 512,
     interpret: bool = False,
@@ -141,7 +155,8 @@ def flash_prefill_attention(
     )
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=1.0 / (dh ** 0.5), block_q=bq, block_k=bk
+            _flash_kernel, scale=1.0 / (dh ** 0.5), block_q=bq, block_k=bk,
+            window=int(sliding_window or 0),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, t, dh), q.dtype),

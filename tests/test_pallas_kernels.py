@@ -15,9 +15,8 @@ import jax.numpy as jnp
 from layerskip_tpu.ops import attention as attn_mod
 from layerskip_tpu.ops.pallas.decode_attention import decode_attention
 from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul, quantize_weights
-from layerskip_tpu.ops.pallas.rmsnorm import rms_norm as pallas_rms_norm
-from layerskip_tpu.ops.pallas.rmsnorm import rms_norm_residual
 from layerskip_tpu.ops.rmsnorm import rms_norm as jnp_rms_norm
+from layerskip_tpu.ops.rmsnorm import rms_norm_residual
 
 
 @pytest.mark.parametrize("t,g", [(1, 2), (7, 2), (4, 1)])
@@ -51,21 +50,18 @@ def test_decode_attention_respects_mask():
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
 
 
-def test_pallas_rmsnorm_matches():
-    rng = np.random.default_rng(2)
-    x = jnp.asarray(rng.standard_normal((3, 17, 256)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
-    ref = jnp_rms_norm(x, w, 1e-5)
-    got = pallas_rms_norm(x, w, 1e-5, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+def test_rmsnorm_residual_fused_shape():
+    """The fused-call-shape helper must equal add-then-norm exactly.
 
-
-def test_pallas_rmsnorm_residual():
+    (There is intentionally no Pallas RMSNorm — see ops/rmsnorm.py docstring:
+    small-row Mosaic compiles hang the axon remote-compile service and XLA
+    already fuses the pattern; this guards the jnp helper the decoder uses.)
+    """
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((2, 8, 256)), jnp.float32)
     r = jnp.asarray(rng.standard_normal((2, 8, 256)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((256,)), jnp.float32)
-    got, new_r = rms_norm_residual(x, r, w, 1e-5, interpret=True)
+    got, new_r = rms_norm_residual(x, r, w, 1e-5)
     np.testing.assert_allclose(np.asarray(new_r), np.asarray(x + r), atol=1e-6)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(jnp_rms_norm(x + r, w, 1e-5)), atol=1e-5,
@@ -142,6 +138,61 @@ def test_quant_matmul_t_matches():
                          block_k=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3,
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("t,g,s", [(1, 2, 1200), (7, 2, 1536)])
+def test_decode_attention_blocked_long_s(t, g, s):
+    """KV-blocked online-softmax path: S > one block, S not a block multiple."""
+    b, hkv, dh = 1, 2, 128
+    hq = hkv * g
+    rng = np.random.default_rng(10)
+    q = jnp.asarray(rng.standard_normal((b, t, hq, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray(np.arange(s - t - 3, s - 3), jnp.int32)
+
+    ref = attn_mod.gqa_attention(q, k, v, qpos, q_heads_per_kv=g)
+    got = decode_attention(q, k, v, qpos, q_heads_per_kv=g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("window", [16, 100])
+def test_decode_attention_sliding_window(window):
+    """In-kernel Mistral-style window must match the dense masked path."""
+    b, t, s, hkv, g, dh = 2, 3, 640, 2, 2, 128
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray(np.arange(500, 500 + t), jnp.int32)
+
+    ref = attn_mod.gqa_attention(
+        q, k, v, qpos, q_heads_per_kv=g, sliding_window=window
+    )
+    got = decode_attention(
+        q, k, v, qpos, q_heads_per_kv=g, sliding_window=window, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=2e-5)
+
+
+def test_flash_prefill_sliding_window():
+    from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+    b, t, s, hkv, g, dh, past, window = 1, 256, 512, 2, 2, 128, 100, 64
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray(np.arange(past, past + t), jnp.int32)
+
+    ref = attn_mod.gqa_attention(
+        q, k, v, qpos, q_heads_per_kv=g, sliding_window=window
+    )
+    got = flash_prefill_attention(
+        q, k, v, jnp.int32(past), q_heads_per_kv=g, sliding_window=window,
+        block_q=128, block_k=128, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=2e-5)
 
 
 def test_decode_attention_q8_matches_dequant():
