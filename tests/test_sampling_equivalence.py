@@ -1,0 +1,120 @@
+"""Distributional equivalence of speculative sampling vs autoregressive.
+
+The canonical guarantee of speculative rejection sampling (reference
+self_speculation_generator.py:184-199 + max_fn residual :27-29): the
+*distribution* of committed tokens is identical to sampling from the full
+model autoregressively, for any draft model. The greedy degeneration is
+covered exactly elsewhere (token-stream equality); this file proves the
+sampling branch — acceptance test, residual resample, bonus draw, and the
+near-``max_steps`` ``w_eff`` clamp — statistically.
+
+Method: one compiled program generates B=N independent rows of the same
+prompt (per-row rng streams, engine.py _row_keys), so N samples cost one
+dispatch. Empirical per-position marginals of spec vs AR are compared in
+total-variation distance against a self-calibrated null: the TV between two
+independent AR runs. Seeds are fixed — no flakiness.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from layerskip_tpu.config import GenerationConfig, tiny_config
+from layerskip_tpu.generation.engine import Engine
+from layerskip_tpu.models.params import init_params
+
+N = 2048  # rows per run (= samples per position)
+PROMPT = [3, 141, 59, 26, 5]
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    return Engine(params, cfg)
+
+
+def _marginals(engine, gen_cfg, seed, positions, vocab):
+    """Empirical token distribution at each position over N parallel rows.
+
+    EOS is pointed at an unreachable id so no row stops early — the marginal
+    at every tested position then has the full N samples."""
+    out = engine.generate(
+        [PROMPT] * N, gen_cfg, jax.random.PRNGKey(seed), eos_ids=(vocab + 7,)
+    )
+    toks = np.asarray(out.tokens)
+    counts = np.asarray(out.num_tokens)
+    dists = {}
+    for j in positions:
+        valid = counts > j
+        assert valid.mean() > 0.9, f"too few rows reach position {j}"
+        hist = np.bincount(toks[valid, j], minlength=vocab).astype(np.float64)
+        dists[j] = hist / hist.sum()
+    return dists
+
+
+def _tv(p, q):
+    return 0.5 * float(np.abs(p - q).sum())
+
+
+def _check_equivalence(engine, scfg_kwargs, max_steps, exit_layer=2, spec=4):
+    """spec-vs-AR TV must be within noise of the AR-vs-AR null."""
+    v = engine.cfg.vocab_size
+    positions = [0, max_steps // 2, max_steps - 1]
+    common = dict(max_steps=max_steps, sample=True, **scfg_kwargs)
+    ar_cfg = GenerationConfig(
+        generation_strategy="autoregressive", exit_layer=-1, **common
+    )
+    sp_cfg = GenerationConfig(
+        generation_strategy="self_speculative", exit_layer=exit_layer,
+        num_speculations=spec, **common
+    )
+    ar1 = _marginals(engine, ar_cfg, 0, positions, v)
+    ar2 = _marginals(engine, ar_cfg, 1, positions, v)
+    sp = _marginals(engine, sp_cfg, 2, positions, v)
+    for j in positions:
+        null = _tv(ar1[j], ar2[j])  # pure sampling noise at this position
+        got = _tv(ar1[j], sp[j])
+        # 1.5x null + slack: catches systematic bias, tolerates noise
+        assert got < 1.5 * null + 0.05, (
+            f"position {j}: TV(ar, spec)={got:.4f} vs null TV(ar, ar')="
+            f"{null:.4f}"
+        )
+
+
+def test_spec_sampling_matches_ar_distribution(engine):
+    """Temperature-only sampling: full-support distributions, residual
+    resamples happen constantly on a random model (acceptance well below 1)."""
+    _check_equivalence(
+        engine, dict(temperature=0.9, top_k=0, top_p=1.0), max_steps=12
+    )
+
+
+def test_spec_sampling_matches_ar_with_warpers(engine):
+    """top-k/top-p filtered sampling — the HF-warper-equivalent path."""
+    _check_equivalence(
+        engine, dict(temperature=0.7, top_k=20, top_p=0.9), max_steps=12
+    )
+
+
+def test_spec_sampling_clamp_branch(engine):
+    """max_steps barely above W forces w_eff < W rounds (engine.py w_eff
+    clamp): the final committed positions must still be AR-distributed."""
+    _check_equivalence(
+        engine, dict(temperature=0.9, top_k=0, top_p=0.95), max_steps=6,
+        exit_layer=2, spec=4,
+    )
+
+
+def test_spec_acceptance_below_one_on_random_model(engine):
+    """Sanity: the tests above actually exercise rejections (a random
+    model's draft and verify distributions differ)."""
+    sp_cfg = GenerationConfig(
+        generation_strategy="self_speculative", exit_layer=2,
+        num_speculations=4, max_steps=12, sample=True, temperature=0.9,
+        top_k=0, top_p=1.0,
+    )
+    out = engine.generate([PROMPT] * 64, sp_cfg, jax.random.PRNGKey(5))
+    acc = float(int(out.matches)) / max(int(out.drafts), 1)
+    assert 0.0 < acc < 0.95, acc
