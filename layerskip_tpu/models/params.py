@@ -177,27 +177,48 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
             )
     path = os.path.join(model_dir, "model.safetensors")
     save_file(tensors, path)
+    # model_type/architectures: infer the HF family from the distinguishing
+    # architecture features so a re-load (here or in HF) reconstructs the
+    # same attention/RoPE behavior. Qwen2 is the only family with QKV
+    # biases; Mistral the only one with a sliding window.
+    if cfg.attention_bias:
+        model_type, arch = "qwen2", "Qwen2ForCausalLM"
+    elif cfg.sliding_window is not None:
+        model_type, arch = "mistral", "MistralForCausalLM"
+    else:
+        model_type, arch = "llama", "LlamaForCausalLM"
+    config_json = {
+        "model_type": model_type,
+        "architectures": [arch],
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "intermediate_size": cfg.intermediate_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "num_key_value_heads": cfg.num_key_value_heads,
+        "head_dim": cfg.head_dim,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "rms_norm_eps": cfg.rms_norm_eps,
+        "rope_theta": cfg.rope_theta,
+        "attention_bias": cfg.attention_bias,
+        "tie_word_embeddings": cfg.tie_word_embeddings,
+        "bos_token_id": cfg.bos_token_id,
+        "eos_token_id": cfg.eos_token_id,
+    }
+    if cfg.sliding_window is not None:
+        config_json["sliding_window"] = cfg.sliding_window
+    if cfg.rope_scaling.rope_type != "default":
+        config_json["rope_scaling"] = {
+            "rope_type": cfg.rope_scaling.rope_type,
+            "factor": cfg.rope_scaling.factor,
+            "low_freq_factor": cfg.rope_scaling.low_freq_factor,
+            "high_freq_factor": cfg.rope_scaling.high_freq_factor,
+            "original_max_position_embeddings": (
+                cfg.rope_scaling.original_max_position_embeddings
+            ),
+        }
     with open(os.path.join(model_dir, "config.json"), "w") as f:
-        json.dump(
-            {
-                "architectures": ["LlamaForCausalLM"],
-                "vocab_size": cfg.vocab_size,
-                "hidden_size": cfg.hidden_size,
-                "intermediate_size": cfg.intermediate_size,
-                "num_hidden_layers": cfg.num_hidden_layers,
-                "num_attention_heads": cfg.num_attention_heads,
-                "num_key_value_heads": cfg.num_key_value_heads,
-                "head_dim": cfg.head_dim,
-                "max_position_embeddings": cfg.max_position_embeddings,
-                "rms_norm_eps": cfg.rms_norm_eps,
-                "rope_theta": cfg.rope_theta,
-                "attention_bias": cfg.attention_bias,
-                "tie_word_embeddings": cfg.tie_word_embeddings,
-                "bos_token_id": cfg.bos_token_id,
-                "eos_token_id": cfg.eos_token_id,
-            },
-            f, indent=2,
-        )
+        json.dump(config_json, f, indent=2)
     return path
 
 

@@ -192,13 +192,28 @@ void *st_open(const char *path) {
 
   uint64_t hlen;
   memcpy(&hlen, s->map, 8);  // little-endian on all supported targets
-  if (8 + hlen > s->map_size) {
+  // Overflow-safe: map_size >= 8 was checked above, so compare against the
+  // remaining bytes instead of computing 8 + hlen (which can wrap).
+  if (hlen > s->map_size - 8) {
     munmap(m, s->map_size); ::close(s->fd); delete s; return nullptr;
   }
   s->data = s->map + 8 + hlen;
+  const uint64_t data_size = s->map_size - 8 - hlen;
   std::string err;
   if (!parse_header((const char *)(s->map + 8), hlen, &s->tensors, &err)) {
     munmap(m, s->map_size); ::close(s->fd); delete s; return nullptr;
+  }
+  // Validate every tensor's extent against the data section before any
+  // st_tensor_data/st_copy_tensors can dereference it: safetensors must be
+  // safe to parse from untrusted input, so a corrupt/malicious header
+  // (negative offsets, spans past EOF, negative dims) is a clean open
+  // failure, never an OOB read.
+  for (const auto &ti : s->tensors) {
+    bool bad = ti.begin > ti.end || ti.end > data_size;
+    for (int64_t d : ti.shape) bad = bad || d < 0;
+    if (bad) {
+      munmap(m, s->map_size); ::close(s->fd); delete s; return nullptr;
+    }
   }
   return s;
 }

@@ -59,6 +59,68 @@ def test_read_bf16(tmp_path):
     )
 
 
+def test_corrupt_headers_rejected(tmp_path):
+    """Malicious/corrupt safetensors must fail st_open cleanly, never OOB-read.
+
+    Safetensors is normally safe to parse from untrusted input; the native
+    reader validates header length and every tensor's data_offsets against
+    the mapped data section (safetensors_reader.cc st_open).
+    """
+    if not native.native_available():
+        pytest.skip("native lib unavailable")
+
+    def write(path, header_json, data=b""):
+        h = header_json.encode()
+        with open(path, "wb") as f:
+            f.write(len(h).to_bytes(8, "little") + h + data)
+
+    cases = {
+        # data_offsets span past EOF
+        "past_eof": (
+            '{"t":{"dtype":"F32","shape":[2],"data_offsets":[0,1048576]}}',
+            b"\x00" * 8,
+        ),
+        # negative offsets (cast to huge uint64)
+        "negative": (
+            '{"t":{"dtype":"F32","shape":[2],"data_offsets":[-16,-8]}}',
+            b"\x00" * 8,
+        ),
+        # begin > end
+        "inverted": (
+            '{"t":{"dtype":"F32","shape":[2],"data_offsets":[8,0]}}',
+            b"\x00" * 8,
+        ),
+        # negative shape dim
+        "neg_shape": (
+            '{"t":{"dtype":"F32","shape":[-2],"data_offsets":[0,8]}}',
+            b"\x00" * 8,
+        ),
+    }
+    for name, (hdr, data) in cases.items():
+        p = str(tmp_path / f"{name}.safetensors")
+        write(p, hdr, data)
+        with pytest.raises(OSError):
+            native.read_safetensors(p)
+
+    # header length far beyond the file (and wrapping 8 + hlen)
+    for hlen in (2**64 - 4, 2**32):
+        p = str(tmp_path / f"hlen_{hlen % 97}.safetensors")
+        with open(p, "wb") as f:
+            f.write(hlen.to_bytes(8, "little") + b"{}")
+        with pytest.raises(OSError):
+            native.read_safetensors(p)
+
+    # a well-formed file still opens after all that
+    good = str(tmp_path / "good.safetensors")
+    write(
+        good,
+        '{"t":{"dtype":"F32","shape":[2],"data_offsets":[0,8]}}',
+        np.asarray([1.0, 2.0], np.float32).tobytes(),
+    )
+    got = native.read_safetensors(good)
+    np.testing.assert_array_equal(got["t"], np.asarray([1.0, 2.0], np.float32))
+
+
 def test_save_load_roundtrip(tmp_path):
     """save_params -> load_params preserves logits exactly (fp32)."""
     from layerskip_tpu.config import ModelConfig
@@ -77,6 +139,61 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a.logits), np.asarray(b.logits), atol=1e-5, rtol=1e-5
     )
+
+
+def test_save_preserves_arch_features(tmp_path):
+    """Exported config.json keeps rope_scaling / sliding_window / model_type.
+
+    A finetuned Llama-3 (llama3 rope scaling) or Mistral (sliding window)
+    checkpoint must reload with identical RoPE frequencies and attention
+    behavior (ADVICE r1: these fields were silently dropped).
+    """
+    import dataclasses
+    import json
+
+    from layerskip_tpu.config import ModelConfig, RopeScaling
+    from layerskip_tpu.models.params import save_params
+
+    base = tiny_config()
+    cfg = dataclasses.replace(
+        base,
+        sliding_window=4,
+        rope_scaling=RopeScaling(
+            rope_type="llama3",
+            factor=8.0,
+            low_freq_factor=1.0,
+            high_freq_factor=4.0,
+            original_max_position_embeddings=64,
+        ),
+    )
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    save_params(params, str(tmp_path / "ckpt"), cfg)
+    with open(tmp_path / "ckpt" / "config.json") as f:
+        d = json.load(f)
+    assert d["model_type"] == "mistral"  # sliding window => mistral family
+    assert d["sliding_window"] == 4
+    assert d["rope_scaling"]["rope_type"] == "llama3"
+
+    cfg2 = ModelConfig.from_pretrained(str(tmp_path / "ckpt"), dtype=jnp.float32)
+    assert cfg2.sliding_window == cfg.sliding_window
+    assert cfg2.rope_scaling == cfg.rope_scaling
+    loaded = load_params(str(tmp_path / "ckpt"), cfg2)
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=8)
+    a = llama.forward(params, cfg, ids, cache, jnp.int32(0))
+    b = llama.forward(loaded, cfg2, ids, cache, jnp.int32(0))
+    np.testing.assert_allclose(
+        np.asarray(a.logits), np.asarray(b.logits), atol=1e-5, rtol=1e-5
+    )
+
+    # Qwen2-style (attention biases) round-trips its model_type too
+    qcfg = dataclasses.replace(base, attention_bias=True)
+    qparams = init_params(jax.random.PRNGKey(2), qcfg)
+    save_params(qparams, str(tmp_path / "qckpt"), qcfg)
+    with open(tmp_path / "qckpt" / "config.json") as f:
+        assert json.load(f)["model_type"] == "qwen2"
+    qcfg2 = ModelConfig.from_pretrained(str(tmp_path / "qckpt"), dtype=jnp.float32)
+    assert qcfg2.attention_bias
 
 
 def test_load_params_via_native(tmp_path):
