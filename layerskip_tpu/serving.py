@@ -42,11 +42,18 @@ class _Request:
 
 
 def _cfg_key(cfg: GenerationConfig):
-    """Requests batch together iff their compiled program is identical."""
+    """Requests batch together iff every output-affecting knob is identical.
+
+    Covers all GenerationConfig fields (ADVICE r1: max_prompt_len /
+    max_seq_len / stop_words were omitted, so requests differing only in
+    those batched together and silently took row 0's values).
+    """
     return (
         cfg.generation_strategy, cfg.max_steps, cfg.exit_layer,
         cfg.num_speculations, cfg.sample, cfg.temperature, cfg.top_k,
         cfg.top_p, cfg.no_repeat_ngram_size, cfg.kv_quant,
+        cfg.max_prompt_len, cfg.max_seq_len,
+        tuple(cfg.stop_words or ()),
         tuple(cfg.stop_token_ids or ()),
     )
 
@@ -144,7 +151,15 @@ class BatchScheduler:
         eos = self.eos_ids
         if gen_cfg.stop_token_ids:
             eos = eos + list(gen_cfg.stop_token_ids)
-        rng = jax.random.PRNGKey(batch[0].rng_seed)
+        # Per-row keys: each request samples from its own seed (same
+        # fold_in(PRNGKey(0), seed) convention as the continuous scheduler),
+        # so results don't depend on batch composition. Padding rows reuse
+        # row 0's key; their outputs are dropped.
+        import jax.numpy as jnp
+
+        seeds = [r.rng_seed for r in batch] + [batch[0].rng_seed] * pad_rows
+        base = jax.random.PRNGKey(0)
+        rng = jnp.stack([jax.random.fold_in(base, s) for s in seeds])
         out = self.engine.generate(prompts, gen_cfg, rng, eos)
         rows = postprocess_batch(out, eos, gen_cfg.max_steps)
         for req, row in zip(batch, rows):
@@ -310,6 +325,21 @@ def serve(
                         enc["input_ids"] if isinstance(enc, dict) else enc.input_ids
                     )
                 if isinstance(scheduler, ContinuousBatchScheduler):
+                    # One compiled program serves the whole session: only
+                    # max_steps (a traced per-row budget) and seed can vary
+                    # per request. Reject anything else instead of silently
+                    # serving the session defaults (ADVICE r1).
+                    ignored = {
+                        k: v for k, v in overrides.items()
+                        if k != "max_steps" and getattr(default_cfg, k) != v
+                    }
+                    if ignored:
+                        self._json(400, {
+                            "error": "continuous mode serves one compiled "
+                                     "config; unsupported per-request "
+                                     f"overrides: {sorted(ignored)}",
+                        })
+                        return
                     tokens = scheduler.generate(
                         ids, timeout=300, seed=seed,
                         max_tokens=int(overrides.get("max_steps", 0)),

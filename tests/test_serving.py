@@ -136,6 +136,102 @@ def test_http_serving(engine):
     sched.stop()
 
 
+def test_gather_per_request_seeds(engine):
+    """Each gathered request samples from its own seed (not row 0's), and a
+    request's stream is independent of batch composition (ADVICE r1:
+    batch[0].rng_seed silently overrode everyone)."""
+    gen = GenerationConfig(
+        max_steps=12, sample=True, temperature=1.2, top_k=0, top_p=1.0,
+        generation_strategy="self_speculative", exit_layer=2,
+        num_speculations=3,
+    )
+    prompt = [3, 17, 52]
+    sched = BatchScheduler(engine, batch_size=4, eos_ids=[127],
+                           gather_window_s=0.5).start()
+    try:
+        futs = [
+            sched.submit(prompt, gen, rng_seed=7),
+            sched.submit(prompt, gen, rng_seed=99),
+            sched.submit(prompt, gen, rng_seed=7),
+        ]
+        a, b, c = [f.result(timeout=300) for f in futs]
+        assert a == c  # same seed -> same stream
+        assert a != b  # different seed -> diverges (overwhelmingly likely)
+        # solo (padded) run of the same seed matches the batched run:
+        # results don't depend on which rows happened to batch together
+        solo = sched.generate(prompt, gen, rng_seed=99, timeout=300)
+        assert solo == b
+    finally:
+        sched.stop()
+
+
+def test_continuous_http_rejects_overrides(engine):
+    """Continuous mode serves ONE compiled config: per-request sampling
+    overrides (other than max_steps/seed) get a 400, not silent defaults."""
+    import socket
+    import time
+    import urllib.error
+
+    from layerskip_tpu import serving as serving_mod
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    class Tok:
+        eos_token_id = 127
+
+        def encode(self, s):
+            return [3, 17, 52]
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(int(t)) for t in ids)
+
+    gen = GenerationConfig(
+        max_steps=8, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=2,
+    )
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16, eos_ids=[127]
+    ).start()
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    threading.Thread(
+        target=serving_mod.serve, args=(sched, Tok(), gen, "127.0.0.1", port),
+        daemon=True,
+    ).start()
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        try:
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=1
+            ).read()
+            break
+        except Exception:
+            time.sleep(0.2)
+    else:
+        pytest.fail("server did not come up")
+
+    def post(payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/generate",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req, timeout=300)
+
+    # temperature override is not servable by the compiled session -> 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        post({"prompt": "hi", "temperature": 0.1})
+    assert ei.value.code == 400
+    assert "temperature" in json.load(ei.value)["error"]
+
+    # max_steps + seed remain allowed; no-op overrides equal to the session
+    # config pass through too
+    with post({"prompt": "hi", "max_steps": 4, "seed": 3,
+               "num_speculations": 2}) as r:
+        assert len(json.load(r)["tokens"]) == 4
+    sched.stop()
+
+
 def test_continuous_batching_matches_direct(engine):
     """In-flight batching: staggered requests produce exactly the tokens the
     same prompts produce alone."""
