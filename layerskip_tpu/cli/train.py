@@ -48,7 +48,9 @@ class TrainArguments:
     # LayerSkip recipe
     p_max: float = 0.1
     dropout_scale: str = "exp"
-    early_exit_layers: Optional[str] = None  # comma ints; default: all
+    early_exit_layers: Optional[str] = None  # comma ints; default: sparse
+    # quarter-depth exits (training.recipe.default_exit_layers)
+    ce_chunk_tokens: int = 1024  # token-chunked CE; 0 => dense [B,T,V]
     e_scale: float = 1.0
     rotational_r: int = 0
     learning_rate: float = 1e-4
@@ -96,6 +98,7 @@ def main(args: Arguments, targs: TrainArguments):
         early_exit_layers=exits, e_scale=targs.e_scale,
         rotational_r=targs.rotational_r, learning_rate=targs.learning_rate,
         weight_decay=targs.weight_decay,
+        ce_chunk_tokens=targs.ce_chunk_tokens,
         act_spec=(
             ("dp", "fsdp", None)
             if args.dp * targs.fsdp * args.tp > 1 else None

@@ -21,11 +21,15 @@ import jax.numpy as jnp
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="7b")
-    ap.add_argument("--mode", default="spec", choices=["spec", "ar"])
+    ap.add_argument("--mode", default="spec", choices=["spec", "ar", "train"])
     ap.add_argument("--max-steps", type=int, default=512)
     ap.add_argument("--spec", type=int, default=6)
     ap.add_argument("--exit-layer", type=int, default=8)
     ap.add_argument("--prompt-bucket", type=int, default=64)
+    # train mode
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--seq-len", type=int, default=2048)
+    ap.add_argument("--ce-chunk", type=int, default=1024)
     args = ap.parse_args()
 
     from bench import build_config
@@ -58,6 +62,34 @@ def main():
     rng = S((2,), jnp.uint32)
     scfg = SamplingConfig(sample=False, temperature=0.6, top_k=0, top_p=0.9)
     max_cache_len = args.prompt_bucket + args.max_steps + args.spec + 2
+
+    if args.mode == "train":
+        # AOT-compile the default-config LayerSkip train step (sparse
+        # quarter-depth exits + chunked CE) — the 7B-fits-one-v5e proof.
+        from layerskip_tpu.training.recipe import TrainConfig, make_train_step
+
+        tcfg = TrainConfig(ce_chunk_tokens=args.ce_chunk)
+        train_step, init_opt = make_train_step(cfg, tcfg)
+        # eval_shape: abstract opt state from abstract params (no host alloc)
+        opt_state = jax.eval_shape(init_opt, params)
+        ids_t = S((args.batch, args.seq_len), jnp.int32)
+        labels_t = S((args.batch, args.seq_len), jnp.int32)
+        lowered = jax.jit(train_step, donate_argnums=(0, 1)).lower(
+            params, opt_state, ids_t, labels_t, rng, S((), jnp.int32)
+        )
+        print("lowered; compiling...", flush=True)
+        try:
+            compiled = lowered.compile()
+        except Exception as exc:
+            print("COMPILE FAILED:")
+            for line in str(exc).splitlines()[:40]:
+                print("  " + line.strip())
+            return 1
+        mem = compiled.memory_analysis()
+        print(f"argument bytes: {mem.argument_size_in_bytes/2**30:.2f} GiB")
+        print(f"temp bytes:     {mem.temp_size_in_bytes/2**30:.2f} GiB")
+        print(f"total:          {(mem.argument_size_in_bytes+mem.temp_size_in_bytes)/2**30:.2f} GiB")
+        return 0
 
     if args.mode == "spec":
         def fn(params, ids, true_len, rng):
