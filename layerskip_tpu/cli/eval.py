@@ -48,57 +48,138 @@ class EvalArguments:
 
 
 class TokenScorer:
-    """Full-forward logprob scoring with prompt-length bucketing.
+    """Batched full-forward loglikelihood scoring.
 
-    The loglikelihood path of the reference calls the raw HF model on
-    right-padded batches (eval.py:241-296); here it is a jitted prefill
-    per bucket with fp32 log-softmax on the host side.
+    Mirrors the reference's loglikelihood path (eval.py:241-296): the joint
+    ``context + continuation`` sequence is **left-truncated** to
+    ``max_position_embeddings + 1`` tokens (so RoPE positions never exceed
+    the trained range), the last token is dropped, and rows are right-padded
+    into (sequence-bucket, batch-bucket) shaped batches — one jitted
+    executable per shape. Scoring (continuation logprob sum + greedy
+    exact-match) happens **on device**, so only two scalars per row cross
+    the tunnel instead of a ``[T, V]`` fp32 logit matrix.
     """
 
-    def __init__(self, params: LlamaParams, cfg: ModelConfig):
+    def __init__(self, params: LlamaParams, cfg: ModelConfig,
+                 max_batch: int = 8):
         self.params = params
         self.cfg = cfg
+        self.max_length = int(cfg.max_position_embeddings)
+        self.max_batch = max(int(max_batch), 1)
         self._cache = {}  # per-instance (lru_cache on methods would leak self)
 
     def _compiled(self, bucket: int):
         if bucket in self._cache:
             return self._cache[bucket]
 
-        def fn(params, ids):
+        def fn(params, ids, targets, mask):
             cache = init_kv_cache(self.cfg, batch=ids.shape[0], max_len=bucket)
             res = llama.forward(params, self.cfg, ids, cache, jnp.int32(0))
-            return jax.nn.log_softmax(res.logits, axis=-1)
+            logits = res.logits  # [B, T, V] fp32 (llama.lm_logits)
+            # target logprob via logsumexp — no extra [B,T,V] materialization
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            tl = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
+            ll = jnp.sum(jnp.where(mask, tl - lse, 0.0), axis=-1)
+            greedy = jnp.all(
+                jnp.where(mask, jnp.argmax(logits, axis=-1) == targets, True),
+                axis=-1,
+            )
+            return ll, greedy
 
         self._cache[bucket] = jax.jit(fn)
         return self._cache[bucket]
 
     def logprobs(self, token_ids: List[int]) -> np.ndarray:
-        """[T, V] fp32 log-probs for one sequence (position t predicts t+1)."""
+        """[T, V] fp32 log-probs for one sequence (position t predicts t+1).
+
+        Debug/inspection helper; the scoring paths below never pull the
+        logit matrix to the host. Sequences are capped to the model's
+        ``max_position_embeddings`` (left-truncated)."""
         from layerskip_tpu.generation.engine import _bucket
 
+        token_ids = list(token_ids)[-self.max_length:]
         t = len(token_ids)
-        bucket = _bucket(t)
+        bucket = min(_bucket(t), self.max_length)
         ids = np.zeros((1, bucket), np.int32)
         ids[0, :t] = token_ids
-        lp = self._compiled(bucket)(self.params, jnp.asarray(ids))
+
+        def fn(params, ids):
+            cache = init_kv_cache(self.cfg, batch=1, max_len=bucket)
+            res = llama.forward(params, self.cfg, ids, cache, jnp.int32(0))
+            return jax.nn.log_softmax(res.logits, axis=-1)
+
+        key = ("logprobs", bucket)
+        if key not in self._cache:
+            self._cache[key] = jax.jit(fn)
+        lp = self._cache[key](self.params, jnp.asarray(ids))
         return np.asarray(lp[0, :t])
+
+    def _prepare_row(self, context: List[int], continuation: List[int]):
+        """(padded-input ids, per-position targets, continuation mask, bucket).
+
+        Reference eval.py:241-254: ``inp = (ctx + cont)[-(max_length+1):][:-1]``
+        — left-truncate the joint sequence, drop the final token; the
+        continuation's logits live at ``inp[inplen-contlen : inplen]``.
+        """
+        from layerskip_tpu.generation.engine import _bucket
+
+        assert context, "empty context"  # reference eval.py:244
+        assert continuation, "empty continuation"
+        if len(continuation) > self.max_length:
+            raise ValueError(
+                f"continuation length {len(continuation)} exceeds model "
+                f"max_length {self.max_length}"
+            )
+        full = list(context) + list(continuation)
+        trunc = full[-(self.max_length + 1):]
+        inp = trunc[:-1] if len(trunc) > 1 else trunc
+        inplen = len(inp)
+        contlen = len(continuation)
+        targets = np.zeros(inplen, np.int32)
+        mask = np.zeros(inplen, bool)
+        # position i predicts trunc[i+1]; continuation = trunc[-contlen:]
+        targets[inplen - contlen:] = continuation
+        mask[inplen - contlen:] = True
+        bucket = min(_bucket(inplen), self.max_length)
+        return inp, targets, mask, bucket
+
+    def score_batch(
+        self, rows: List[Tuple[List[int], List[int]]]
+    ) -> List[Tuple[float, bool]]:
+        """Batched (ll, greedy) for (context, continuation) rows, original
+        order. Rows sharing a sequence bucket run in one device dispatch
+        (up to ``max_batch`` per call, batch padded to a power of two)."""
+        prepped = [self._prepare_row(c, k) for c, k in rows]
+        by_bucket = {}
+        for i, (inp, tgt, msk, bucket) in enumerate(prepped):
+            by_bucket.setdefault(bucket, []).append((i, inp, tgt, msk))
+        out: List[Optional[Tuple[float, bool]]] = [None] * len(rows)
+        for bucket, group in by_bucket.items():
+            for s in range(0, len(group), self.max_batch):
+                chunk = group[s : s + self.max_batch]
+                b = 1 << (len(chunk) - 1).bit_length()  # pad to pow2 shape
+                ids = np.zeros((b, bucket), np.int32)
+                tgts = np.zeros((b, bucket), np.int32)
+                msks = np.zeros((b, bucket), bool)
+                for r, (_, inp, tgt, msk) in enumerate(chunk):
+                    ids[r, : len(inp)] = inp
+                    tgts[r, : len(tgt)] = tgt
+                    msks[r, : len(msk)] = msk
+                ll, greedy = self._compiled(bucket)(
+                    self.params, jnp.asarray(ids), jnp.asarray(tgts),
+                    jnp.asarray(msks),
+                )
+                ll, greedy = np.asarray(ll), np.asarray(greedy)
+                for r, (i, *_rest) in enumerate(chunk):
+                    out[i] = (float(ll[r]), bool(greedy[r]))
+        return out  # type: ignore[return-value]
 
     def loglikelihood_tokens(
         self, context: List[int], continuation: List[int]
     ) -> Tuple[float, bool]:
         """(sum logprob of continuation, greedy exact-match) — the contract of
         lm-eval's ``_loglikelihood_tokens`` rows (reference eval.py:165-296)."""
-        assert continuation, "empty continuation"
-        full = list(context) + list(continuation)
-        lp = self.logprobs(full[:-1] if len(full) > 1 else full)
-        start = max(len(context) - 1, 0)
-        ll = 0.0
-        greedy = True
-        for i, tok in enumerate(continuation):
-            row = lp[start + i]
-            ll += float(row[tok])
-            greedy = greedy and int(row.argmax()) == int(tok)
-        return ll, greedy
+        return self.score_batch([(context, continuation)])[0]
 
 
 class EvalHarnessLM:
@@ -117,10 +198,13 @@ class EvalHarnessLM:
             pass
         return object.__new__(cls)
 
-    def __init__(self, generator: LlamaGenerator, generation_config: GenerationConfig):
+    def __init__(self, generator: LlamaGenerator, generation_config: GenerationConfig,
+                 batch_size: int = 8):
         self.generator = generator
         self.generation_config = generation_config
-        self.scorer = TokenScorer(generator.engine.params, generator.cfg)
+        self.scorer = TokenScorer(
+            generator.engine.params, generator.cfg, max_batch=batch_size
+        )
         self.tokenizer = generator.tokenizer
 
     # --- TemplateLM API ---
@@ -147,13 +231,22 @@ class EvalHarnessLM:
         return out
 
     def _loglikelihood_tokens(self, requests, disable_tqdm: bool = False):
-        """reference: eval.py:117-296 (batch_size==1, eval.py:82)."""
-        res = []
+        """reference: eval.py:165-296 — sort descending by joint length (the
+        reference's ``_collate``), score in right-padded batches, then
+        scatter results back to request order."""
+        rows = []
         for req in requests:
             _key, context_enc, continuation_enc = (
                 req.args if hasattr(req, "args") else req
             )
-            res.append(self.scorer.loglikelihood_tokens(context_enc, continuation_enc))
+            rows.append((list(context_enc), list(continuation_enc)))
+        order = sorted(
+            range(len(rows)), key=lambda i: -(len(rows[i][0]) + len(rows[i][1]))
+        )
+        scored = self.scorer.score_batch([rows[i] for i in order])
+        res: List[Optional[Tuple[float, bool]]] = [None] * len(rows)
+        for rank, i in enumerate(order):
+            res[i] = scored[rank]
         return res
 
     def loglikelihood_rolling(self, requests, disable_tqdm: bool = False):
@@ -175,27 +268,110 @@ class EvalHarnessLM:
         return out
 
 
-def main(args: Arguments, eval_args: EvalArguments, gen_cfg: GenerationConfig):
-    try:
-        import lm_eval
-    except ImportError as e:
-        raise SystemExit(
-            "lm_eval is not installed in this container; the EvalHarnessLM "
-            "adapter and TokenScorer are importable and tested standalone "
-            "(tests/test_eval_adapter.py)"
-        ) from e
+class _Instance:
+    """Shape-compatible stand-in for ``lm_eval.api.instance.Instance``."""
 
-    assert eval_args.batch_size == 1, "batch_size must be 1"  # eval.py:82
+    def __init__(self, args):
+        self.args = args
+
+
+def run_local_mc(wrap: EvalHarnessLM, task_path: str,
+                 limit: Optional[int] = None, num_fewshot: int = 0) -> dict:
+    """Offline multiple-choice evaluation through the harness adapter.
+
+    ``lm_eval`` cannot run in this container (not installed; its task data
+    needs network), so this drives ``EvalHarnessLM`` through the *exact
+    calling convention* ``lm_eval``'s evaluator uses for MC tasks: one
+    loglikelihood request per (context, choice) pair shaped like
+    ``Instance.args = (key, context_enc, continuation_enc)``, scored via
+    ``_loglikelihood_tokens``, then ``acc`` (argmax ll) and ``acc_norm``
+    (byte-length-normalized ll, lm-eval's convention) over the gold labels.
+
+    Task file: JSONL rows ``{"query": str, "choices": [str, ...],
+    "gold": int}`` (the layout of lm-eval's hellaswag/arc/piqa docs).
+    """
+    docs = []
+    with open(task_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                docs.append(json.loads(line))
+    if limit:
+        docs = docs[:limit]
+    if not docs:
+        raise ValueError(f"no docs in {task_path}")
+
+    fewshot = ""
+    if num_fewshot > 0:
+        shots = docs[:num_fewshot]
+        docs = docs[num_fewshot:]
+        fewshot = "\n\n".join(
+            d["query"] + d["choices"][d["gold"]] for d in shots
+        ) + "\n\n"
+
+    requests, spans = [], []
+    for d in docs:
+        ctx = fewshot + d["query"]
+        ctx_enc = wrap.tok_encode(ctx)
+        start = len(requests)
+        for choice in d["choices"]:
+            # lm-eval encodes continuations with the context prefix and
+            # splits on the whole-enc boundary; byte-level equivalent here:
+            cont_enc = wrap.tok_encode(ctx + choice)[len(ctx_enc):]
+            if not cont_enc:  # tokenizer merged the boundary; fall back
+                cont_enc = wrap.tok_encode(choice)
+            requests.append(_Instance(((ctx, choice), ctx_enc, cont_enc)))
+        spans.append((start, len(requests), d))
+
+    scored = wrap._loglikelihood_tokens(requests)
+    acc = acc_norm = 0
+    for start, end, d in spans:
+        lls = [scored[i][0] for i in range(start, end)]
+        norm = [
+            ll / max(len(c.encode("utf-8")), 1)
+            for ll, c in zip(lls, d["choices"])
+        ]
+        acc += int(int(np.argmax(lls)) == d["gold"])
+        acc_norm += int(int(np.argmax(norm)) == d["gold"])
+    n = len(spans)
+    return {
+        "acc": acc / n, "acc_norm": acc_norm / n, "num_docs": n,
+        "num_requests": len(requests),
+    }
+
+
+def main(args: Arguments, eval_args: EvalArguments, gen_cfg: GenerationConfig):
+    tasks = [t for t in (eval_args.tasks or "").split(",") if t]
+    local = [t for t in tasks if t.startswith("local:")]
     params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
     generator = LlamaGenerator(tokenizer, params, cfg)
-    wrap = EvalHarnessLM(generator, gen_cfg)
-    results = lm_eval.simple_evaluate(
-        wrap,
-        tasks=(eval_args.tasks or "").split(","),
-        num_fewshot=eval_args.num_fewshot,
-        limit=eval_args.limit,
-        log_samples=eval_args.log_samples,
-    )
+    wrap = EvalHarnessLM(generator, gen_cfg, batch_size=eval_args.batch_size)
+
+    if local:
+        # "local:/path/to/task.jsonl" — offline MC eval (see run_local_mc)
+        results = {"results": {}}
+        for t in local:
+            results["results"][os.path.basename(t[6:])] = run_local_mc(
+                wrap, t[6:], limit=eval_args.limit,
+                num_fewshot=eval_args.num_fewshot,
+            )
+    else:
+        try:
+            import lm_eval
+        except ImportError as e:
+            raise SystemExit(
+                "lm_eval is not installed in this container. Use "
+                "--tasks local:<task.jsonl> for the offline MC path; the "
+                "adapter itself is tested in tests/test_apps.py "
+                "(lm-eval scoring core section)."
+            ) from e
+        results = lm_eval.simple_evaluate(
+            wrap,
+            tasks=tasks,
+            num_fewshot=eval_args.num_fewshot,
+            limit=eval_args.limit,
+            log_samples=eval_args.log_samples,
+        )
     os.makedirs(args.output_dir, exist_ok=True)
     out_path = os.path.join(args.output_dir, f"eval_{int(time.time())}.json")
     with open(out_path, "w") as f:

@@ -255,6 +255,67 @@ def test_token_scorer_loglikelihood():
     assert isinstance(greedy, bool)
 
 
+def test_token_scorer_truncation_and_batching():
+    """Left-truncation to max_position_embeddings (reference eval.py:241-254)
+    and batched == single-row scoring."""
+    from layerskip_tpu.cli.eval import TokenScorer
+
+    cfg = tiny_config(max_position_embeddings=32)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    scorer = TokenScorer(params, cfg, max_batch=4)
+
+    # joint length 40 > max_len 32: must score as if the first 7 context
+    # tokens were dropped — (ctx+cont)[-(max_len+1):][:-1] semantics
+    rng = np.random.RandomState(0)
+    ctx = rng.randint(1, 200, size=36).tolist()
+    cont = rng.randint(1, 200, size=4).tolist()
+    ll_long, _ = scorer.loglikelihood_tokens(ctx, cont)
+    ll_manual, _ = scorer.loglikelihood_tokens(ctx[-(33 - 4):], cont)
+    assert ll_long == pytest.approx(ll_manual, abs=1e-4)
+
+    # continuation longer than the model's range is rejected (reference
+    # eval.py:246 asserts this)
+    with pytest.raises(ValueError):
+        scorer.loglikelihood_tokens([1], list(range(1, 40)))
+
+    # batched dispatch (mixed lengths/buckets, incl. a padded batch) equals
+    # per-row scoring, original order preserved
+    rows = [
+        (rng.randint(1, 200, size=n).tolist(),
+         rng.randint(1, 200, size=m).tolist())
+        for n, m in [(3, 2), (50, 4), (7, 1), (12, 3), (3, 2)]
+    ]
+    batched = scorer.score_batch(rows)
+    for got, (c, k) in zip(batched, rows):
+        single = scorer.loglikelihood_tokens(c, k)
+        assert got[0] == pytest.approx(single[0], abs=1e-4)
+        assert got[1] == single[1]
+
+
+def test_eval_cli_local_mc(tmp_path):
+    """End-to-end offline MC eval through the CLI main (--tasks local:...)."""
+    from layerskip_tpu.cli.eval import EvalArguments, main
+
+    task = tmp_path / "mc.jsonl"
+    rows = [
+        {"query": f"q {i} is", "choices": [" alpha", " beta", " gam"],
+         "gold": i % 3}
+        for i in range(5)
+    ]
+    task.write_text("\n".join(json.dumps(r) for r in rows))
+    args = Arguments(model="random:tiny", output_dir=str(tmp_path / "out"))
+    res = main(
+        args,
+        EvalArguments(tasks=f"local:{task}", batch_size=4, num_fewshot=1),
+        GenerationConfig(max_steps=4, sample=False),
+    )
+    r = res["results"]["mc.jsonl"]
+    assert r["num_docs"] == 4  # 1 doc consumed as the fewshot example
+    assert r["num_requests"] == 12
+    assert 0.0 <= r["acc"] <= 1.0 and 0.0 <= r["acc_norm"] <= 1.0
+    assert os.path.isdir(str(tmp_path / "out"))
+
+
 def test_eval_harness_wrapper_generate_until():
     from layerskip_tpu.cli.eval import EvalHarnessLM
     from layerskip_tpu.cli.loading import SimpleTokenizer
