@@ -543,6 +543,8 @@ def _spec_insert_rows(
     true_len: jnp.ndarray,  # [B] int32
     seeds: Optional[jnp.ndarray] = None,  # [B] int32 per-request sampling seeds
     steps: Optional[jnp.ndarray] = None,  # [B] int32 per-request max tokens
+    new_table: Optional[jnp.ndarray] = None,  # [B, maxp] page table rows
+    # for the inserted slots (paged KV only; see ops/paged_kv.py)
     *,
     max_steps: int,
     exit_layer: int,
@@ -562,14 +564,35 @@ def _spec_insert_rows(
     and their state is restored wholesale afterwards, so the wasted compute
     is one prompt pass per insertion.
     """
+    from layerskip_tpu.ops.paged_kv import PagedKV
+
     b, p_bucket = ids.shape
     e, w = exit_layer, num_speculations
-    max_len = jax.tree.leaves(s.early)[0].shape[2]
-    # Frozen rows write into a dedicated trash zone at the end of the KV
-    # buffer (the continuous-mode cache allocates ``p_bucket`` extra slots
-    # for exactly this): beyond every possible valid frontier, never visible
-    # to the masking rule, never read.
-    park = jnp.int32(max_len - p_bucket)
+    if isinstance(s.early.k, PagedKV):
+        # paged: the trash region starts at the page-aligned trash_start;
+        # merge the inserted rows' page-table entries (same table for k/v
+        # and both layer groups) BEFORE the prefill writes through it
+        park = jnp.int32(s.early.k.trash_start)
+
+        def upd(pkv: PagedKV) -> PagedKV:
+            tbl = jnp.where(
+                row_mask[None, :, None], new_table[None], pkv.table
+            )
+            return PagedKV(pool=pkv.pool, table=tbl,
+                           capacity=pkv.capacity,
+                           trash_start=pkv.trash_start)
+
+        s = s.replace(
+            early=KVCache(k=upd(s.early.k), v=upd(s.early.v)),
+            full=KVCache(k=upd(s.full.k), v=upd(s.full.v)),
+        )
+    else:
+        max_len = jax.tree.leaves(s.early)[0].shape[2]
+        # Frozen rows write into a dedicated trash zone at the end of the KV
+        # buffer (the continuous-mode cache allocates ``p_bucket`` extra
+        # slots for exactly this): beyond every possible valid frontier,
+        # never visible to the masking rule, never read.
+        park = jnp.int32(max_len - p_bucket)
     past = jnp.where(row_mask, 0, park)
 
     res = llama.forward_split(params, cfg, ids, s.early, s.full, past, e)
@@ -749,23 +772,55 @@ class Engine:
         eos_ids: Tuple[int, ...],
         ngram: int = 0,
         kv_quant: bool = False,
+        paged: Optional[Tuple[int, int]] = None,  # (pool_pages, page_size)
     ):
-        """(blank_state_fn, insert_fn, round_fn) for in-flight batching.
+        """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
+        batching.
 
         The KV cache gets ``prompt_bucket`` extra trailing slots — the trash
-        zone frozen rows write through during other rows' prefills.
+        zone frozen rows write through during other rows' prefills. Under
+        ``paged`` the trash is a dedicated page region instead and slots map
+        logical positions through per-row page tables (ops/paged_kv.py).
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
-               num_speculations, scfg, eos_ids, ngram, kv_quant)
+               num_speculations, scfg, eos_ids, ngram, kv_quant, paged)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = 2 * prompt_bucket + max_steps + num_speculations + 2
         cfg = self.cfg
         e, nl, w = exit_layer, cfg.num_hidden_layers, num_speculations
         out_size = max_steps + num_speculations + 1
+        if paged:
+            from layerskip_tpu.ops.paged_kv import init_paged_group
+
+            assert not kv_quant, "paged + int8 KV not yet composed"
+            pool_pages, page_size = paged
+            capacity = prompt_bucket + max_steps + num_speculations + 2
+
+            def _mk_paged(nlayers):
+                return init_paged_group(
+                    cfg, nlayers, batch, pool_pages, page_size,
+                    capacity, prompt_bucket,
+                )
 
         def blank_state():
             b = batch
+            if paged:
+                return _SpecState(
+                    early=_mk_paged(e),
+                    full=_mk_paged(nl - e),
+                    ctx=jnp.zeros((b,), jnp.int32),
+                    prompt_len=jnp.ones((b,), jnp.int32),
+                    next_tok=jnp.zeros((b, 1), jnp.int32),
+                    out=jnp.zeros((b, out_size), jnp.int32),
+                    hist=jnp.zeros((b, prompt_bucket + out_size), jnp.int32),
+                    out_len=jnp.zeros((b,), jnp.int32),
+                    steps=jnp.full((b,), max_steps, jnp.int32),
+                    done=jnp.ones((b,), bool),
+                    rng=_row_keys(jax.random.PRNGKey(0), b),
+                    matches=jnp.zeros((b,), jnp.int32),
+                    drafts=jnp.zeros((b,), jnp.int32),
+                )
             return _SpecState(
                 early=_mk_group_cache(cfg, e, b, max_cache_len, kv_quant),
                 full=_mk_group_cache(cfg, nl - e, b, max_cache_len, kv_quant),
@@ -782,12 +837,43 @@ class Engine:
                 drafts=jnp.zeros((b,), jnp.int32),
             )
 
-        def insert_fn(params, state, row_mask, ids, true_len, seeds, steps):
-            return _spec_insert_rows(
-                params, cfg, state, row_mask, ids, true_len, seeds, steps,
-                max_steps=max_steps, exit_layer=e, num_speculations=w,
-                scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-            )
+        if paged:
+            def insert_fn(params, state, row_mask, ids, true_len, seeds,
+                          steps, new_table):
+                return _spec_insert_rows(
+                    params, cfg, state, row_mask, ids, true_len, seeds,
+                    steps, new_table,
+                    max_steps=max_steps, exit_layer=e, num_speculations=w,
+                    scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                )
+
+            def park_fn(state, row_mask):
+                """Redirect ``row_mask`` rows' tables to the trash pages —
+                the host may then reclaim their physical pages. (Frozen
+                rows keep writing at their frontier every round, so a
+                slot's pages must never be handed to another slot while
+                its table still points at them.)"""
+                from layerskip_tpu.ops.paged_kv import PagedKV
+
+                def upd(pkv):
+                    trash = jnp.full_like(pkv.table, pool_pages)
+                    tbl = jnp.where(row_mask[None, :, None], trash, pkv.table)
+                    return PagedKV(pool=pkv.pool, table=tbl,
+                                   capacity=pkv.capacity,
+                                   trash_start=pkv.trash_start)
+
+                return state.replace(
+                    early=KVCache(k=upd(state.early.k), v=upd(state.early.v)),
+                    full=KVCache(k=upd(state.full.k), v=upd(state.full.v)),
+                )
+        else:
+            def insert_fn(params, state, row_mask, ids, true_len, seeds, steps):
+                return _spec_insert_rows(
+                    params, cfg, state, row_mask, ids, true_len, seeds, steps,
+                    max_steps=max_steps, exit_layer=e, num_speculations=w,
+                    scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                )
+            park_fn = None
 
         def round_fn(params, state):
             return _spec_round(
@@ -822,6 +908,7 @@ class Engine:
             jax.jit(insert_fn, donate_argnums=(1,)),
             jax.jit(round_fn, donate_argnums=(1,)),
             jax.jit(multi_round_fn, donate_argnums=(1,)),
+            jax.jit(park_fn, donate_argnums=(0,)) if park_fn else None,
         )
         self._stepped_cache[key] = fns
         return fns
@@ -829,7 +916,12 @@ class Engine:
     def continuous_session(
         self, gen_cfg: GenerationConfig, batch: int, prompt_bucket: int,
         eos_ids: Sequence[int] = (),
+        paged_pool_pages: int = 0, page_size: int = 256,
     ) -> "ContinuousSession":
+        """``paged_pool_pages > 0`` switches the session to paged KV: slots
+        draw pages from a shared pool sized for the mean load instead of
+        reserving worst-case contiguous buffers (ops/paged_kv.py), so the
+        same HBM serves ~2x+ the slots under heterogeneous budgets."""
         scfg = SamplingConfig(
             sample=gen_cfg.sample, temperature=gen_cfg.temperature,
             top_k=gen_cfg.top_k, top_p=gen_cfg.top_p,
@@ -838,12 +930,17 @@ class Engine:
         if gen_cfg.stop_token_ids:
             eos = eos + tuple(int(x) for x in gen_cfg.stop_token_ids)
         assert gen_cfg.exit_layer > 0 and gen_cfg.num_speculations > 0
+        paged = (int(paged_pool_pages), int(page_size)) \
+            if paged_pool_pages else None
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
+            paged,
         )
-        return ContinuousSession(self, fns, gen_cfg, batch, prompt_bucket, eos)
+        return ContinuousSession(
+            self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged
+        )
 
     # -- stepped / streaming mode -------------------------------------------
 
@@ -952,17 +1049,36 @@ class ContinuousSession:
     sync per round (the per-row done flags / outputs).
     """
 
-    def __init__(self, engine, fns, gen_cfg, batch, prompt_bucket, eos):
+    def __init__(self, engine, fns, gen_cfg, batch, prompt_bucket, eos,
+                 paged=None):
         import numpy as np
 
         self.engine = engine
-        self._blank, self._insert, self._round, self._multi_round = fns
+        (self._blank, self._insert, self._round, self._multi_round,
+         self._park) = fns
         self.gen_cfg = gen_cfg
         self.batch = batch
         self.prompt_bucket = prompt_bucket
         self.eos = eos
+        self.paged = paged  # (pool_pages, page_size) or None
+        if paged:
+            from layerskip_tpu.ops.paged_kv import PageAllocator, paged_geometry
+
+            pool_pages, page_size = paged
+            capacity = (prompt_bucket + gen_cfg.max_steps
+                        + gen_cfg.num_speculations + 2)
+            _, _, self._max_pages = paged_geometry(
+                capacity, page_size, prompt_bucket
+            )
+            self.allocator = PageAllocator(pool_pages, page_size)
+        else:
+            self.allocator = None
         self.state = self._blank()
         self.active = np.zeros(batch, bool)  # slot occupied by a live request
+        # host mirrors from the last sync, for min_rounds_bound()
+        self._out_len = np.zeros(batch, np.int64)
+        self._steps = np.full(batch, gen_cfg.max_steps, np.int64)
+        self._done = np.ones(batch, bool)
 
     def free_slots(self):
         import numpy as np
@@ -993,12 +1109,56 @@ class ContinuousSession:
                 seed_vec[r] = int(seeds[k])
             if max_tokens is not None and max_tokens[k]:
                 steps_vec[r] = int(max_tokens[k])
+        args = ()
+        if self.paged:
+            # allocate exactly what each request's frontier can reach:
+            # prompt + clipped budget + speculation overhang; everything
+            # past that maps to trash (PagePoolExhausted propagates BEFORE
+            # any device state changes — the scheduler's backpressure)
+            pool_pages, page_size = self.paged
+            w = self.gen_cfg.num_speculations
+            table = np.full((self.batch, self._max_pages), pool_pages,
+                            np.int32)
+            clipped = np.clip(steps_vec, 1, self.gen_cfg.max_steps)
+            snapshot = self.allocator.snapshot()
+            try:
+                for r in rows:
+                    need = int(lens[r]) + int(clipped[r]) + w + 2
+                    pages = self.allocator.allocate(r, need)
+                    table[r, : len(pages)] = pages
+            except Exception:
+                self.allocator.restore(snapshot)  # all-or-nothing
+                raise
+            args = (jnp.asarray(table),)
         self.state = self._insert(
             self.engine.params, self.state,
             jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(lens),
-            jnp.asarray(seed_vec), jnp.asarray(steps_vec),
+            jnp.asarray(seed_vec), jnp.asarray(steps_vec), *args,
         )
         self.active |= mask
+        # keep the host mirrors coherent without an extra device sync:
+        # fresh rows start at out_len 1 (the prefill commits one token) and
+        # a budget of clip(steps, 1, max_steps) (_spec_insert_rows)
+        self._out_len[mask] = 1
+        self._steps[mask] = np.clip(steps_vec, 1, self.gen_cfg.max_steps)[mask]
+        self._done[mask] = False
+
+    def min_rounds_bound(self) -> int:
+        """Rounds no live row can finish within, judging by step budgets.
+
+        Each round commits at least one token per active row, at most
+        W+1 (num_speculations drafts + the extra token); a row whose
+        remaining budget is R can therefore finish no sooner than
+        ceil(R / (W+1)) rounds from the last sync. EOS can still end a row
+        earlier — that delays its harvest (latency), never correctness.
+        Used by the scheduler to dispatch one large fused multi-round step
+        per completion wave instead of one tunnel round-trip per round."""
+        live = self.active & ~self._done
+        if not live.any():
+            return 1
+        remaining = (self._steps - self._out_len)[live].min()
+        w1 = self.gen_cfg.num_speculations + 1
+        return max(int(-(-int(remaining) // w1)), 1)
 
     def step(self, max_rounds: int = 1):
         """Run up to ``max_rounds`` draft+verify rounds in one dispatch
@@ -1011,15 +1171,23 @@ class ContinuousSession:
         self.state = self._multi_round(
             self.engine.params, self.state, jnp.int32(max_rounds)
         )
-        done = np.asarray(self.state.done)
+        # one combined device->host sync for all per-round scalars
+        done, out_len_d, steps_d = jax.device_get(
+            (self.state.done, self.state.out_len, self.state.steps)
+        )
+        done = np.array(done, dtype=bool)  # writable host copies
+        self._done = done
+        self._out_len = np.array(out_len_d, dtype=np.int64)
+        self._steps = np.array(steps_d, dtype=np.int64)
         finished = []
         newly = [r for r in range(self.batch) if self.active[r] and done[r]]
         if newly:
-            outs = np.asarray(self.state.out)
-            lens = np.asarray(self.state.out_len)
-            matches = np.asarray(self.state.matches)
-            drafts = np.asarray(self.state.drafts)
-            steps_arr = np.asarray(self.state.steps)
+            outs, matches, drafts = jax.device_get(
+                (self.state.out, self.state.matches, self.state.drafts)
+            )
+            outs = np.asarray(outs)
+            matches, drafts = np.asarray(matches), np.asarray(drafts)
+            lens, steps_arr = self._out_len, self._steps
             for r in newly:
                 toks = outs[r][: min(int(lens[r]), int(steps_arr[r]))]
                 toks = toks.tolist()
@@ -1033,6 +1201,32 @@ class ContinuousSession:
 
     def has_active(self) -> bool:
         return bool(self.active.any())
+
+    def park_free_slots(self) -> int:
+        """Reclaim pages of finished-but-not-refilled slots (paged only).
+
+        A frozen row keeps writing at its frontier every round, so its pages
+        cannot be handed to another slot while its table points at them: one
+        small dispatch redirects all inactive rows' tables to the trash
+        pages, after which their physical pages are safe to free. Called by
+        the scheduler only on PagePoolExhausted (cross-slot reclaim);
+        ordinary slot reuse frees pages inside PageAllocator.allocate().
+        Returns the number of pages reclaimed."""
+        import numpy as np
+
+        if not self.paged:
+            return 0
+        idle = ~self.active
+        owned = [r for r in range(self.batch)
+                 if idle[r] and self.allocator._owned.get(r)]
+        if not owned:
+            return 0
+        self.state = self._park(self.state, jnp.asarray(idle))
+        freed = 0
+        for r in owned:
+            freed += len(self.allocator._owned.get(r, ()))
+            self.allocator.release(r)
+        return freed
 
 
 def _pad_prompts(prompt_ids, fixed_bucket=None):

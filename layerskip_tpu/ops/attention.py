@@ -74,6 +74,7 @@ def gqa_attention(
     own visibility frontier.
     """
     from layerskip_tpu.ops.kv_cache import QuantKV
+    from layerskip_tpu.ops.paged_kv import PagedKV
 
     b, t, hq, dh = q.shape
     q_positions = jnp.broadcast_to(
@@ -82,7 +83,21 @@ def gqa_attention(
     # windowed visibility is one extra clause on the masking rule, carried
     # straight into every kernel (Mistral no longer falls back to dense)
     _window = int(sliding_window) if sliding_window is not None else 0
-    if isinstance(k_cache, QuantKV):
+    if isinstance(k_cache, PagedKV):
+        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+            from layerskip_tpu.ops.pallas.paged_decode import (
+                paged_decode_attention,
+            )
+
+            return paged_decode_attention(
+                q, k_cache.pool, v_cache.pool, k_cache.table, q_positions,
+                q_heads_per_kv=q_heads_per_kv, sliding_window=_window,
+            )
+        # XLA fallback (CPU tests / long-query): materialize the logical
+        # per-slot view by gathering pages, then the dense masked path
+        k_cache = k_cache.gather_view(q.dtype)
+        v_cache = v_cache.gather_view(q.dtype)
+    elif isinstance(k_cache, QuantKV):
         if _use_pallas(q.shape[1], k_cache.q.shape[1], q.shape[3]):
             # fused int8-KV kernel: dequant happens in VMEM
             from layerskip_tpu.ops.pallas.decode_attention import (

@@ -79,7 +79,9 @@ def write_kv(
     ``write_pos`` is a scalar (shared frontier) or a [B] vector (per-row
     frontiers — continuous batching).
     """
-    if isinstance(k_layer, QuantKV):
+    from layerskip_tpu.ops.paged_kv import PagedKV
+
+    if isinstance(k_layer, (QuantKV, PagedKV)):
         return (
             k_layer.write(k_new, write_pos),
             v_layer.write(v_new, write_pos),

@@ -1,0 +1,194 @@
+"""Paged KV cache: shared page pool + per-slot page tables.
+
+Many-slot continuous serving cannot afford one worst-case-length KV buffer
+per slot: at B slots x (prompt_bucket + max_steps) tokens, most of the HBM
+reserved is never written (short prompts, short budgets, early EOS). Paged
+allocation decouples *logical* per-slot capacity from *physical* HBM: a slot
+owns just enough fixed-size pages to cover its prompt + token budget +
+speculation overhang, drawn from a pool shared by every slot, so the pool is
+sized for the mean load rather than slots x worst case.
+
+No reference counterpart — the reference holds one contiguous torch KV per
+generation at batch=1 (self_speculation/llama_model_utils.py:134-149); this
+is the TPU-native scale-out of its cache model (SURVEY §5.7 long-context /
+serving gap; vLLM-style paging re-thought for static shapes).
+
+Design (all shapes static, everything jit-compatible):
+
+  * pool: ``[P, Hkv, page, Dh]`` per layer (stacked ``[L, P, Hkv, page,
+    Dh]`` at rest) — page-major, head-contiguous so a Pallas KV block is
+    one ``(page, Dh)`` tile per head.
+  * table: ``[B, max_pages]`` int32 — slot row -> pool page per logical
+    page index. A logical position ``p`` lives at
+    ``pool[table[b, p // page], :, p % page]``.
+  * Unmapped/overflow entries point at dedicated **trash pages** at the
+    pool's end. Writes beyond a slot's mapped capacity land there (e.g.
+    padded prompt tails, frozen rows parked during other rows' prefills —
+    generation/engine.py insert path) and are never visible to attention:
+    the masking rule ``key <= q_pos`` combined with the allocator mapping
+    every position a frontier can reach guarantees trash is never read as
+    a live key.
+  * Allocation/free is host-side (ContinuousSession holds the free list);
+    the device program only ever sees a fully-built table per dispatch.
+
+The table is replicated per layer (``[L, B, max_pages]``, a few KB) so the
+pool + table travel together through ``lax.scan`` over layers exactly like
+the dense/int8 caches — no model-code signature changes (write_kv and
+gqa_attention dispatch on the ``PagedKV`` type, as with ``QuantKV``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from layerskip_tpu.config import ModelConfig
+
+
+@struct.dataclass
+class PagedKV:
+    """One K or V paged buffer (per layer group; leaves stacked over L).
+
+    pool: [(L,) P, Hkv, page, Dh]; table: [(L,) B, max_pages] int32.
+    ``capacity`` is the logical per-slot token capacity the table maps
+    (excluding the trash region); ``trash_start`` is the page-aligned
+    logical position where park/overflow writes begin.
+    """
+
+    pool: jnp.ndarray
+    table: jnp.ndarray
+    capacity: int = struct.field(pytree_node=False)
+    trash_start: int = struct.field(pytree_node=False)
+
+    @property
+    def page_size(self) -> int:
+        return self.pool.shape[-2]
+
+    @property
+    def max_pages(self) -> int:
+        return self.table.shape[-1]
+
+    def write(self, new: jnp.ndarray, write_pos: jnp.ndarray) -> "PagedKV":
+        """Scatter a [B, T, Hkv, Dh] block at logical offset ``write_pos``
+        ([] or [B]) through the page table (per-layer view: pool
+        [P, Hkv, pg, Dh], table [B, maxp])."""
+        b, t, hkv, dh = new.shape
+        pg = self.page_size
+        pos = jnp.broadcast_to(
+            write_pos.astype(jnp.int32).reshape(-1, 1) if write_pos.ndim
+            else write_pos.astype(jnp.int32), (b, 1)
+        ) + jnp.arange(t, dtype=jnp.int32)[None, :]  # [B, T] logical
+        # clamp into the table (positions past the trash region wrap onto
+        # the last trash page; they are never read back)
+        lp = jnp.minimum(pos // pg, self.max_pages - 1)  # [B, T] logical page
+        pidx = jnp.take_along_axis(self.table, lp, axis=1)  # [B, T] pool page
+        poff = pos % pg
+        # advanced indices at axes 0 and 2 -> scatter of [B, T, Hkv, Dh]
+        pool = self.pool.at[pidx, :, poff].set(
+            new.astype(self.pool.dtype), mode="drop"
+        )
+        return PagedKV(pool=pool, table=self.table,
+                       capacity=self.capacity, trash_start=self.trash_start)
+
+    def gather_view(self, dtype=None) -> jnp.ndarray:
+        """Materialize the logical [B, max_pages*page, Hkv, Dh] view (XLA
+        fallback path / tests; the Pallas kernel reads pages in place)."""
+        b = self.table.shape[0]
+        pg, hkv, dh = self.page_size, self.pool.shape[1], self.pool.shape[3]
+        v = jnp.take(self.pool, self.table.reshape(-1), axis=0)
+        v = v.reshape(b, self.max_pages, hkv, pg, dh)
+        v = v.transpose(0, 1, 3, 2, 4).reshape(b, self.max_pages * pg, hkv, dh)
+        return v if dtype is None else v.astype(dtype)
+
+
+def paged_geometry(
+    capacity: int, page_size: int, prompt_bucket: int
+) -> Tuple[int, int, int]:
+    """(cap_pages, trash_pages, max_pages) for a logical per-slot
+    ``capacity`` plus a trash region absorbing ``prompt_bucket`` parked
+    writes starting at the page-aligned ``trash_start = cap_pages * page``."""
+    cap_pages = -(-capacity // page_size)
+    trash_pages = -(-prompt_bucket // page_size)
+    return cap_pages, trash_pages, cap_pages + trash_pages
+
+
+def init_paged_group(
+    cfg: ModelConfig,
+    nlayers: int,
+    batch: int,
+    pool_pages: int,
+    page_size: int,
+    capacity: int,
+    prompt_bucket: int,
+    dtype=None,
+):
+    """KVCache-shaped (k, v) pair of stacked PagedKV buffers.
+
+    ``pool_pages`` counts *allocatable* pages; the trash pages are appended
+    on top. All table entries start pointing at the first trash page."""
+    from layerskip_tpu.ops.kv_cache import KVCache
+
+    dtype = dtype or cfg.dtype
+    cap_pages, trash_pages, max_pages = paged_geometry(
+        capacity, page_size, prompt_bucket
+    )
+    total = pool_pages + trash_pages
+    shape = (nlayers, total, cfg.num_key_value_heads, page_size, cfg.head_dim)
+    table = jnp.full((nlayers, batch, max_pages), pool_pages, jnp.int32)
+    mk = lambda: PagedKV(  # noqa: E731
+        pool=jnp.zeros(shape, dtype), table=table,
+        capacity=cap_pages * page_size, trash_start=cap_pages * page_size,
+    )
+    return KVCache(k=mk(), v=mk())
+
+
+class PageAllocator:
+    """Host-side free-list allocator over ``pool_pages`` physical pages.
+
+    Trash pages (indices >= pool_pages) are permanently mapped and never
+    allocated. Raised ``PagePoolExhausted`` is the scheduler's backpressure
+    signal: the request waits until a finished slot frees its pages."""
+
+    def __init__(self, pool_pages: int, page_size: int):
+        self.page_size = page_size
+        self.pool_pages = pool_pages
+        self._free = list(range(pool_pages - 1, -1, -1))  # pop() -> page 0 first
+        self._owned = {}  # slot -> [page, ...]
+
+    def free_pages(self) -> int:
+        return len(self._free)
+
+    def pages_needed(self, tokens: int) -> int:
+        return -(-max(int(tokens), 1) // self.page_size)
+
+    def allocate(self, slot: int, tokens: int):
+        """Map ``tokens`` logical positions for ``slot``; returns the page
+        list. Frees the slot's previous pages first (slot reuse)."""
+        self.release(slot)
+        need = self.pages_needed(tokens)
+        if need > len(self._free):
+            raise PagePoolExhausted(
+                f"need {need} pages for slot {slot}, "
+                f"{len(self._free)} free of {self.pool_pages}"
+            )
+        pages = [self._free.pop() for _ in range(need)]
+        self._owned[slot] = pages
+        return pages
+
+    def release(self, slot: int) -> None:
+        self._free.extend(self._owned.pop(slot, ()))
+
+    def snapshot(self):
+        return list(self._free), {s: list(p) for s, p in self._owned.items()}
+
+    def restore(self, snap) -> None:
+        self._free, self._owned = list(snap[0]), {
+            s: list(p) for s, p in snap[1].items()
+        }
+
+
+class PagePoolExhausted(RuntimeError):
+    pass

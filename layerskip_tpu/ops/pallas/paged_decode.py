@@ -1,0 +1,151 @@
+"""Pallas TPU kernel: paged GQA decode/verify attention.
+
+Same online-softmax structure as ``decode_attention`` (decode_attention.py:
+grid (B, Hkv, blocks), flash-style (m, l, acc) scratch, visibility computed
+in-kernel from the per-row position vector) — but the KV block for grid step
+``n`` is fetched **through the page table**: the BlockSpec index_map reads
+the scalar-prefetched ``table[B, max_pages]`` and maps logical page ``n`` of
+row ``i`` to physical pool page ``table[i, n]``. One page = one KV block, so
+paging costs no extra HBM traffic over the contiguous kernel; pages are
+simply visited in logical order wherever they physically live.
+
+The pool is stored page-major/head-contiguous ``[P, Hkv, page, Dh]`` so a
+block is one ``(page, Dh)`` tile per head. Masking is identical to the
+contiguous kernel: key ``j`` visible iff ``j <= q_pos`` (and
+``j > q_pos - window`` under a sliding window); logical key indices come
+from the grid step, so trash-mapped pages beyond a row's mapped capacity are
+never visible (see ops/paged_kv.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from layerskip_tpu.ops.pallas.decode_attention import NEG_INF, _online_block
+
+
+def _paged_kernel(
+    table_ref,  # [B, maxp] int32 scalar-prefetch (index_map only)
+    pos_ref,  # [1, TG, 1] int32 per-q-row absolute positions
+    q_ref,  # [1, 1, TG, Dh]
+    k_ref,  # [1, 1, pg, Dh] — pool page table_ref[i, n], head j
+    v_ref,  # [1, 1, pg, Dh]
+    o_ref,  # [1, 1, TG, Dh]
+    m_scr,  # [TG, 1] f32
+    l_scr,  # [TG, 1] f32
+    acc_scr,  # [TG, Dh] f32
+    *,
+    scale: float,
+    page: int,
+    window: int,
+):
+    nb = pl.program_id(2)
+    tg = q_ref.shape[2]
+
+    @pl.when(nb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    pos = pos_ref[0]  # [TG, 1]
+    start = nb * page  # logical key offset of this page
+    pos_max = jnp.max(pos)
+    visible = start <= pos_max
+    if window > 0:
+        pos_min = jnp.min(pos)
+        visible = jnp.logical_and(visible, start + page > pos_min - window + 1)
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)  # [TG, Dh]
+        k = k_ref[0, 0].astype(jnp.float32)  # [pg, Dh]
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # [TG, pg]
+        key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (tg, page), 1)
+        mask = key_idx <= pos
+        if window > 0:
+            mask = jnp.logical_and(mask, key_idx > pos - window)
+        scores = jnp.where(mask, scores, NEG_INF)
+        _online_block(scores, v_ref[0, 0].astype(jnp.float32),
+                      m_scr, l_scr, acc_scr)
+
+    @pl.when(nb == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window", "interpret")
+)
+def paged_decode_attention(
+    q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
+    k_pool: jnp.ndarray,  # [P, Hkv, page, Dh]
+    v_pool: jnp.ndarray,  # [P, Hkv, page, Dh]
+    table: jnp.ndarray,  # [B, max_pages] int32
+    q_positions: jnp.ndarray,  # [T] or [B, T] int32 logical positions
+    *,
+    q_heads_per_kv: int,
+    sliding_window: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused short-query GQA attention over a paged KV pool; [B, T, Hq, Dh]."""
+    from layerskip_tpu.ops.pallas.decode_attention import _row_positions
+
+    b, t, hq, dh = q.shape
+    hkv, page = k_pool.shape[1], k_pool.shape[2]
+    maxp = table.shape[1]
+    g = q_heads_per_kv
+    assert hq == hkv * g
+
+    q_rows = (
+        q.reshape(b, t, hkv, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, hkv, t * g, dh)
+    )
+    rowpos = _row_positions(q_positions, b, t, g)
+    tg = t * g
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # the page table
+        grid=(b, hkv, maxp),
+        in_specs=[
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
+            pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, page, dh),
+                         lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
+            pl.BlockSpec((1, 1, page, dh),
+                         lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tg, 1), jnp.float32),
+            pltpu.VMEM((tg, 1), jnp.float32),
+            pltpu.VMEM((tg, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_kernel, scale=1.0 / (dh ** 0.5), page=page,
+            window=int(sliding_window or 0),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, tg, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hkv * tg * maxp * page * dh,
+            bytes_accessed=2 * b * maxp * page * hkv * dh
+            * k_pool.dtype.itemsize,
+            transcendentals=b * hkv * tg * maxp * page,
+        ),
+    )(table, rowpos, q_rows, k_pool, v_pool)
+
+    return (
+        out.reshape(b, hkv, t, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, dh)
+    )

@@ -185,12 +185,18 @@ class ContinuousBatchScheduler:
         batch_size: int = 4,
         prompt_bucket: int = 256,
         eos_ids: Sequence[int] = (),
+        max_wave_rounds: int = 128,
+        paged_pool_pages: int = 0,  # >0: paged KV pool (ops/paged_kv.py)
+        page_size: int = 256,
     ):
         self.engine = engine
         self.gen_cfg = gen_cfg
+        self.max_wave_rounds = max(int(max_wave_rounds), 1)
         self.session = engine.continuous_session(
-            gen_cfg, batch_size, prompt_bucket, eos_ids
+            gen_cfg, batch_size, prompt_bucket, eos_ids,
+            paged_pool_pages=paged_pool_pages, page_size=page_size,
         )
+        self._held: List[_Request] = []  # backpressured: waiting for pages
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slot_req = {}
         self._stop = threading.Event()
@@ -222,22 +228,61 @@ class ContinuousBatchScheduler:
             self._thread.join(timeout=10)
 
     def _fill_slots(self, block: bool) -> None:
+        from layerskip_tpu.ops.paged_kv import PagePoolExhausted
+
         free = self.session.free_slots()
-        rows, prompts, seeds, budgets = [], [], [], []
+        rows, prompts, seeds, budgets, reqs = [], [], [], [], []
         for slot in free:
-            try:
-                req = self._queue.get(timeout=0.05 if block and not rows else 0)
-            except queue.Empty:
-                break
+            if self._held:
+                req = self._held.pop(0)
+            else:
+                try:
+                    req = self._queue.get(
+                        timeout=0.05 if block and not rows else 0
+                    )
+                except queue.Empty:
+                    break
             rows.append(slot)
             prompts.append(req.prompt_ids)
             seeds.append(req.rng_seed)
             budgets.append(req.max_tokens)
+            reqs.append(req)
             self._slot_req[slot] = req
         if rows:
             try:
                 self.session.insert(rows, prompts, seeds=seeds,
                                     max_tokens=budgets)
+            except PagePoolExhausted as exc:
+                # reclaim finished slots' pages, then admit the longest
+                # FIFO prefix that fits — page allocation happens host-side
+                # before any dispatch (and rolls back on failure), so probing
+                # prefixes is free and the admitted prefix costs ONE prefill
+                # dispatch; the rest waits for completions to free pages
+                # (admission control, not an error)
+                self.session.park_free_slots()
+                al = self.session.allocator
+                admitted_stop = 0
+                for n in range(len(rows), 0, -1):
+                    try:
+                        self.session.insert(
+                            rows[:n], prompts[:n], seeds=seeds[:n],
+                            max_tokens=budgets[:n],
+                        )
+                        admitted_stop = n
+                        break
+                    except PagePoolExhausted:
+                        continue
+                for slot, req in list(zip(rows, reqs))[admitted_stop:]:
+                    self._slot_req.pop(slot, None)
+                    need = (
+                        min(len(req.prompt_ids), self.session.prompt_bucket)
+                        + (req.max_tokens or self.gen_cfg.max_steps)
+                        + self.gen_cfg.num_speculations + 2
+                    )
+                    if al.pages_needed(need) > al.pool_pages:
+                        req.future.set_exception(exc)  # can never fit
+                    else:
+                        self._held.append(req)
             except Exception as exc:
                 for slot in rows:
                     req = self._slot_req.pop(slot)
@@ -250,10 +295,19 @@ class ContinuousBatchScheduler:
             if not self.session.has_active():
                 continue
             # amortize per-round syncs whenever no waiting request could
-            # join anyway (all slots busy, or nothing queued); step singly
-            # only while a free slot could be filled promptly
+            # join anyway (all slots busy, or nothing queued): dispatch one
+            # fused multi-round step sized so it returns exactly when the
+            # earliest row *could* have finished its budget
+            # (ContinuousSession.min_rounds_bound) — under uniform budgets a
+            # whole completion wave becomes ONE tunnel round-trip, matching
+            # the gather scheduler's dispatch economics. Step singly only
+            # while a free slot could be filled promptly. EOS can finish a
+            # row mid-dispatch; max_wave_rounds caps how long such a row
+            # waits for harvest.
             can_join = bool(self.session.free_slots()) and not self._queue.empty()
-            rounds = 1 if can_join else 8
+            rounds = 1 if can_join else min(
+                self.session.min_rounds_bound(), self.max_wave_rounds
+            )
             try:
                 finished = self.session.step(max_rounds=rounds)
             except Exception as exc:
@@ -375,6 +429,10 @@ def main():
     ap.add_argument("--continuous", action="store_true",
                     help="in-flight continuous batching (one shared config)")
     ap.add_argument("--prompt-bucket", type=int, default=256)
+    ap.add_argument("--paged-pool-pages", type=int, default=0,
+                    help="with --continuous: paged KV, pool of N shared "
+                         "pages instead of per-slot worst-case buffers")
+    ap.add_argument("--page-size", type=int, default=256)
     ap.add_argument("--generation_strategy", default="self_speculative")
     ap.add_argument("--exit_layer", type=int, default=8)
     ap.add_argument("--num_speculations", type=int, default=6)
@@ -395,6 +453,7 @@ def main():
         sched = ContinuousBatchScheduler(
             engine, default_cfg, batch_size=args.batch_size,
             prompt_bucket=args.prompt_bucket,
+            paged_pool_pages=args.paged_pool_pages, page_size=args.page_size,
         ).start()
     else:
         sched = BatchScheduler(engine, batch_size=args.batch_size).start()

@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--quant", action="store_true")
     ap.add_argument("--varied", action="store_true",
                     help="heterogeneous per-request token budgets (32..max)")
+    ap.add_argument("--paged", action="store_true",
+                    help="also run paged-KV continuous at 2x the slots "
+                         "inside the SAME KV byte budget as the static "
+                         "continuous scheduler")
+    ap.add_argument("--page-size", type=int, default=128)
     args = ap.parse_args()
 
     import jax
@@ -77,6 +82,25 @@ def main():
     finally:
         cont.stop()
 
+    paged_tps = None
+    if args.paged:
+        # paged KV: 2x the slots, pool capped at the *same token capacity*
+        # the static continuous scheduler reserved (batch x (2*pb+steps+W+2))
+        pb = 64
+        static_tokens = args.batch * (2 * pb + args.max_steps + args.spec + 2)
+        pool_pages = static_tokens // args.page_size
+        paged = ContinuousBatchScheduler(
+            engine, gen, batch_size=2 * args.batch, prompt_bucket=pb,
+            paged_pool_pages=pool_pages, page_size=args.page_size,
+        ).start()
+        try:
+            paged_tps = run(lambda p, bdg: paged.submit(p, max_tokens=bdg))
+            print(f"[serve] paged(2x slots, same KV bytes): "
+                  f"{paged_tps:.1f} tok/s "
+                  f"(pool={pool_pages}x{args.page_size})", file=sys.stderr)
+        finally:
+            paged.stop()
+
     gather = BatchScheduler(engine, batch_size=args.batch).start()
     try:
         # gather expresses per-request budgets as distinct configs (its only
@@ -99,6 +123,8 @@ def main():
         "continuous": round(cont_tps, 1),
         "gather": round(gather_tps, 1),
         "unit": "tok/s",
+        **({"paged_2x_slots": round(paged_tps, 1)}
+           if paged_tps is not None else {}),
     }))
 
 

@@ -1,0 +1,254 @@
+"""Paged KV cache: write/gather parity, attention equivalence, allocator,
+and the paged Pallas kernel (interpret mode).
+
+The paged cache must be *observationally identical* to the contiguous cache
+for any logical access pattern — pages only change where bytes live, never
+what attention sees (ops/paged_kv.py; no reference counterpart, the
+reference's cache is one contiguous torch buffer at batch=1,
+self_speculation/llama_model_utils.py:134-149)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from layerskip_tpu.config import tiny_config
+from layerskip_tpu.ops import attention as attn_mod
+from layerskip_tpu.ops.paged_kv import (
+    PageAllocator,
+    PagePoolExhausted,
+    PagedKV,
+    init_paged_group,
+    paged_geometry,
+)
+
+
+def _mk_paged(b=2, pool_pages=8, pg=16, cap=48, hkv=2, dh=128, seed=0):
+    """Single-layer-view PagedKV with an identity-ish table mapping."""
+    cap_pages, trash_pages, maxp = paged_geometry(cap, pg, prompt_bucket=16)
+    total = pool_pages + trash_pages
+    pool = jnp.zeros((total, hkv, pg, dh), jnp.float32)
+    # map rows to disjoint page runs, deliberately scrambled
+    table = np.full((b, maxp), pool_pages, np.int32)  # default: trash
+    perm = np.random.RandomState(seed).permutation(pool_pages)
+    per = cap_pages
+    for r in range(b):
+        table[r, :per] = perm[r * per:(r + 1) * per]
+    return PagedKV(
+        pool=pool, table=jnp.asarray(table),
+        capacity=cap_pages * pg, trash_start=cap_pages * pg,
+    )
+
+
+def test_paged_write_gather_roundtrip():
+    pg, cap = 16, 48
+    kv = _mk_paged(pg=pg, cap=cap)
+    rng = np.random.default_rng(0)
+    # scattered writes: a prompt block at 0, then decode steps at offsets
+    blk = jnp.asarray(rng.standard_normal((2, 7, 2, 128)), jnp.float32)
+    kv = kv.write(blk, jnp.asarray([0, 3], jnp.int32))  # per-row offsets
+    one = jnp.asarray(rng.standard_normal((2, 1, 2, 128)), jnp.float32)
+    kv = kv.write(one, jnp.asarray([15, 16], jnp.int32))  # page-boundary
+
+    view = np.asarray(kv.gather_view())
+    np.testing.assert_allclose(view[0, 0:7], np.asarray(blk)[0])
+    np.testing.assert_allclose(view[1, 3:10], np.asarray(blk)[1])
+    np.testing.assert_allclose(view[0, 15:16], np.asarray(one)[0])
+    np.testing.assert_allclose(view[1, 16:17], np.asarray(one)[1])
+
+
+def test_paged_write_beyond_capacity_lands_in_trash():
+    """Park writes (frozen rows) go to trash pages, never into mapped KV."""
+    kv = _mk_paged()
+    marked = kv.write(
+        jnp.full((2, 4, 2, 128), 7.0, jnp.float32),
+        jnp.asarray([0, 0], jnp.int32),
+    )
+    trashed = marked.write(
+        jnp.full((2, 4, 2, 128), 99.0, jnp.float32),
+        jnp.full((2,), marked.trash_start, jnp.int32),
+    )
+    view = np.asarray(trashed.gather_view())
+    assert (view[:, :4] == 7.0).all()
+    assert not (view[:, :trashed.capacity] == 99.0).any()
+
+
+def test_paged_attention_matches_dense():
+    """gqa_attention over PagedKV == over the equivalent contiguous cache."""
+    b, t, hkv, g, dh, pg, cap = 2, 3, 2, 2, 128, 16, 48
+    rng = np.random.default_rng(2)
+    kv_k = _mk_paged(b=b, pg=pg, cap=cap, seed=3)
+    kv_v = _mk_paged(b=b, pg=pg, cap=cap, seed=3)  # same table as k
+    prompt = jnp.asarray(rng.standard_normal((b, 20, hkv, dh)), jnp.float32)
+    kv_k = kv_k.write(prompt, jnp.asarray([0, 0], jnp.int32))
+    vv = jnp.asarray(rng.standard_normal((b, 20, hkv, dh)), jnp.float32)
+    kv_v = kv_v.write(vv, jnp.asarray([0, 0], jnp.int32))
+
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    qpos = jnp.asarray([[17, 18, 19], [12, 13, 14]], jnp.int32)
+
+    got = attn_mod.gqa_attention(q, kv_k, kv_v, qpos, q_heads_per_kv=g)
+
+    # contiguous reference: logical view, same positions
+    k_dense = kv_k.gather_view()
+    v_dense = kv_v.gather_view()
+    want = attn_mod.gqa_attention(q, k_dense, v_dense, qpos, q_heads_per_kv=g)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("t,g,window", [(1, 2, 0), (7, 2, 0), (4, 1, 9)])
+def test_paged_kernel_matches_fallback(t, g, window):
+    """Pallas paged kernel (interpret) == XLA gather fallback."""
+    from layerskip_tpu.ops.pallas.paged_decode import paged_decode_attention
+
+    b, hkv, dh, pg, cap = 2, 2, 128, 128, 256
+    rng = np.random.default_rng(4)
+    kv_k = _mk_paged(b=b, pool_pages=6, pg=pg, cap=cap, hkv=hkv, seed=5)
+    kv_v = _mk_paged(b=b, pool_pages=6, pg=pg, cap=cap, hkv=hkv, seed=5)
+    kb = jnp.asarray(rng.standard_normal((b, 200, hkv, dh)), jnp.float32)
+    vb = jnp.asarray(rng.standard_normal((b, 200, hkv, dh)), jnp.float32)
+    kv_k = kv_k.write(kb, jnp.asarray([0, 0], jnp.int32))
+    kv_v = kv_v.write(vb, jnp.asarray([0, 0], jnp.int32))
+
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    qpos = jnp.asarray(
+        [np.arange(150, 150 + t), np.arange(90, 90 + t)], jnp.int32
+    )
+    got = paged_decode_attention(
+        q, kv_k.pool, kv_v.pool, kv_k.table, qpos,
+        q_heads_per_kv=g, sliding_window=window, interpret=True,
+    )
+    k_dense = kv_k.gather_view()
+    v_dense = kv_v.gather_view()
+    want = attn_mod.gqa_attention(
+        q, k_dense, v_dense, qpos, q_heads_per_kv=g, sliding_window=window,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_page_allocator():
+    al = PageAllocator(pool_pages=6, page_size=16)
+    p0 = al.allocate(0, 40)  # 3 pages
+    assert len(p0) == 3 and al.free_pages() == 3
+    p1 = al.allocate(1, 33)  # 3 pages
+    assert al.free_pages() == 0 and not (set(p0) & set(p1))
+    with pytest.raises(PagePoolExhausted):
+        al.allocate(2, 1)
+    al.release(0)
+    assert al.free_pages() == 3
+    p2 = al.allocate(2, 16 * 3)
+    assert sorted(p2) == sorted(p0)
+    # slot reuse frees the old mapping first
+    al.allocate(1, 16)
+    assert al.free_pages() == 2
+
+
+# --- end-to-end: paged continuous serving ----------------------------------
+
+
+def _tiny_engine():
+    from layerskip_tpu.generation.engine import Engine
+    from layerskip_tpu.models.params import init_params
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    return Engine(params, cfg)
+
+
+def test_paged_session_equals_static_session():
+    """Paged continuous decoding is observationally identical to the
+    contiguous-cache session (same tokens, row by row)."""
+    from layerskip_tpu.config import GenerationConfig
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=16, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompts = [[3, 17, 52], [5, 9], [7, 7, 7, 11], [2]]
+    budgets = [16, 9, 12, 16]
+
+    # simpler deterministic drive: run pairs to completion, then next pair
+    def drive2(session):
+        results = {}
+        pair = [(0, prompts[0], budgets[0]), (1, prompts[1], budgets[1])]
+        session.insert([r for r, _, _ in pair], [p for _, p, _ in pair],
+                       seeds=[0, 0], max_tokens=[b for _, _, b in pair])
+        while session.has_active():
+            for r, toks, _ in session.step(max_rounds=3):
+                results[r] = toks
+        pair = [(0, prompts[2], budgets[2]), (1, prompts[3], budgets[3])]
+        session.insert([r for r, _, _ in pair], [p for _, p, _ in pair],
+                       seeds=[0, 0], max_tokens=[b for _, _, b in pair])
+        while session.has_active():
+            for r, toks, _ in session.step(max_rounds=3):
+                results[2 + r] = toks
+        return results
+
+    static = drive2(engine.continuous_session(gen, batch=2, prompt_bucket=16))
+    paged = drive2(engine.continuous_session(
+        gen, batch=2, prompt_bucket=16,
+        paged_pool_pages=8, page_size=16,
+    ))
+    assert static == paged
+    assert all(len(static[i]) == min(budgets[i], 16) or static[i]
+               for i in range(4))
+
+
+def test_paged_scheduler_backpressure():
+    """Pool deliberately too small for all slots at once: requests must
+    queue behind page availability and still all complete correctly."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    # per request: 16 prompt-bucket cap, need <= ceil((3+12+5)/16)=2 pages;
+    # 4 slots x 2 = 8 pages to run all at once — give it only 5
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=4, prompt_bucket=16,
+        paged_pool_pages=5, page_size=16,
+    ).start()
+    try:
+        futs = [sched.submit([3 + i, 17, 52], max_tokens=12)
+                for i in range(8)]
+        outs = [f.result(timeout=600) for f in futs]
+    finally:
+        sched.stop()
+    # all complete, and a given prompt yields the solo-engine tokens
+    from layerskip_tpu.generation.engine import postprocess_output
+    import dataclasses as dc
+
+    for i, toks in enumerate(outs):
+        want = postprocess_output(
+            engine.generate([3 + i, 17, 52], dc.replace(gen, max_steps=12),
+                            jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
+            engine.cfg.eos_token_ids, 12)
+        assert toks == want, i
+
+
+def test_paged_request_too_large_fails_cleanly():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+    from layerskip_tpu.ops.paged_kv import PagePoolExhausted
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=32, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16,
+        paged_pool_pages=2, page_size=16,  # can never fit 16+32+5 tokens
+    ).start()
+    try:
+        with pytest.raises(PagePoolExhausted):
+            sched.generate([1, 2, 3], timeout=120)
+    finally:
+        sched.stop()

@@ -347,3 +347,34 @@ def test_continuous_per_request_max_tokens(engine):
         assert futs[0].result() == want4
     finally:
         sched.stop()
+
+
+def test_continuous_min_rounds_bound(engine):
+    """min_rounds_bound: wave-sized dispatches stay within budget safety.
+
+    A row with remaining budget R commits at most W+1 tokens per round, so
+    it cannot finish in fewer than ceil(R / (W+1)) rounds — the scheduler
+    dispatches exactly that many rounds per tunnel round-trip."""
+    gen = GenerationConfig(
+        max_steps=16, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    sess = engine.continuous_session(gen, batch=2, prompt_bucket=16,
+                                     eos_ids=[250])
+    assert sess.min_rounds_bound() == 1  # nothing live
+    sess.insert([0, 1], [[3, 17, 52], [5, 9]], max_tokens=[9, 16])
+    # row 0: 1 committed, 8 remaining, W+1=4 -> ceil(8/4)=2
+    assert sess.min_rounds_bound() == 2
+    done_rows = []
+    while sess.has_active():
+        done_rows += sess.step(max_rounds=sess.min_rounds_bound())
+    lens = {r: len(t) for r, t, _ in done_rows}
+    assert lens == {0: 9, 1: 16}
+    # outputs equal the solo engine run at the same budget
+    import dataclasses as dc
+
+    want = postprocess_output(
+        engine.generate([3, 17, 52], dc.replace(gen, max_steps=9),
+                        jax.random.PRNGKey(0), [250]), [250], 9)
+    got = next(t for r, t, _ in done_rows if r == 0)
+    assert got == want
