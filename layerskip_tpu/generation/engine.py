@@ -564,23 +564,21 @@ def _spec_insert_rows(
     and their state is restored wholesale afterwards, so the wasted compute
     is one prompt pass per insertion.
     """
-    from layerskip_tpu.ops.paged_kv import PagedKV
+    from layerskip_tpu.ops.paged_kv import PagedKV, PagedQuantKV
 
     b, p_bucket = ids.shape
     e, w = exit_layer, num_speculations
-    if isinstance(s.early.k, PagedKV):
+    if isinstance(s.early.k, (PagedKV, PagedQuantKV)):
         # paged: the trash region starts at the page-aligned trash_start;
         # merge the inserted rows' page-table entries (same table for k/v
         # and both layer groups) BEFORE the prefill writes through it
         park = jnp.int32(s.early.k.trash_start)
 
-        def upd(pkv: PagedKV) -> PagedKV:
+        def upd(pkv):
             tbl = jnp.where(
                 row_mask[None, :, None], new_table[None], pkv.table
             )
-            return PagedKV(pool=pkv.pool, table=tbl,
-                           capacity=pkv.capacity,
-                           trash_start=pkv.trash_start)
+            return pkv.replace(table=tbl)
 
         s = s.replace(
             early=KVCache(k=upd(s.early.k), v=upd(s.early.v)),
@@ -793,14 +791,13 @@ class Engine:
         if paged:
             from layerskip_tpu.ops.paged_kv import init_paged_group
 
-            assert not kv_quant, "paged + int8 KV not yet composed"
             pool_pages, page_size = paged
             capacity = prompt_bucket + max_steps + num_speculations + 2
 
             def _mk_paged(nlayers):
                 return init_paged_group(
                     cfg, nlayers, batch, pool_pages, page_size,
-                    capacity, prompt_bucket,
+                    capacity, prompt_bucket, quant=kv_quant,
                 )
 
         def blank_state():
@@ -858,9 +855,7 @@ class Engine:
                 def upd(pkv):
                     trash = jnp.full_like(pkv.table, pool_pages)
                     tbl = jnp.where(row_mask[None, :, None], trash, pkv.table)
-                    return PagedKV(pool=pkv.pool, table=tbl,
-                                   capacity=pkv.capacity,
-                                   trash_start=pkv.trash_start)
+                    return pkv.replace(table=tbl)
 
                 return state.replace(
                     early=KVCache(k=upd(state.early.k), v=upd(state.early.v)),

@@ -74,7 +74,7 @@ def gqa_attention(
     own visibility frontier.
     """
     from layerskip_tpu.ops.kv_cache import QuantKV
-    from layerskip_tpu.ops.paged_kv import PagedKV
+    from layerskip_tpu.ops.paged_kv import PagedKV, PagedQuantKV
 
     b, t, hq, dh = q.shape
     q_positions = jnp.broadcast_to(
@@ -95,6 +95,19 @@ def gqa_attention(
             )
         # XLA fallback (CPU tests / long-query): materialize the logical
         # per-slot view by gathering pages, then the dense masked path
+        k_cache = k_cache.gather_view(q.dtype)
+        v_cache = v_cache.gather_view(q.dtype)
+    elif isinstance(k_cache, PagedQuantKV):
+        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+            from layerskip_tpu.ops.pallas.paged_decode import (
+                paged_decode_attention_q8,
+            )
+
+            return paged_decode_attention_q8(
+                q, k_cache.pool, k_cache.scale, v_cache.pool, v_cache.scale,
+                k_cache.table, q_positions,
+                q_heads_per_kv=q_heads_per_kv, sliding_window=_window,
+            )
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)
     elif isinstance(k_cache, QuantKV):

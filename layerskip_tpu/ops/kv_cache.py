@@ -79,9 +79,9 @@ def write_kv(
     ``write_pos`` is a scalar (shared frontier) or a [B] vector (per-row
     frontiers — continuous batching).
     """
-    from layerskip_tpu.ops.paged_kv import PagedKV
+    from layerskip_tpu.ops.paged_kv import PagedKV, PagedQuantKV
 
-    if isinstance(k_layer, (QuantKV, PagedKV)):
+    if isinstance(k_layer, (QuantKV, PagedKV, PagedQuantKV)):
         return (
             k_layer.write(k_new, write_pos),
             v_layer.write(v_new, write_pos),

@@ -104,6 +104,67 @@ class PagedKV:
         return v if dtype is None else v.astype(dtype)
 
 
+@struct.dataclass
+class PagedQuantKV:
+    """int8 paged K or V buffer: PagedKV's layout with ``QuantKV``'s
+    per-(token, head) symmetric quantization (ops/kv_cache.py QuantKV).
+
+    pool: [(L,) P, Hkv, page, Dh] int8; scale: [(L,) P, Hkv, page]
+    (bf16); table as in PagedKV. Halves the KV bytes behind the page
+    table — the production 7B serving configuration (KV is ~512 KB/token
+    bf16 at Llama2-7B; int8 paging serves 4x the context per HBM GB vs a
+    contiguous bf16 cache)."""
+
+    pool: jnp.ndarray
+    scale: jnp.ndarray
+    table: jnp.ndarray
+    capacity: int = struct.field(pytree_node=False)
+    trash_start: int = struct.field(pytree_node=False)
+
+    @property
+    def page_size(self) -> int:
+        return self.pool.shape[-2]
+
+    @property
+    def max_pages(self) -> int:
+        return self.table.shape[-1]
+
+    def write(self, new: jnp.ndarray, write_pos: jnp.ndarray) -> "PagedQuantKV":
+        """Quantize a [B, T, Hkv, Dh] block and scatter it through the page
+        table at logical offset ``write_pos`` ([] or [B])."""
+        b, t, hkv, dh = new.shape
+        pg = self.page_size
+        pos = jnp.broadcast_to(
+            write_pos.astype(jnp.int32).reshape(-1, 1) if write_pos.ndim
+            else write_pos.astype(jnp.int32), (b, 1)
+        ) + jnp.arange(t, dtype=jnp.int32)[None, :]
+        lp = jnp.minimum(pos // pg, self.max_pages - 1)
+        pidx = jnp.take_along_axis(self.table, lp, axis=1)
+        poff = pos % pg
+        nf = new.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(nf), axis=-1)  # [B, T, Hkv]
+        scale = jnp.maximum(amax / 127.0, 1e-8)
+        q = jnp.clip(jnp.round(nf / scale[..., None]), -127, 127).astype(jnp.int8)
+        pool = self.pool.at[pidx, :, poff].set(q, mode="drop")
+        scales = self.scale.at[pidx, :, poff].set(
+            scale.astype(self.scale.dtype), mode="drop"
+        )
+        return self.replace(pool=pool, scale=scales)
+
+    def gather_view(self, dtype=None):
+        """Dequantized logical [B, max_pages*page, Hkv, Dh] view (XLA
+        fallback; the Pallas kernel dequantizes pages in VMEM)."""
+        b = self.table.shape[0]
+        pg, hkv, dh = self.page_size, self.pool.shape[1], self.pool.shape[3]
+        flat = self.table.reshape(-1)
+        q = jnp.take(self.pool, flat, axis=0).astype(jnp.float32)
+        s = jnp.take(self.scale, flat, axis=0).astype(jnp.float32)
+        v = q * s[..., None]
+        v = v.reshape(b, self.max_pages, hkv, pg, dh)
+        v = v.transpose(0, 1, 3, 2, 4).reshape(b, self.max_pages * pg, hkv, dh)
+        return v.astype(dtype) if dtype is not None else v
+
+
 def paged_geometry(
     capacity: int, page_size: int, prompt_bucket: int
 ) -> Tuple[int, int, int]:
@@ -124,8 +185,9 @@ def init_paged_group(
     capacity: int,
     prompt_bucket: int,
     dtype=None,
+    quant: bool = False,
 ):
-    """KVCache-shaped (k, v) pair of stacked PagedKV buffers.
+    """KVCache-shaped (k, v) pair of stacked PagedKV/PagedQuantKV buffers.
 
     ``pool_pages`` counts *allocatable* pages; the trash pages are appended
     on top. All table entries start pointing at the first trash page."""
@@ -138,10 +200,18 @@ def init_paged_group(
     total = pool_pages + trash_pages
     shape = (nlayers, total, cfg.num_key_value_heads, page_size, cfg.head_dim)
     table = jnp.full((nlayers, batch, max_pages), pool_pages, jnp.int32)
-    mk = lambda: PagedKV(  # noqa: E731
-        pool=jnp.zeros(shape, dtype), table=table,
-        capacity=cap_pages * page_size, trash_start=cap_pages * page_size,
-    )
+    cap, trash = cap_pages * page_size, cap_pages * page_size
+    if quant:
+        mk = lambda: PagedQuantKV(  # noqa: E731
+            pool=jnp.zeros(shape, jnp.int8),
+            scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+            table=table, capacity=cap, trash_start=trash,
+        )
+    else:
+        mk = lambda: PagedKV(  # noqa: E731
+            pool=jnp.zeros(shape, dtype), table=table,
+            capacity=cap, trash_start=trash,
+        )
     return KVCache(k=mk(), v=mk())
 
 

@@ -83,6 +83,142 @@ def _paged_kernel(
         o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+def _paged_kernel_q8(
+    table_ref,  # [B, maxp] int32 scalar-prefetch (index_map only)
+    pos_ref,  # [1, TG, 1] int32
+    q_ref,  # [1, 1, TG, Dh]
+    k_ref,  # [1, 1, pg, Dh] int8 — pool page table_ref[i, n], head j
+    ks_ref,  # [1, 1, pg, 1] bf16 scales
+    v_ref,  # [1, 1, pg, Dh] int8
+    vs_ref,  # [1, 1, pg, 1]
+    o_ref,  # [1, 1, TG, Dh]
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    page: int,
+    window: int,
+):
+    """int8 paged variant: pages arrive quantized with per-(token, head)
+    scales and are dequantized in VMEM (cf. decode_attention.py
+    _decode_kernel_q8) — HBM sees only the int8 page bytes."""
+    nb = pl.program_id(2)
+    tg = q_ref.shape[2]
+
+    @pl.when(nb == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    pos = pos_ref[0]
+    start = nb * page
+    pos_max = jnp.max(pos)
+    visible = start <= pos_max
+    if window > 0:
+        pos_min = jnp.min(pos)
+        visible = jnp.logical_and(visible, start + page > pos_min - window + 1)
+
+    @pl.when(visible)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32) * ks_ref[0, 0].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q, k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (tg, page), 1)
+        mask = key_idx <= pos
+        if window > 0:
+            mask = jnp.logical_and(mask, key_idx > pos - window)
+        scores = jnp.where(mask, scores, NEG_INF)
+        v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0].astype(jnp.float32)
+        _online_block(scores, v, m_scr, l_scr, acc_scr)
+
+    @pl.when(nb == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window", "interpret")
+)
+def paged_decode_attention_q8(
+    q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
+    k_pool: jnp.ndarray,  # [P, Hkv, page, Dh] int8
+    k_scale: jnp.ndarray,  # [P, Hkv, page]
+    v_pool: jnp.ndarray,  # [P, Hkv, page, Dh] int8
+    v_scale: jnp.ndarray,  # [P, Hkv, page]
+    table: jnp.ndarray,  # [B, max_pages] int32
+    q_positions: jnp.ndarray,  # [T] or [B, T] int32 logical positions
+    *,
+    q_heads_per_kv: int,
+    sliding_window: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused short-query GQA attention over an int8 paged KV pool."""
+    from layerskip_tpu.ops.pallas.decode_attention import _row_positions
+
+    b, t, hq, dh = q.shape
+    hkv, page = k_pool.shape[1], k_pool.shape[2]
+    maxp = table.shape[1]
+    g = q_heads_per_kv
+    assert hq == hkv * g
+
+    q_rows = (
+        q.reshape(b, t, hkv, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, hkv, t * g, dh)
+    )
+    rowpos = _row_positions(q_positions, b, t, g)
+    tg = t * g
+    # trailing 1 keeps the scale block shape TPU-legal (cf.
+    # decode_attention.py decode_attention_q8)
+    ks = k_scale[..., None]
+    vs = v_scale[..., None]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, hkv, maxp),
+        in_specs=[
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
+            pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, page, dh),
+                         lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
+            pl.BlockSpec((1, 1, page, 1),
+                         lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
+            pl.BlockSpec((1, 1, page, dh),
+                         lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
+            pl.BlockSpec((1, 1, page, 1),
+                         lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((tg, 1), jnp.float32),
+            pltpu.VMEM((tg, 1), jnp.float32),
+            pltpu.VMEM((tg, dh), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _paged_kernel_q8, scale=1.0 / (dh ** 0.5), page=page,
+            window=int(sliding_window or 0),
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, tg, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * hkv * tg * maxp * page * dh,
+            bytes_accessed=2 * b * maxp * page * hkv * dh,
+            transcendentals=b * hkv * tg * maxp * page,
+        ),
+    )(table, rowpos, q_rows, k_pool, ks, v_pool, vs)
+
+    return (
+        out.reshape(b, hkv, t, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, dh)
+    )
+
+
 @functools.partial(
     jax.jit, static_argnames=("q_heads_per_kv", "sliding_window", "interpret")
 )

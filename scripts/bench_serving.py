@@ -34,6 +34,10 @@ def main():
                          "inside the SAME KV byte budget as the static "
                          "continuous scheduler")
     ap.add_argument("--page-size", type=int, default=128)
+    ap.add_argument("--paged-pool-tokens", type=int, default=0,
+                    help="override the paged pool size (tokens); default = "
+                         "the static scheduler's total KV token capacity")
+    ap.add_argument("--skip-gather", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -88,7 +92,8 @@ def main():
         # the static continuous scheduler reserved (batch x (2*pb+steps+W+2))
         pb = 64
         static_tokens = args.batch * (2 * pb + args.max_steps + args.spec + 2)
-        pool_pages = static_tokens // args.page_size
+        pool_pages = (args.paged_pool_tokens
+                      or static_tokens) // args.page_size
         paged = ContinuousBatchScheduler(
             engine, gen, batch_size=2 * args.batch, prompt_bucket=pb,
             paged_pool_pages=pool_pages, page_size=args.page_size,
@@ -100,6 +105,19 @@ def main():
                   f"(pool={pool_pages}x{args.page_size})", file=sys.stderr)
         finally:
             paged.stop()
+
+    if args.skip_gather:
+        print(json.dumps({
+            "metric": (
+                f"serving_tokens_per_s_{args.config}_b{args.batch}"
+                + ("_varied" if args.varied else "")
+            ),
+            "continuous": round(cont_tps, 1),
+            "unit": "tok/s",
+            **({"paged_2x_slots": round(paged_tps, 1)}
+               if paged_tps is not None else {}),
+        }))
+        return
 
     gather = BatchScheduler(engine, batch_size=args.batch).start()
     try:

@@ -252,3 +252,101 @@ def test_paged_request_too_large_fails_cleanly():
             sched.generate([1, 2, 3], timeout=120)
     finally:
         sched.stop()
+
+
+# --- int8 paged KV ----------------------------------------------------------
+
+
+def _mk_paged_q8(b=2, pool_pages=8, pg=16, cap=48, hkv=2, dh=128, seed=0):
+    from layerskip_tpu.ops.paged_kv import PagedQuantKV
+
+    cap_pages, trash_pages, maxp = paged_geometry(cap, pg, prompt_bucket=16)
+    total = pool_pages + trash_pages
+    table = np.full((b, maxp), pool_pages, np.int32)
+    perm = np.random.RandomState(seed).permutation(pool_pages)
+    for r in range(b):
+        table[r, :cap_pages] = perm[r * cap_pages:(r + 1) * cap_pages]
+    return PagedQuantKV(
+        pool=jnp.zeros((total, hkv, pg, dh), jnp.int8),
+        scale=jnp.zeros((total, hkv, pg), jnp.bfloat16),
+        table=jnp.asarray(table),
+        capacity=cap_pages * pg, trash_start=cap_pages * pg,
+    )
+
+
+def test_paged_q8_write_matches_quantkv():
+    """Paged int8 quantization == contiguous QuantKV quantization."""
+    from layerskip_tpu.ops.kv_cache import QuantKV
+
+    b, hkv, dh, pg = 2, 2, 128, 16
+    rng = np.random.default_rng(7)
+    blk = jnp.asarray(rng.standard_normal((b, 9, hkv, dh)), jnp.float32)
+
+    paged = _mk_paged_q8(b=b, pg=pg).write(blk, jnp.asarray([0, 5], jnp.int32))
+    dense = QuantKV(
+        q=jnp.zeros((b, 48, hkv, dh), jnp.int8),
+        scale=jnp.zeros((b, 48, hkv), jnp.bfloat16),
+    ).write(blk, jnp.asarray([0, 5], jnp.int32))
+
+    got = np.asarray(paged.gather_view())
+    want = np.asarray(dense.dequantize(jnp.float32))
+    np.testing.assert_allclose(got[0, 0:9], want[0, 0:9], atol=1e-6)
+    np.testing.assert_allclose(got[1, 5:14], want[1, 5:14], atol=1e-6)
+
+
+@pytest.mark.parametrize("t,g", [(1, 2), (7, 1)])
+def test_paged_q8_kernel_matches_fallback(t, g):
+    from layerskip_tpu.ops.pallas.paged_decode import paged_decode_attention_q8
+
+    b, hkv, dh, pg, cap = 2, 2, 128, 128, 256
+    rng = np.random.default_rng(8)
+    kv_k = _mk_paged_q8(b=b, pool_pages=6, pg=pg, cap=cap, hkv=hkv, seed=5)
+    kv_v = _mk_paged_q8(b=b, pool_pages=6, pg=pg, cap=cap, hkv=hkv, seed=5)
+    kb = jnp.asarray(rng.standard_normal((b, 200, hkv, dh)), jnp.float32)
+    vb = jnp.asarray(rng.standard_normal((b, 200, hkv, dh)), jnp.float32)
+    kv_k = kv_k.write(kb, jnp.asarray([0, 0], jnp.int32))
+    kv_v = kv_v.write(vb, jnp.asarray([0, 0], jnp.int32))
+
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    qpos = jnp.asarray(
+        [np.arange(150, 150 + t), np.arange(90, 90 + t)], jnp.int32
+    )
+    got = paged_decode_attention_q8(
+        q, kv_k.pool, kv_k.scale, kv_v.pool, kv_v.scale, kv_k.table, qpos,
+        q_heads_per_kv=g, interpret=True,
+    )
+    want = attn_mod.gqa_attention(
+        q, kv_k.gather_view(jnp.float32), kv_v.gather_view(jnp.float32),
+        qpos, q_heads_per_kv=g,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_paged_q8_session_equals_static_q8_session():
+    """Paged int8 continuous session == contiguous int8 session, token for
+    token (identical quantization math, different storage)."""
+    import dataclasses as dc
+
+    from layerskip_tpu.config import GenerationConfig
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, kv_quant=True,
+    )
+
+    def drive(session):
+        results = {}
+        session.insert([0, 1], [[3, 17, 52], [5, 9]], seeds=[0, 0],
+                       max_tokens=[12, 9])
+        while session.has_active():
+            for r, toks, _ in session.step(max_rounds=3):
+                results[r] = toks
+        return results
+
+    static = drive(engine.continuous_session(gen, batch=2, prompt_bucket=16))
+    paged = drive(engine.continuous_session(
+        gen, batch=2, prompt_bucket=16, paged_pool_pages=8, page_size=16,
+    ))
+    assert static == paged and len(static[0]) == 12 and len(static[1]) == 9
