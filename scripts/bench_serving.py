@@ -38,6 +38,15 @@ def main():
                     help="override the paged pool size (tokens); default = "
                          "the static scheduler's total KV token capacity")
     ap.add_argument("--skip-gather", action="store_true")
+    ap.add_argument("--skip-static", action="store_true",
+                    help="paged only (e.g. when static slots cannot fit)")
+    ap.add_argument("--kv-quant", action="store_true",
+                    help="int8 KV cache (composes with --paged)")
+    ap.add_argument("--prompt-bucket", type=int, default=64)
+    ap.add_argument("--prompt-len", type=int, default=32)
+    ap.add_argument("--budget-min", type=int, default=32)
+    ap.add_argument("--paged-slots", type=int, default=0,
+                    help="paged slot count (default 2x --batch)")
     args = ap.parse_args()
 
     import jax
@@ -55,15 +64,18 @@ def main():
         max_steps=args.max_steps, sample=False,
         generation_strategy="self_speculative",
         exit_layer=exit_layer, num_speculations=args.spec,
+        kv_quant=args.kv_quant,
     )
     prompts = [
-        list(range(5 + i % 7, 37 + i % 7)) for i in range(args.requests)
+        list(range(5 + i % 7, 5 + i % 7 + args.prompt_len))
+        for i in range(args.requests)
     ]
     if args.varied:
         import random
 
         rnd = random.Random(0)
-        budgets = [rnd.randrange(32, args.max_steps + 1) for _ in prompts]
+        budgets = [rnd.randrange(args.budget_min, args.max_steps + 1)
+                   for _ in prompts]
     else:
         budgets = [0] * len(prompts)  # 0 => full max_steps
 
@@ -77,34 +89,38 @@ def main():
 
     import dataclasses
 
-    cont = ContinuousBatchScheduler(
-        engine, gen, batch_size=args.batch, prompt_bucket=64
-    ).start()
-    try:
-        cont_tps = run(lambda p, bdg: cont.submit(p, max_tokens=bdg))
-        print(f"[serve] continuous: {cont_tps:.1f} tok/s", file=sys.stderr)
-    finally:
-        cont.stop()
-
+    pb = args.prompt_bucket
     paged_tps = None
     if args.paged:
-        # paged KV: 2x the slots, pool capped at the *same token capacity*
+        # paged KV: more slots, pool capped at the *same token capacity*
         # the static continuous scheduler reserved (batch x (2*pb+steps+W+2))
-        pb = 64
+        # unless --paged-pool-tokens overrides it
         static_tokens = args.batch * (2 * pb + args.max_steps + args.spec + 2)
         pool_pages = (args.paged_pool_tokens
                       or static_tokens) // args.page_size
+        slots = args.paged_slots or 2 * args.batch
         paged = ContinuousBatchScheduler(
-            engine, gen, batch_size=2 * args.batch, prompt_bucket=pb,
+            engine, gen, batch_size=slots, prompt_bucket=pb,
             paged_pool_pages=pool_pages, page_size=args.page_size,
         ).start()
         try:
             paged_tps = run(lambda p, bdg: paged.submit(p, max_tokens=bdg))
-            print(f"[serve] paged(2x slots, same KV bytes): "
-                  f"{paged_tps:.1f} tok/s "
+            print(f"[serve] paged({slots} slots): {paged_tps:.1f} tok/s "
                   f"(pool={pool_pages}x{args.page_size})", file=sys.stderr)
         finally:
             paged.stop()
+
+    cont_tps = None
+    if not args.skip_static:
+        cont = ContinuousBatchScheduler(
+            engine, gen, batch_size=args.batch, prompt_bucket=pb
+        ).start()
+        try:
+            cont_tps = run(lambda p, bdg: cont.submit(p, max_tokens=bdg))
+            print(f"[serve] continuous: {cont_tps:.1f} tok/s",
+                  file=sys.stderr)
+        finally:
+            cont.stop()
 
     if args.skip_gather:
         print(json.dumps({
@@ -112,9 +128,10 @@ def main():
                 f"serving_tokens_per_s_{args.config}_b{args.batch}"
                 + ("_varied" if args.varied else "")
             ),
-            "continuous": round(cont_tps, 1),
+            **({"continuous": round(cont_tps, 1)}
+               if cont_tps is not None else {}),
             "unit": "tok/s",
-            **({"paged_2x_slots": round(paged_tps, 1)}
+            **({"paged": round(paged_tps, 1)}
                if paged_tps is not None else {}),
         }))
         return
@@ -138,10 +155,11 @@ def main():
             f"serving_tokens_per_s_{args.config}_b{args.batch}"
             + ("_varied" if args.varied else "")
         ),
-        "continuous": round(cont_tps, 1),
+        **({"continuous": round(cont_tps, 1)}
+           if cont_tps is not None else {}),
         "gather": round(gather_tps, 1),
         "unit": "tok/s",
-        **({"paged_2x_slots": round(paged_tps, 1)}
+        **({"paged": round(paged_tps, 1)}
            if paged_tps is not None else {}),
     }))
 
