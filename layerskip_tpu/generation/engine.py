@@ -53,15 +53,36 @@ from layerskip_tpu.ops.kv_cache import KVCache, QuantKV
 def _mk_group_cache(
     cfg: "ModelConfig", nlayers: int, b: int, max_len: int, kv_quant: bool
 ) -> KVCache:
-    """Preallocate a layer-group KV cache (bf16 or int8-quantized)."""
+    """Preallocate a layer-group KV cache (bf16 or int8-quantized).
+
+    Under an active ``kv_seq_sharding`` context (sequence-sharded decode,
+    ops/attention.py), the sequence dim is constrained to that mesh axis:
+    each device holds a contiguous KV slab and GSPMD inserts the attention
+    collectives — contexts larger than one chip's HBM spread over ICI."""
+    from jax.sharding import PartitionSpec as P
+
+    from layerskip_tpu.ops.attention import current_kv_seq_shard
+
+    axis = current_kv_seq_shard()
+
+    def seq_shard(x, spec_dims=5):
+        if axis is None:
+            return x
+        spec = [None] * spec_dims
+        spec[2] = axis  # [L, B, S, ...]: shard S
+        return jax.lax.with_sharding_constraint(x, P(*spec))
+
     shape = (nlayers, b, max_len, cfg.num_key_value_heads, cfg.head_dim)
     if kv_quant:
         mk = lambda: QuantKV(  # noqa: E731
-            q=jnp.zeros(shape, jnp.int8),
-            scale=jnp.zeros(shape[:-1], jnp.bfloat16),
+            q=seq_shard(jnp.zeros(shape, jnp.int8)),
+            scale=seq_shard(jnp.zeros(shape[:-1], jnp.bfloat16), 4),
         )
         return KVCache(k=mk(), v=mk())
-    return KVCache(k=jnp.zeros(shape, cfg.dtype), v=jnp.zeros(shape, cfg.dtype))
+    return KVCache(
+        k=seq_shard(jnp.zeros(shape, cfg.dtype)),
+        v=seq_shard(jnp.zeros(shape, cfg.dtype)),
+    )
 
 
 def _is_eos(tokens: jnp.ndarray, eos_ids: Tuple[int, ...]) -> jnp.ndarray:
@@ -659,14 +680,36 @@ class Engine:
     recompilation).
     """
 
-    def __init__(self, params: LlamaParams, cfg: ModelConfig):
+    def __init__(self, params: LlamaParams, cfg: ModelConfig,
+                 mesh=None, kv_shard_axis: Optional[str] = None):
         self.params = params
         self.cfg = cfg
+        # sequence-sharded decode: shard the KV sequence dim over
+        # ``kv_shard_axis`` of ``mesh`` (see ops/attention.kv_seq_sharding)
+        self.mesh = mesh
+        self.kv_shard_axis = kv_shard_axis
+        assert kv_shard_axis is None or mesh is not None, \
+            "kv_shard_axis requires a mesh"
         # per-instance executable caches — a class-level functools.lru_cache
         # would key on ``self`` and keep params alive forever (a leak when
         # engines are rebuilt, e.g. bench size fallback)
         self._exec_cache = {}
         self._stepped_cache = {}
+
+    def _trace_ctx(self):
+        """Context active around compiled-fn calls: the mesh (for bare-
+        PartitionSpec sharding constraints) and the KV sequence-shard flag
+        (baked in at trace time)."""
+        import contextlib
+
+        from layerskip_tpu.ops.attention import kv_seq_sharding
+
+        stack = contextlib.ExitStack()
+        if self.mesh is not None:
+            stack.enter_context(self.mesh)
+        if self.kv_shard_axis is not None:
+            stack.enter_context(kv_seq_sharding(self.kv_shard_axis))
+        return stack
 
     def _compiled(
         self,
@@ -755,7 +798,10 @@ class Engine:
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        return fn(self.params, jnp.asarray(padded), jnp.asarray(true_lens), rng)
+        with self._trace_ctx():
+            return fn(
+                self.params, jnp.asarray(padded), jnp.asarray(true_lens), rng
+            )
 
     # -- continuous batching mode -------------------------------------------
 

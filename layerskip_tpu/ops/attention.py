@@ -19,12 +19,39 @@ sum returns in the activation dtype.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
 
 import jax.numpy as jnp
 import jax
 
 NEG_INF = -1e30  # large-but-finite: avoids NaNs from (-inf) - (-inf)
+
+# Sequence-sharded decode (SURVEY §5.7 long-context): when set, the KV
+# cache's sequence dim is sharded over this mesh axis, each device holds a
+# contiguous slab of keys, and GSPMD turns the masked-softmax reductions
+# below into cross-device collectives (flash-decoding across chips). The
+# Pallas kernels are gated off — a custom call cannot be auto-partitioned
+# along its KV dim — so attention takes the einsum path, which XLA
+# partitions. Trace-time state: Engine enters kv_seq_sharding(axis) around
+# compilation, so the flag is baked into the executable.
+_KV_SEQ_SHARD: contextvars.ContextVar = contextvars.ContextVar(
+    "layerskip_kv_seq_shard", default=None
+)
+
+
+@contextlib.contextmanager
+def kv_seq_sharding(axis: str):
+    tok = _KV_SEQ_SHARD.set(axis)
+    try:
+        yield
+    finally:
+        _KV_SEQ_SHARD.reset(tok)
+
+
+def current_kv_seq_shard():
+    return _KV_SEQ_SHARD.get()
 
 # Pallas decode-attention dispatch: on TPU, short-query attention against the
 # long KV buffer goes through the fused kernel (ops/pallas/decode_attention)
@@ -38,6 +65,8 @@ _PALLAS_HEAD_DIMS = (64, 128, 256)
 def _use_pallas(t: int, s: int, dh: int) -> bool:
     if os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") == "1":
         return False
+    if _KV_SEQ_SHARD.get() is not None:
+        return False
     return (
         jax.default_backend() == "tpu"
         and t <= _MAX_PALLAS_QUERY
@@ -47,6 +76,8 @@ def _use_pallas(t: int, s: int, dh: int) -> bool:
 
 def _use_flash_prefill(t: int, s: int, dh: int) -> bool:
     if os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") == "1":
+        return False
+    if _KV_SEQ_SHARD.get() is not None:
         return False
     return (
         jax.default_backend() == "tpu"

@@ -91,6 +91,61 @@ def test_sharded_spec_generate_matches(cfg, params):
     assert got == ref
 
 
+def test_kv_seq_sharded_decode_matches(cfg, params):
+    """Sequence-sharded KV decode == unsharded (SURVEY §5.7 long-context).
+
+    The KV cache's sequence dim is sharded over a mesh axis
+    (Engine(kv_shard_axis=...)): each device holds a contiguous KV slab and
+    GSPMD partitions the attention reductions across chips — contexts larger
+    than one chip's HBM spread over ICI. Token-stream must be identical."""
+    from jax.sharding import Mesh
+
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+
+    gen_cfg = GenerationConfig(
+        max_steps=12, exit_layer=2, num_speculations=3,
+        generation_strategy="self_speculative", sample=False,
+    )
+    prompt = [3, 17, 52, 9, 30]
+    ref = postprocess_output(
+        Engine(params, cfg).generate(prompt, gen_cfg, jax.random.PRNGKey(0)),
+        (), 12,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(8), ("sp",))
+    eng = Engine(params, cfg, mesh=mesh, kv_shard_axis="sp")
+    got = postprocess_output(
+        eng.generate(prompt, gen_cfg, jax.random.PRNGKey(0)), (), 12
+    )
+    assert got == ref
+
+
+def test_kv_seq_shard_composes_with_tp(cfg, params):
+    """(sp=2, tp=4): tensor-parallel params + sequence-sharded KV together.
+
+    AR strategy; params sharded over tp (heads/features), KV sequence dim
+    sharded over sp — the layout for serving long contexts on a pod slice."""
+    from jax.sharding import Mesh
+
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.parallel.sharding import shard_params
+
+    gen_cfg = GenerationConfig(max_steps=10, sample=False)
+    prompt = [11, 4, 250, 33]
+    ref = postprocess_output(
+        Engine(params, cfg).generate(prompt, gen_cfg, jax.random.PRNGKey(0)),
+        (), 10,
+    )
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(2, 4), ("sp", "tp"))
+    p_sh = shard_params(params, mesh)
+    eng = Engine(p_sh, cfg, mesh=mesh, kv_shard_axis="sp")
+    got = postprocess_output(
+        eng.generate(prompt, gen_cfg, jax.random.PRNGKey(0)), (), 10
+    )
+    assert got == ref
+
+
 def test_depth_scale_monotone():
     idx = jnp.arange(8)
     for kind in ("exp", "linear"):
