@@ -94,7 +94,19 @@ def load_model_and_tokenizer(
         )
     cfg = ModelConfig.from_pretrained(model, dtype=dtype)
     params = load_params(model, cfg)
-    from transformers import AutoTokenizer
+    try:
+        from transformers import AutoTokenizer
 
-    tokenizer = AutoTokenizer.from_pretrained(model)
+        tokenizer = AutoTokenizer.from_pretrained(model)
+    except Exception as exc:  # checkpoint without tokenizer files (e.g. one
+        # exported by save_params / the train CLI) — fall back to the smoke
+        # tokenizer rather than refusing to drive the model at all
+        import sys
+
+        print(
+            f"[loading] no usable tokenizer in {model} ({type(exc).__name__});"
+            " falling back to the byte-level smoke tokenizer",
+            file=sys.stderr,
+        )
+        tokenizer = SimpleTokenizer(cfg.vocab_size)
     return maybe_shard(params, dp, tp), cfg, tokenizer

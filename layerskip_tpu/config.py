@@ -63,6 +63,9 @@ class ModelConfig:
     rope_scaling: RopeScaling = dataclasses.field(default_factory=RopeScaling)
     attention_bias: bool = False  # Qwen2-family QKV biases
     sliding_window: Optional[int] = None  # Mistral-family windowed attention
+    # Mixtral-family mixture-of-experts MLP (0 => dense MLP)
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
@@ -79,6 +82,10 @@ class ModelConfig:
     @property
     def q_heads_per_kv(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_local_experts > 0
 
     @staticmethod
     def from_hf_dict(d: dict, dtype=jnp.bfloat16) -> "ModelConfig":
@@ -105,6 +112,8 @@ class ModelConfig:
                 "attention_bias", d.get("model_type") == "qwen2"
             ),
             sliding_window=d.get("sliding_window"),
+            num_local_experts=d.get("num_local_experts", 0),
+            num_experts_per_tok=d.get("num_experts_per_tok", 2),
             tie_word_embeddings=d.get("tie_word_embeddings", False),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=d.get("eos_token_id", 2),

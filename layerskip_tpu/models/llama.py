@@ -46,13 +46,17 @@ class LayerParams:
     wv: jnp.ndarray  # [L, Hkv*Dh, D]
     wo: jnp.ndarray  # [L, Hq*Dh, D]
     mlp_norm: jnp.ndarray  # [L, D]
-    w_gate: jnp.ndarray  # [L, D, F]
-    w_up: jnp.ndarray  # [L, D, F]
-    w_down: jnp.ndarray  # [L, F, D]
+    # dense MLP: [L, D, F] / [L, F, D]; MoE (w_router set): an extra expert
+    # axis — [L, E, D, F] / [L, E, F, D] (Mixtral-family, ops/moe.py)
+    w_gate: jnp.ndarray
+    w_up: jnp.ndarray
+    w_down: jnp.ndarray
     # optional attention input-projection biases (Qwen2-family; None for Llama)
     bq: Optional[jnp.ndarray] = None  # [L, Hq*Dh]
     bk: Optional[jnp.ndarray] = None  # [L, Hkv*Dh]
     bv: Optional[jnp.ndarray] = None  # [L, Hkv*Dh]
+    # MoE router (Mixtral-family); None for dense models
+    w_router: Optional[jnp.ndarray] = None  # [L, D, E]
 
     def slice(self, start: int, end: int) -> "LayerParams":
         return jax.tree.map(lambda x: x[start:end], self)
@@ -109,8 +113,17 @@ def _one_layer(
         apply_weight(attn.reshape(b, t, hq * dh), lp.wo), h,
         lp.mlp_norm, cfg.rms_norm_eps,
     )
-    gated = jax.nn.silu(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
-    h = h + apply_weight(gated, lp.w_down)
+    if lp.w_router is not None:  # Mixtral-family MoE MLP (ops/moe.py)
+        from layerskip_tpu.ops.moe import moe_mlp
+
+        mlp_out, _ = moe_mlp(
+            x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
+            cfg.num_experts_per_tok,
+        )
+        h = h + mlp_out
+    else:
+        gated = jax.nn.silu(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
+        h = h + apply_weight(gated, lp.w_down)
     return h, k_layer, v_layer
 
 

@@ -31,7 +31,7 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
         cfg.head_dim,
         cfg.num_hidden_layers,
     )
-    keys = jax.random.split(rng, 8)
+    keys = jax.random.split(rng, 9)
 
     def nrm(key, shape):
         # sample directly in the target dtype: avoids fp32 transients that
@@ -40,6 +40,8 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
         sample_dtype = cfg.dtype if jnp.issubdtype(cfg.dtype, jnp.floating) else jnp.float32
         return jax.random.normal(key, shape, sample_dtype) * jnp.asarray(0.02, sample_dtype)
 
+    # MoE (Mixtral-family): expert axis on the MLP weights + a router
+    mlp_lead = (l, cfg.num_local_experts) if cfg.is_moe else (l,)
     layers = LayerParams(
         attn_norm=jnp.ones((l, d), cfg.dtype),
         wq=nrm(keys[0], (l, hq * dh, d)),
@@ -47,12 +49,15 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
         wv=nrm(keys[2], (l, hkv * dh, d)),
         wo=nrm(keys[3], (l, hq * dh, d)),
         mlp_norm=jnp.ones((l, d), cfg.dtype),
-        w_gate=nrm(keys[4], (l, d, f)),
-        w_up=nrm(keys[5], (l, d, f)),
-        w_down=nrm(keys[6], (l, f, d)),
+        w_gate=nrm(keys[4], (*mlp_lead, d, f)),
+        w_up=nrm(keys[5], (*mlp_lead, d, f)),
+        w_down=nrm(keys[6], (*mlp_lead, f, d)),
         bq=jnp.zeros((l, hq * dh), cfg.dtype) if cfg.attention_bias else None,
         bk=jnp.zeros((l, hkv * dh), cfg.dtype) if cfg.attention_bias else None,
         bv=jnp.zeros((l, hkv * dh), cfg.dtype) if cfg.attention_bias else None,
+        w_router=(
+            nrm(keys[8], (l, d, cfg.num_local_experts)) if cfg.is_moe else None
+        ),
     )
     embed = nrm(keys[7], (v, d))
     lm_head = None if cfg.tie_word_embeddings else jnp.transpose(embed)
@@ -88,21 +93,46 @@ _LAYER_KEY_MAP = {
 }
 
 
+# HF Mixtral expert naming: block_sparse_moe.experts.{e}.{w1,w2,w3}.weight
+# (w1 = gate [F, D], w3 = up [F, D], w2 = down [D, F] — all [out, in],
+# transposed into our [in, out] einsum orientation)
+_EXPERT_PAT = re.compile(r"^block_sparse_moe\.experts\.(\d+)\.(w[123])\.weight$")
+_EXPERT_FIELD = {"w1": "w_gate", "w3": "w_up", "w2": "w_down"}
+
+
 def params_from_flat_dict(
     tensors: Dict[str, np.ndarray], cfg: ModelConfig
 ) -> LlamaParams:
-    """Assemble LlamaParams from a flat HF-style name->array dict (fp32/np)."""
+    """Assemble LlamaParams from a flat HF-style name->array dict (fp32/np).
+
+    Handles the Llama/Qwen2/Mistral dense naming and the Mixtral MoE naming
+    (``block_sparse_moe.gate`` router + per-expert ``w1/w2/w3``).
+    """
     l = cfg.num_hidden_layers
+    n_exp = cfg.num_local_experts
     layer_arrays: Dict[str, list] = {v[0]: [None] * l for v in _LAYER_KEY_MAP.values()}
+    layer_arrays["w_router"] = [None] * l
+    if cfg.is_moe:
+        for f in ("w_gate", "w_up", "w_down"):
+            layer_arrays[f] = [[None] * n_exp for _ in range(l)]
     embed = final_norm = lm_head = None
     pat = re.compile(r"^model\.layers\.(\d+)\.(.+)$")
     for name, arr in tensors.items():
         m = pat.match(name)
         if m:
             i, sub = int(m.group(1)), m.group(2)
-            if sub in _LAYER_KEY_MAP:
+            if sub in _LAYER_KEY_MAP and not (
+                cfg.is_moe and sub.startswith("mlp.")
+            ):
                 field, transpose = _LAYER_KEY_MAP[sub]
                 layer_arrays[field][i] = arr.T if transpose else arr
+            elif sub == "block_sparse_moe.gate.weight":
+                layer_arrays["w_router"][i] = arr.T  # [E, D] -> [D, E]
+            else:
+                me = _EXPERT_PAT.match(sub)
+                if me:
+                    e, w = int(me.group(1)), me.group(2)
+                    layer_arrays[_EXPERT_FIELD[w]][i][e] = arr.T
         elif name == "model.embed_tokens.weight":
             embed = arr
         elif name == "model.norm.weight":
@@ -114,6 +144,15 @@ def params_from_flat_dict(
         mats = layer_arrays[field]
         if field in ("bq", "bk", "bv") and all(m is None for m in mats):
             return None  # Llama-family: no attention biases
+        if field == "w_router" and all(m is None for m in mats):
+            return None  # dense-MLP families: no router
+        if isinstance(mats[0], list):  # MoE: [l][e] -> stacked [L, E, ...]
+            assert all(
+                m is not None for row in mats for m in row
+            ), f"missing experts for {field}"
+            return jnp.asarray(
+                np.stack([np.stack(row) for row in mats]), cfg.dtype
+            )
         assert all(m is not None for m in mats), f"missing layers for {field}"
         return jnp.asarray(np.stack(mats), cfg.dtype)
 
@@ -166,8 +205,12 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
             np.asarray(params.lm_head, np.float32).T
         )
     inv_map = {field: (hf, tr) for hf, (field, tr) in _LAYER_KEY_MAP.items()}
+    moe = cfg.is_moe
+    inv_expert = {f: w for w, f in _EXPERT_FIELD.items()}
     for i in range(cfg.num_hidden_layers):
         for field, (hf_name, transpose) in inv_map.items():
+            if moe and field in ("w_gate", "w_up", "w_down"):
+                continue  # exported under the Mixtral expert naming below
             stacked = getattr(params.layers, field)
             if stacked is None:  # e.g. Llama has no attention biases
                 continue
@@ -175,13 +218,28 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
             tensors[f"model.layers.{i}.{hf_name}"] = (
                 np.ascontiguousarray(w.T) if transpose else w
             )
+        if moe:
+            gate = np.asarray(params.layers.w_router[i], np.float32)
+            tensors[f"model.layers.{i}.block_sparse_moe.gate.weight"] = (
+                np.ascontiguousarray(gate.T)
+            )
+            for field in ("w_gate", "w_up", "w_down"):
+                stacked = getattr(params.layers, field)
+                for e in range(cfg.num_local_experts):
+                    w = np.asarray(stacked[i, e], np.float32)
+                    tensors[
+                        f"model.layers.{i}.block_sparse_moe.experts.{e}."
+                        f"{inv_expert[field]}.weight"
+                    ] = np.ascontiguousarray(w.T)
     path = os.path.join(model_dir, "model.safetensors")
     save_file(tensors, path)
     # model_type/architectures: infer the HF family from the distinguishing
     # architecture features so a re-load (here or in HF) reconstructs the
     # same attention/RoPE behavior. Qwen2 is the only family with QKV
     # biases; Mistral the only one with a sliding window.
-    if cfg.attention_bias:
+    if cfg.is_moe:
+        model_type, arch = "mixtral", "MixtralForCausalLM"
+    elif cfg.attention_bias:
         model_type, arch = "qwen2", "Qwen2ForCausalLM"
     elif cfg.sliding_window is not None:
         model_type, arch = "mistral", "MistralForCausalLM"
@@ -207,6 +265,9 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     }
     if cfg.sliding_window is not None:
         config_json["sliding_window"] = cfg.sliding_window
+    if cfg.is_moe:
+        config_json["num_local_experts"] = cfg.num_local_experts
+        config_json["num_experts_per_tok"] = cfg.num_experts_per_tok
     if cfg.rope_scaling.rope_type != "default":
         config_json["rope_scaling"] = {
             "rope_type": cfg.rope_scaling.rope_type,

@@ -1,0 +1,247 @@
+"""Mixtral-family mixture-of-experts: HF parity, path equality, generation.
+
+Net-new relative to the reference (LayerSkip is dense-Llama only). The
+oracle stack mirrors the other model families:
+  * logit parity against torch ``MixtralForCausalLM`` (full prefill and
+    incremental KV decode) pins router semantics (fp32 softmax, top-k,
+    renormalize) and expert FFN math to the de-facto HF Mixtral;
+  * the dense-combine and grouped (ragged_dot) execution paths of
+    ops/moe.py must be numerically equal — both are exact by construction;
+  * greedy self-speculative == greedy AR (the reference's correctness bar,
+    /root/reference/correctness.py) must hold with MoE layers.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from layerskip_tpu.config import GenerationConfig, tiny_config
+from layerskip_tpu.models import llama
+from layerskip_tpu.models.params import (
+    init_params,
+    params_from_torch_state_dict,
+)
+from layerskip_tpu.ops.kv_cache import init_kv_cache
+
+
+def _moe_cfg(**kw):
+    return tiny_config(
+        num_hidden_layers=4,
+        hidden_size=64,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        intermediate_size=96,
+        vocab_size=256,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        **kw,
+    )
+
+
+@pytest.fixture(scope="module")
+def torch_mixtral_and_cfg():
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = _moe_cfg()
+    hf_cfg = MixtralConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        num_local_experts=cfg.num_local_experts,
+        num_experts_per_tok=cfg.num_experts_per_tok,
+        sliding_window=None,
+        tie_word_embeddings=False,
+        attention_dropout=0.0,
+        router_jitter_noise=0.0,
+    )
+    torch.manual_seed(0)
+    model = MixtralForCausalLM(hf_cfg).eval()
+    return model, cfg
+
+
+def _torch_logits(model, ids_np):
+    with torch.no_grad():
+        out = model(torch.from_numpy(ids_np))
+    return out.logits.float().numpy()
+
+
+@pytest.mark.parametrize("impl", ["dense", "grouped"])
+def test_full_forward_matches_torch(torch_mixtral_and_cfg, impl, monkeypatch):
+    monkeypatch.setenv("LAYERSKIP_MOE_IMPL", impl)
+    model, cfg = torch_mixtral_and_cfg
+    params = params_from_torch_state_dict(model.state_dict(), cfg)
+    rng = np.random.default_rng(0)
+    ids_np = rng.integers(0, cfg.vocab_size, size=(2, 12), dtype=np.int64)
+
+    ref = _torch_logits(model, ids_np)
+    cache = init_kv_cache(cfg, batch=2, max_len=32)
+    res = jax.jit(llama.forward, static_argnums=(1,))(
+        params, cfg, jnp.asarray(ids_np, jnp.int32), cache, jnp.int32(0)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.logits), ref, rtol=2e-4, atol=2e-4
+    )
+
+
+def test_incremental_decode_matches_torch(torch_mixtral_and_cfg):
+    """Prefill + per-token KV decode must produce the same argmax stream."""
+    model, cfg = torch_mixtral_and_cfg
+    params = params_from_torch_state_dict(model.state_dict(), cfg)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, cfg.vocab_size, size=(1, 7), dtype=np.int64)
+
+    # torch greedy continuation
+    ids = torch.from_numpy(prompt)
+    with torch.no_grad():
+        for _ in range(8):
+            nxt = model(ids).logits[:, -1].argmax(-1, keepdim=True)
+            ids = torch.cat([ids, nxt], dim=-1)
+    ref_stream = ids[0, 7:].numpy().tolist()
+
+    fwd = jax.jit(llama.forward, static_argnums=(1,))
+    cache = init_kv_cache(cfg, batch=1, max_len=32)
+    res = fwd(params, cfg, jnp.asarray(prompt, jnp.int32), cache, jnp.int32(0))
+    cache, past = res.cache, prompt.shape[1]
+    tok = int(np.asarray(res.logits)[0, -1].argmax())
+    stream = [tok]
+    for _ in range(7):
+        res = fwd(
+            params, cfg, jnp.full((1, 1), tok, jnp.int32), cache,
+            jnp.int32(past),
+        )
+        cache, past = res.cache, past + 1
+        tok = int(np.asarray(res.logits)[0, -1].argmax())
+        stream.append(tok)
+    assert stream == ref_stream
+
+
+def test_dense_and_grouped_paths_equal():
+    """Both MoE execution paths are exact — same logits bit-for-tolerance."""
+    from layerskip_tpu.ops.moe import moe_mlp
+
+    cfg = _moe_cfg()
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    lp = jax.tree.map(lambda x: x[0], params.layers)
+    x = jax.random.normal(jax.random.PRNGKey(4), (3, 40, cfg.hidden_size))
+
+    outs = {}
+    for impl in ("dense", "grouped"):
+        os.environ["LAYERSKIP_MOE_IMPL"] = impl
+        try:
+            outs[impl], aux = jax.jit(
+                lambda x: moe_mlp(
+                    x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
+                    cfg.num_experts_per_tok,
+                )
+            )(x)
+        finally:
+            del os.environ["LAYERSKIP_MOE_IMPL"]
+        assert np.isfinite(float(aux))
+    np.testing.assert_allclose(
+        np.asarray(outs["dense"]), np.asarray(outs["grouped"]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_router_weights_normalized():
+    from layerskip_tpu.ops.moe import route
+
+    cfg = _moe_cfg()
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, cfg.hidden_size))
+    w = jax.random.normal(
+        jax.random.PRNGKey(1), (cfg.hidden_size, cfg.num_local_experts)
+    )
+    topv, topi, aux = route(x, w, cfg.num_experts_per_tok)
+    np.testing.assert_allclose(np.asarray(topv).sum(-1), 1.0, rtol=1e-6)
+    assert np.asarray(topi).max() < cfg.num_local_experts
+    # perfectly balanced routing gives aux == 1; any routing is >= 1 - eps
+    assert float(aux) >= 0.99
+
+
+def test_moe_greedy_spec_equals_ar():
+    """The reference's correctness bar holds with MoE layers."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+
+    cfg = _moe_cfg()
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    eng = Engine(params, cfg)
+    prompt = [3, 17, 52, 9, 30]
+    ar = postprocess_output(
+        eng.generate(
+            prompt,
+            GenerationConfig(
+                max_steps=14, sample=False,
+                generation_strategy="autoregressive",
+            ),
+            jax.random.PRNGKey(0),
+        ), (), 14,
+    )
+    sp = postprocess_output(
+        eng.generate(
+            prompt,
+            GenerationConfig(
+                max_steps=14, sample=False,
+                generation_strategy="self_speculative",
+                exit_layer=2, num_speculations=3,
+            ),
+            jax.random.PRNGKey(0),
+        ), (), 14,
+    )
+    assert ar == sp
+
+
+def test_moe_hf_checkpoint_round_trip(tmp_path, torch_mixtral_and_cfg):
+    """save_params -> load_params reproduces identical logits + config."""
+    from layerskip_tpu.config import ModelConfig
+    from layerskip_tpu.models.params import load_params, save_params
+
+    model, cfg = torch_mixtral_and_cfg
+    params = params_from_torch_state_dict(model.state_dict(), cfg)
+    save_params(params, str(tmp_path), cfg)
+
+    cfg2 = ModelConfig.from_pretrained(str(tmp_path), dtype=jnp.float32)
+    assert cfg2.num_local_experts == cfg.num_local_experts
+    assert cfg2.num_experts_per_tok == cfg.num_experts_per_tok
+    params2 = load_params(str(tmp_path), cfg2)
+
+    ids = jnp.asarray([[5, 9, 2, 40, 7]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=16)
+    fwd = jax.jit(llama.forward, static_argnums=(1,))
+    a = fwd(params, cfg, ids, cache, jnp.int32(0)).logits
+    b = fwd(params2, cfg2, ids, cache, jnp.int32(0)).logits
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_moe_int8_quantized_runs():
+    """int8 expert weights route through the dequant einsum path."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.quant import quantize_llama_params
+
+    cfg = _moe_cfg()
+    params = init_params(jax.random.PRNGKey(11), cfg)
+    qparams = quantize_llama_params(params)
+    eng = Engine(qparams, cfg)
+    out = postprocess_output(
+        eng.generate(
+            [4, 8, 15],
+            GenerationConfig(
+                max_steps=8, sample=False,
+                generation_strategy="self_speculative",
+                exit_layer=2, num_speculations=2,
+            ),
+            jax.random.PRNGKey(0),
+        ), (), 8,
+    )
+    assert len(out) == 8
