@@ -24,9 +24,14 @@ from jax.sharding import Mesh
 def make_mesh(
     dp: int = 1,
     tp: int = 1,
+    ep: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Build a [dp, tp] mesh. ``dp*tp`` must equal the device count used.
+    """Build a [dp, tp] (or [dp, ep, tp]) mesh over ``dp*ep*tp`` devices.
+
+    ``ep > 1`` adds an expert-parallel axis between dp and tp (MoE expert
+    weights shard their [E] dim over it — parallel/sharding.py); dense
+    models keep the two-axis mesh for cache-key stability.
 
     On real hardware, ``jax.devices()`` already orders devices so that the
     trailing mesh axis (``tp``) lands on the fastest ICI links; use
@@ -34,15 +39,19 @@ def make_mesh(
     placement matters (multi-host).
     """
     devices = list(devices if devices is not None else jax.devices())
-    if dp * tp != len(devices):
-        raise ValueError(f"dp*tp={dp * tp} != #devices={len(devices)}")
+    shape = (dp, ep, tp) if ep > 1 else (dp, tp)
+    names = ("dp", "ep", "tp") if ep > 1 else ("dp", "tp")
+    if dp * ep * tp != len(devices):
+        raise ValueError(
+            f"dp*ep*tp={dp * ep * tp} != #devices={len(devices)}"
+        )
     try:
         from jax.experimental import mesh_utils
 
-        arr = mesh_utils.create_device_mesh((dp, tp), devices=devices)
+        arr = mesh_utils.create_device_mesh(shape, devices=devices)
     except Exception:
-        arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        arr = np.asarray(devices).reshape(shape)
+    return Mesh(arr, axis_names=names)
 
 
 def make_train_mesh(

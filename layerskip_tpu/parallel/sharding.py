@@ -26,14 +26,32 @@ from layerskip_tpu.models.llama import LayerParams, LlamaParams
 from layerskip_tpu.ops.kv_cache import KVCache
 
 
-def layer_specs(fsdp: bool = False, attention_bias: bool = False) -> LayerParams:
+def layer_specs(
+    fsdp: bool = False,
+    attention_bias: bool = False,
+    moe: bool = False,
+    ep: bool = False,
+) -> LayerParams:
     """PartitionSpecs for the stacked [L, ...] layer weights.
 
     With ``fsdp=True`` the leading (layer) axis is additionally sharded on
     the ``fsdp`` mesh axis (ZeRO-3-style: the layer scan all-gathers one
     layer's weights per step, overlapping with the previous layer's compute).
+
+    With ``moe=True`` the MLP weights carry an expert axis ([L, E, ...]);
+    ``ep=True`` shards it on the ``ep`` mesh axis (each device holds its
+    resident experts; the all-experts combine einsum reduces over ep via a
+    GSPMD psum riding ICI — ops/moe.py). The per-expert feature dims stay
+    tp-sharded, so ep and tp compose.
     """
     l = "fsdp" if fsdp else None
+    e = "ep" if (moe and ep) else None
+    if moe:
+        w_gate, w_up = P(l, e, None, "tp"), P(l, e, None, "tp")
+        w_down = P(l, e, "tp", None)
+    else:
+        w_gate, w_up = P(l, None, "tp"), P(l, None, "tp")
+        w_down = P(l, "tp", None)
     return LayerParams(
         attn_norm=P(l, None),
         # wq/wk/wv stored [L, out, in]: column-parallel = shard dim 1
@@ -42,12 +60,14 @@ def layer_specs(fsdp: bool = False, attention_bias: bool = False) -> LayerParams
         wv=P(l, "tp", None),
         wo=P(l, "tp", None),
         mlp_norm=P(l, None),
-        w_gate=P(l, None, "tp"),
-        w_up=P(l, None, "tp"),
-        w_down=P(l, "tp", None),
+        w_gate=w_gate,
+        w_up=w_up,
+        w_down=w_down,
         bq=P(l, "tp") if attention_bias else None,
         bk=P(l, "tp") if attention_bias else None,
         bv=P(l, "tp") if attention_bias else None,
+        # router stays replicated: [D, E] is tiny and every device routes
+        w_router=P(l, None, None) if moe else None,
     )
 
 
@@ -55,10 +75,12 @@ def param_specs(
     tie_word_embeddings: bool = False,
     fsdp: bool = False,
     attention_bias: bool = False,
+    moe: bool = False,
+    ep: bool = False,
 ) -> LlamaParams:
     return LlamaParams(
         embed=P("tp", None),  # vocab-parallel embedding
-        layers=layer_specs(fsdp, attention_bias),
+        layers=layer_specs(fsdp, attention_bias, moe=moe, ep=ep),
         final_norm=P(None),
         lm_head=None if tie_word_embeddings else P(None, "tp"),
     )
@@ -99,6 +121,8 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
         param_specs(
             params.lm_head is None,
             attention_bias=params.layers.bq is not None,
+            moe=params.layers.w_router is not None,
+            ep="ep" in mesh.axis_names,
         ),
     )
     return jax.tree.map(jax.device_put, params, shardings)

@@ -224,6 +224,37 @@ def test_moe_hf_checkpoint_round_trip(tmp_path, torch_mixtral_and_cfg):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_moe_ep_sharded_generation_matches():
+    """(ep=2, tp=4): expert-parallel + tensor-parallel MoE decode == solo.
+
+    Expert weights shard their [E] dim over ep and feature dims over tp
+    (parallel/sharding.py); GSPMD turns the all-experts combine into a psum
+    over ep. Token stream must equal the single-device engine's.
+    """
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.parallel.mesh import make_mesh
+    from layerskip_tpu.parallel.sharding import shard_params
+
+    cfg = _moe_cfg()
+    params = init_params(jax.random.PRNGKey(5), cfg)
+    gen_cfg = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompt = [11, 4, 250, 33, 7]
+    ref = postprocess_output(
+        Engine(params, cfg).generate(prompt, gen_cfg, jax.random.PRNGKey(0)),
+        (), 12,
+    )
+    mesh = make_mesh(dp=1, ep=2, tp=4)
+    p_sh = shard_params(params, mesh)
+    got = postprocess_output(
+        Engine(p_sh, cfg).generate(prompt, gen_cfg, jax.random.PRNGKey(0)),
+        (), 12,
+    )
+    assert got == ref
+
+
 def test_moe_int8_quantized_runs():
     """int8 expert weights route through the dequant einsum path."""
     from layerskip_tpu.generation.engine import Engine, postprocess_output
