@@ -61,6 +61,10 @@ class TrainConfig:
     # e.g. ("dp", "fsdp", None): batch on dp, sequence-parallel on fsdp
     ring_axis: Optional[str] = None  # mesh axis for ring attention (long ctx);
     # requires passing ``mesh`` to make_train_step / layerskip_loss
+    # MoE router load-balancing loss coefficient (Mixtral default 0.02);
+    # applied to the per-layer Switch-style aux averaged over layers
+    # (ops/moe.py::route) when the model has experts. Ignored for dense.
+    moe_aux_coef: float = 0.02
     label_smoothing: float = 0.0
     learning_rate: float = 1e-4
     weight_decay: float = 0.01
@@ -211,10 +215,20 @@ def _one_layer_dropped(
 
     h1 = h + h_attn
     x = rms_norm(h1, lp.mlp_norm, cfg.rms_norm_eps)
-    h2 = h1 + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+    if lp.w_router is not None:  # Mixtral-family MoE MLP
+        from layerskip_tpu.ops.moe import moe_mlp
+
+        mlp_out, aux = moe_mlp(
+            x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
+            cfg.num_experts_per_tok,
+        )
+        h2 = h1 + mlp_out
+    else:
+        h2 = h1 + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+        aux = jnp.float32(0.0)
 
     keep = keep.astype(h.dtype)[:, None, None]
-    return keep * h2 + (1.0 - keep) * h
+    return keep * h2 + (1.0 - keep) * h, aux
 
 
 def token_cross_entropy(
@@ -268,10 +282,10 @@ def layerskip_loss(
 
     def body(h, xs):
         lp, keep_l = xs
-        h = _one_layer_dropped(cfg, lp, h, cos, sin, keep_l, ring=ring)
-        return h, h
+        h, aux = _one_layer_dropped(cfg, lp, h, cos, sin, keep_l, ring=ring)
+        return h, (h, aux)
 
-    h_final, h_all = jax.lax.scan(body, h, (params.layers, keep))
+    h_final, (h_all, moe_aux) = jax.lax.scan(body, h, (params.layers, keep))
     if tcfg.act_spec is not None:
         h_final = jax.lax.with_sharding_constraint(
             h_final, PartitionSpec(*tcfg.act_spec)
@@ -291,11 +305,17 @@ def layerskip_loss(
         ))
     exit_vec = jnp.stack(exit_losses) if exit_losses else jnp.zeros((0,))
     total = final_loss + jnp.sum(w * exit_vec)
+    # MoE router load-balancing (Mixtral router_aux_loss_coef semantics,
+    # per-layer Switch aux averaged over layers — ops/moe.py::route)
+    aux_mean = jnp.mean(moe_aux)
+    if cfg.is_moe and tcfg.moe_aux_coef > 0.0:
+        total = total + jnp.float32(tcfg.moe_aux_coef) * aux_mean
     return total, {
         "loss": total,
         "final_loss": final_loss,
         "exit_losses": exit_vec,
         "exit_weights": w,
+        "moe_aux": aux_mean,
     }
 
 

@@ -255,6 +255,49 @@ def test_moe_ep_sharded_generation_matches():
     assert got == ref
 
 
+def test_moe_train_step_and_aux_loss():
+    """LayerSkip recipe trains a MoE model: loss finite, router gets
+    gradients, and the Mixtral-style load-balance aux contributes."""
+    from layerskip_tpu.training.recipe import (
+        TrainConfig, layerskip_loss, make_train_step,
+    )
+
+    cfg = _moe_cfg()
+    params = init_params(jax.random.PRNGKey(13), cfg)
+    tcfg = TrainConfig(p_max=0.1, early_exit_layers=(2,), moe_aux_coef=0.02)
+
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, cfg.vocab_size)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0, cfg.vocab_size)
+
+    (total, metrics), grads = jax.value_and_grad(
+        lambda p: layerskip_loss(
+            p, cfg, tcfg, ids, labels, jax.random.PRNGKey(3), jnp.int32(0)
+        ),
+        has_aux=True,
+    )(params)
+    assert np.isfinite(float(total))
+    # perfectly balanced aux == 1.0; any routing is >= ~1
+    assert float(metrics["moe_aux"]) >= 0.99
+    # the router is trained (load-balance + downstream CE gradients)
+    assert float(jnp.abs(grads.layers.w_router).sum()) > 0.0
+    # aux actually moves the total
+    tcfg0 = TrainConfig(p_max=0.1, early_exit_layers=(2,), moe_aux_coef=0.0)
+    total0, _ = layerskip_loss(
+        params, cfg, tcfg0, ids, labels, jax.random.PRNGKey(3), jnp.int32(0)
+    )
+    assert float(total) > float(total0)
+
+    train_step, init_opt = make_train_step(cfg, tcfg)
+    opt_state = init_opt(params)
+    p2, _, aux = jax.jit(train_step)(
+        params, opt_state, ids, labels, jax.random.PRNGKey(5), jnp.int32(0)
+    )
+    assert np.isfinite(float(aux["loss"]))
+    # expert weights updated
+    delta = float(jnp.abs(p2.layers.w_gate - params.layers.w_gate).sum())
+    assert delta > 0.0
+
+
 def test_moe_int8_quantized_runs():
     """int8 expert weights route through the dequant einsum path."""
     from layerskip_tpu.generation.engine import Engine, postprocess_output
