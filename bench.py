@@ -79,6 +79,23 @@ def llama32_1b_config():
     )
 
 
+def moe_3b_config():
+    """Mixtral-architecture bench model: ~3.5B total / ~1.1B active params
+    (8 experts, top-2) — the full expert set fits one v5e in bf16 while
+    decode reads only the routed experts (see cli/loading.py preset)."""
+    import jax.numpy as jnp
+
+    from layerskip_tpu.config import ModelConfig
+
+    return ModelConfig(
+        vocab_size=32000, hidden_size=2048, intermediate_size=4096,
+        num_hidden_layers=16, num_attention_heads=16, num_key_value_heads=8,
+        head_dim=128, max_position_embeddings=4096, rope_theta=500000.0,
+        num_local_experts=8, num_experts_per_tok=2,
+        dtype=jnp.bfloat16, tie_word_embeddings=True,
+    )
+
+
 def build_config(name: str):
     import jax.numpy as jnp
 
@@ -88,6 +105,8 @@ def build_config(name: str):
         return llama2_7b_config()
     if name == "1b":
         return llama32_1b_config()
+    if name == "moe-3b":
+        return moe_3b_config()
     return tiny_config(dtype=jnp.bfloat16)
 
 
@@ -145,10 +164,14 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False):
             sc = scale[..., :, None] if k_last else scale[..., None, :]
             qi = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
             return (
-                jax.lax.dynamic_update_slice(q_acc, qi[None], (i, 0, 0)),
-                jax.lax.dynamic_update_slice(s_acc, scale[None], (i, 0)),
+                jax.lax.dynamic_update_slice(
+                    q_acc, qi[None], (i,) + (0,) * (len(shape) - 1)
+                ),
+                jax.lax.dynamic_update_slice(
+                    s_acc, scale[None], (i,) + (0,) * (len(shape) - 2)
+                ),
             )
-        sshape = shape[:1] + (shape[1] if k_last else shape[2],)
+        sshape = shape[:-2] + ((shape[-2],) if k_last else (shape[-1],))
         q, s = jax.lax.fori_loop(
             0, shape[0], bodyq,
             (jnp.zeros(shape, jnp.int8), jnp.zeros(sshape, jnp.float32)),
@@ -158,7 +181,11 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False):
     def build(key, tail_eps):
         tail_eps = jnp.asarray(tail_eps, jnp.float32)
         stacked = make_stacked
-        ks = jax.random.split(key, 8)
+        ks = jax.random.split(key, 9)
+        # MoE (Mixtral-family): expert axis on the MLP weights + a router.
+        # tail_eps scales every expert's w_down past exit_layer, so the
+        # acceptance dial works identically for sparse models.
+        mlp_lead = (nl, cfg.num_local_experts) if cfg.is_moe else (nl,)
         layers = LayerParams(
             attn_norm=jnp.ones((nl, d), dt),
             wq=stacked(ks[0], (nl, hq * dh, d), k_last=True),
@@ -166,9 +193,16 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False):
             wv=stacked(ks[2], (nl, hkv * dh, d), k_last=True),
             wo=stacked(ks[3], (nl, hq * dh, d), tail_eps, zero_from=exit_layer),
             mlp_norm=jnp.ones((nl, d), dt),
-            w_gate=stacked(ks[4], (nl, d, f)),
-            w_up=stacked(ks[5], (nl, d, f)),
-            w_down=stacked(ks[6], (nl, f, d), tail_eps, zero_from=exit_layer),
+            w_gate=stacked(ks[4], (*mlp_lead, d, f)),
+            w_up=stacked(ks[5], (*mlp_lead, d, f)),
+            w_down=stacked(
+                ks[6], (*mlp_lead, f, d), tail_eps, zero_from=exit_layer
+            ),
+            w_router=(
+                jax.random.normal(ks[8], (nl, d, cfg.num_local_experts), dt)
+                * jnp.asarray(0.02, dt)
+                if cfg.is_moe else None
+            ),
         )
         embed = jax.random.normal(ks[7], (v, d), dt) * jnp.asarray(0.02, dt)
         return LlamaParams(
@@ -356,7 +390,8 @@ def run_single(args) -> dict:
 
 def parse_args(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--config", default="7b", choices=["7b", "1b", "tiny"])
+    ap.add_argument("--config", default="7b",
+                    choices=["7b", "1b", "moe-3b", "tiny"])
     ap.add_argument("--exit-layer", type=int, default=8)
     ap.add_argument("--spec", type=int, default=6)
     ap.add_argument("--max-steps", type=int, default=512)
@@ -388,7 +423,8 @@ def main():
         print(json.dumps(run_single(args)))
         return
 
-    order = {"7b": ["7b", "1b", "tiny"], "1b": ["1b", "tiny"], "tiny": ["tiny"]}
+    order = {"7b": ["7b", "1b", "tiny"], "1b": ["1b", "tiny"],
+             "moe-3b": ["moe-3b", "tiny"], "tiny": ["tiny"]}
     for cfg_name in order[args.config]:
         cmd = [
             sys.executable, os.path.abspath(__file__), "--single",

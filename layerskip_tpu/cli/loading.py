@@ -44,6 +44,21 @@ class SimpleTokenizer:
 def _preset_config(name: str) -> ModelConfig:
     if name == "tiny":
         return tiny_config(dtype=jnp.bfloat16)
+    if name == "moe":  # tiny Mixtral-style MoE for offline smoke runs
+        return tiny_config(
+            dtype=jnp.bfloat16, num_local_experts=4, num_experts_per_tok=2,
+        )
+    if name == "moe-3b":
+        # Mixtral-architecture bench preset: ~3.5B total / ~1.1B active
+        # params — a single v5e holds the full expert set in bf16, decode
+        # reads only the routed top-2 experts per token
+        return ModelConfig(
+            vocab_size=32000, hidden_size=2048, intermediate_size=4096,
+            num_hidden_layers=16, num_attention_heads=16,
+            num_key_value_heads=8, head_dim=128, rope_theta=500000.0,
+            num_local_experts=8, num_experts_per_tok=2,
+            dtype=jnp.bfloat16, tie_word_embeddings=True,
+        )
     if name == "1b":
         return ModelConfig(
             vocab_size=128256, hidden_size=2048, intermediate_size=8192,
