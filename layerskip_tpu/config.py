@@ -66,6 +66,11 @@ class ModelConfig:
     # Mixtral-family mixture-of-experts MLP (0 => dense MLP)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # Gemma-family: gelu-tanh MLP activation, RMSNorm multiplies by
+    # (1 + weight), and embeddings are scaled by sqrt(hidden_size)
+    hidden_act: str = "silu"  # | "gelu_pytorch_tanh"
+    rms_norm_offset: bool = False
+    scale_embeddings: bool = False
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
@@ -87,11 +92,17 @@ class ModelConfig:
     def is_moe(self) -> bool:
         return self.num_local_experts > 0
 
+    @property
+    def norm_offset(self) -> float:
+        """RMSNorm weight offset: 1.0 for Gemma ((1 + w) convention)."""
+        return 1.0 if self.rms_norm_offset else 0.0
+
     @staticmethod
     def from_hf_dict(d: dict, dtype=jnp.bfloat16) -> "ModelConfig":
         head_dim = d.get("head_dim") or (
             d["hidden_size"] // d["num_attention_heads"]
         )
+        gemma = d.get("model_type", "").startswith("gemma")
         return ModelConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -114,7 +125,15 @@ class ModelConfig:
             sliding_window=d.get("sliding_window"),
             num_local_experts=d.get("num_local_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
-            tie_word_embeddings=d.get("tie_word_embeddings", False),
+            # Gemma checkpoints may carry hidden_activation (new key) or
+            # hidden_act; default to gelu-tanh for the family
+            hidden_act=(
+                d.get("hidden_activation") or d.get("hidden_act")
+                or ("gelu_pytorch_tanh" if gemma else "silu")
+            ),
+            rms_norm_offset=gemma,
+            scale_embeddings=gemma,
+            tie_word_embeddings=d.get("tie_word_embeddings", gemma),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=d.get("eos_token_id", 2),
             dtype=dtype,

@@ -185,7 +185,7 @@ def ar_generate(
     true_len = jnp.broadcast_to(jnp.asarray(true_len, jnp.int32), (b,))
 
     # Prefill the padded prompt; logits at true_len-1 give the first token.
-    h = llama.embed_tokens(params, ids)
+    h = llama.embed_tokens(params, ids, cfg)
     h, k, v = llama.run_layers(cfg, layers, h, cache.k, cache.v, jnp.int32(0))
     last_h = _row_gather(h, true_len - 1)  # [B, D]
     logits0 = llama.lm_logits(params, cfg, last_h[:, None])[:, 0]  # [B, V]
@@ -214,7 +214,7 @@ def ar_generate(
         return jnp.any(~s.done)
 
     def body(s: _ARState):
-        h = llama.embed_tokens(params, s.next_tok)
+        h = llama.embed_tokens(params, s.next_tok, cfg)
         h, k, v = llama.run_layers(cfg, layers, h, s.cache.k, s.cache.v, s.ctx)
         logits = llama.lm_logits(params, cfg, h)[:, -1]
         logits = ban(logits, s.hist, true_len + s.out_len)

@@ -70,8 +70,22 @@ class LlamaParams:
     lm_head: Optional[jnp.ndarray]  # [D, V]; None => tied to embed
 
 
-def embed_tokens(params: LlamaParams, ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(params.embed, ids, axis=0)
+def embed_tokens(
+    params: LlamaParams, ids: jnp.ndarray, cfg: Optional[ModelConfig] = None
+) -> jnp.ndarray:
+    h = jnp.take(params.embed, ids, axis=0)
+    if cfg is not None and cfg.scale_embeddings:
+        # Gemma: embeddings scaled by sqrt(D), normalizer cast to the model
+        # dtype first (HF GemmaModel.forward semantics)
+        h = h * jnp.asarray(cfg.hidden_size ** 0.5, h.dtype)
+    return h
+
+
+def _act(cfg: ModelConfig):
+    """MLP gate activation: Llama-family silu or Gemma gelu-tanh."""
+    if cfg.hidden_act in ("gelu_pytorch_tanh", "gelu"):
+        return lambda x: jax.nn.gelu(x, approximate=True)
+    return jax.nn.silu
 
 
 def _one_layer(
@@ -89,7 +103,7 @@ def _one_layer(
     b, t, d = h.shape
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
-    x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
+    x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps, cfg.norm_offset)
     q = apply_weight_t(x, lp.wq)
     k = apply_weight_t(x, lp.wk)
     v = apply_weight_t(x, lp.wv)
@@ -111,7 +125,7 @@ def _one_layer(
     # on TPU (ops/rmsnorm.py dispatch)
     x, h = rms_norm_residual(
         apply_weight(attn.reshape(b, t, hq * dh), lp.wo), h,
-        lp.mlp_norm, cfg.rms_norm_eps,
+        lp.mlp_norm, cfg.rms_norm_eps, cfg.norm_offset,
     )
     if lp.w_router is not None:  # Mixtral-family MoE MLP (ops/moe.py)
         from layerskip_tpu.ops.moe import moe_mlp
@@ -122,7 +136,7 @@ def _one_layer(
         )
         h = h + mlp_out
     else:
-        gated = jax.nn.silu(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
+        gated = _act(cfg)(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
         h = h + apply_weight(gated, lp.w_down)
     return h, k_layer, v_layer
 
@@ -178,7 +192,7 @@ def run_layers(
 
 def lm_logits(params: LlamaParams, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndarray:
     """Shared final norm + LM head, fp32 logits (llama_model_utils.py:271-273)."""
-    h = rms_norm(h, params.final_norm, cfg.rms_norm_eps)
+    h = rms_norm(h, params.final_norm, cfg.rms_norm_eps, cfg.norm_offset)
     head = params.lm_head if params.lm_head is not None else params.embed.T
     if isinstance(head, QuantTensor):
         return apply_weight(h.astype(jnp.float32), head)
@@ -207,7 +221,7 @@ def forward(
     past_len: jnp.ndarray,  # scalar int32
 ) -> ForwardResult:
     """Full-model forward (reference ``forward``, llama_model_utils.py:155-209)."""
-    h = embed_tokens(params, ids)
+    h = embed_tokens(params, ids, cfg)
     h, k, v = run_layers(cfg, params.layers, h, cache.k, cache.v, past_len)
     return ForwardResult(
         logits=lm_logits(params, cfg, h), cache=KVCache(k=k, v=v), hidden=h
@@ -232,7 +246,7 @@ def forward_early(
     activation the engine stashes into its exit-hidden buffer (reference
     exit_query_cache, llama_model_utils.py:266-269).
     """
-    h = embed_tokens(params, ids)
+    h = embed_tokens(params, ids, cfg)
     h, ke, ve = run_layers(
         cfg, params.layers, h, early_cache.k, early_cache.v, draft_len,
         layer_offset=0,
@@ -275,7 +289,7 @@ def forward_remainder(
     """
     e = exit_layer
     # --- early layers: 1 token at position draft_len ---
-    h1 = embed_tokens(params, last_draft_token)  # [B, 1, D]
+    h1 = embed_tokens(params, last_draft_token, cfg)  # [B, 1, D]
     h1, ke, ve = run_layers(
         cfg, params.layers, h1, early_cache.k, early_cache.v, draft_len,
         layer_offset=0,
@@ -304,7 +318,7 @@ def forward_split(
 ) -> RemainderResult:
     """Full-model forward over the split early/full caches (engine prefill)."""
     e = exit_layer
-    h = embed_tokens(params, ids)
+    h = embed_tokens(params, ids, cfg)
     h, ke, ve = run_layers(
         cfg, params.layers, h, early_cache.k, early_cache.v, past_len,
         layer_offset=0,

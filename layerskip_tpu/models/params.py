@@ -42,13 +42,16 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
 
     # MoE (Mixtral-family): expert axis on the MLP weights + a router
     mlp_lead = (l, cfg.num_local_experts) if cfg.is_moe else (l,)
+    # Gemma stores norm weights as deltas around 1 ((1+w) convention): the
+    # identity init is zeros there, ones elsewhere
+    norm_init = jnp.zeros if cfg.rms_norm_offset else jnp.ones
     layers = LayerParams(
-        attn_norm=jnp.ones((l, d), cfg.dtype),
+        attn_norm=norm_init((l, d), cfg.dtype),
         wq=nrm(keys[0], (l, hq * dh, d)),
         wk=nrm(keys[1], (l, hkv * dh, d)),
         wv=nrm(keys[2], (l, hkv * dh, d)),
         wo=nrm(keys[3], (l, hq * dh, d)),
-        mlp_norm=jnp.ones((l, d), cfg.dtype),
+        mlp_norm=norm_init((l, d), cfg.dtype),
         w_gate=nrm(keys[4], (*mlp_lead, d, f)),
         w_up=nrm(keys[5], (*mlp_lead, d, f)),
         w_down=nrm(keys[6], (*mlp_lead, f, d)),
@@ -62,7 +65,7 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
     embed = nrm(keys[7], (v, d))
     lm_head = None if cfg.tie_word_embeddings else jnp.transpose(embed)
     return LlamaParams(
-        embed=embed, layers=layers, final_norm=jnp.ones((d,), cfg.dtype),
+        embed=embed, layers=layers, final_norm=norm_init((d,), cfg.dtype),
         lm_head=lm_head,
     )
 
@@ -239,6 +242,8 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     # biases; Mistral the only one with a sliding window.
     if cfg.is_moe:
         model_type, arch = "mixtral", "MixtralForCausalLM"
+    elif cfg.rms_norm_offset:
+        model_type, arch = "gemma", "GemmaForCausalLM"
     elif cfg.attention_bias:
         model_type, arch = "qwen2", "Qwen2ForCausalLM"
     elif cfg.sliding_window is not None:
@@ -268,6 +273,9 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     if cfg.is_moe:
         config_json["num_local_experts"] = cfg.num_local_experts
         config_json["num_experts_per_tok"] = cfg.num_experts_per_tok
+    if cfg.hidden_act != "silu":
+        config_json["hidden_activation"] = cfg.hidden_act
+        config_json["hidden_act"] = cfg.hidden_act
     if cfg.rope_scaling.rope_type != "default":
         config_json["rope_scaling"] = {
             "rope_type": cfg.rope_scaling.rope_type,

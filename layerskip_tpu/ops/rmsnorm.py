@@ -23,19 +23,25 @@ import jax.numpy as jnp
 import jax
 
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float, offset: float = 0.0
+) -> jnp.ndarray:
+    """``offset=1.0`` gives the Gemma-family convention: the stored weight is
+    a delta around 1 and the norm multiplies by ``(1 + weight)`` in fp32
+    (HF GemmaRMSNorm)."""
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     normed = xf * jax.lax.rsqrt(var + eps)
-    return (normed * weight.astype(jnp.float32)).astype(dtype)
+    return (normed * (weight.astype(jnp.float32) + offset)).astype(dtype)
 
 
 def rms_norm_residual(
-    x: jnp.ndarray, residual: jnp.ndarray, weight: jnp.ndarray, eps: float
+    x: jnp.ndarray, residual: jnp.ndarray, weight: jnp.ndarray, eps: float,
+    offset: float = 0.0,
 ):
     """``(rms_norm(x + residual) * weight, x + residual)`` — the decoder's
     post-attention pattern as one expression; XLA fuses the add into the
     norm's reduction so the residual stream crosses HBM once."""
     h = x + residual
-    return rms_norm(h, weight, eps), h
+    return rms_norm(h, weight, eps, offset), h

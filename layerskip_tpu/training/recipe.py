@@ -180,7 +180,7 @@ def _one_layer_dropped(
 
     from layerskip_tpu.ops.linear import apply_weight_t
 
-    x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps)
+    x = rms_norm(h, lp.attn_norm, cfg.rms_norm_eps, cfg.norm_offset)
     q = apply_weight_t(x, lp.wq)
     k = apply_weight_t(x, lp.wk)
     v = apply_weight_t(x, lp.wv)
@@ -214,7 +214,7 @@ def _one_layer_dropped(
         h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
 
     h1 = h + h_attn
-    x = rms_norm(h1, lp.mlp_norm, cfg.rms_norm_eps)
+    x = rms_norm(h1, lp.mlp_norm, cfg.rms_norm_eps, cfg.norm_offset)
     if lp.w_router is not None:  # Mixtral-family MoE MLP
         from layerskip_tpu.ops.moe import moe_mlp
 
@@ -224,7 +224,8 @@ def _one_layer_dropped(
         )
         h2 = h1 + mlp_out
     else:
-        h2 = h1 + (jax.nn.silu(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+        act = llama._act(cfg)
+        h2 = h1 + (act(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
         aux = jnp.float32(0.0)
 
     keep = keep.astype(h.dtype)[:, None, None]
@@ -263,7 +264,7 @@ def layerskip_loss(
     exits = tuple(e for e in exits if 0 < e < nl)
 
     b, t = ids.shape
-    h = llama.embed_tokens(params, ids)
+    h = llama.embed_tokens(params, ids, cfg)
     if tcfg.act_spec is not None:
         # sequence-parallel residual stream: elementwise/norm work runs
         # sequence-sharded; GSPMD gathers around the attention matmuls

@@ -127,17 +127,21 @@ def test_incremental_decode_matches_torch(torch_mixtral_and_cfg):
     assert stream == ref_stream
 
 
-def test_dense_and_grouped_paths_equal():
-    """Both MoE execution paths are exact — same logits bit-for-tolerance."""
+@pytest.mark.parametrize("shape", [(3, 40), (1, 1)])
+def test_moe_paths_equal(shape):
+    """All three MoE execution paths are exact — same outputs to tolerance.
+
+    (1, 1) is the decode shape where the auto dispatch picks the
+    expert-gather ``few`` path (reads only routed experts' bytes)."""
     from layerskip_tpu.ops.moe import moe_mlp
 
     cfg = _moe_cfg()
     params = init_params(jax.random.PRNGKey(3), cfg)
     lp = jax.tree.map(lambda x: x[0], params.layers)
-    x = jax.random.normal(jax.random.PRNGKey(4), (3, 40, cfg.hidden_size))
+    x = jax.random.normal(jax.random.PRNGKey(4), (*shape, cfg.hidden_size))
 
     outs = {}
-    for impl in ("dense", "grouped"):
+    for impl in ("dense", "grouped", "few"):
         os.environ["LAYERSKIP_MOE_IMPL"] = impl
         try:
             outs[impl], aux = jax.jit(
@@ -149,10 +153,11 @@ def test_dense_and_grouped_paths_equal():
         finally:
             del os.environ["LAYERSKIP_MOE_IMPL"]
         assert np.isfinite(float(aux))
-    np.testing.assert_allclose(
-        np.asarray(outs["dense"]), np.asarray(outs["grouped"]),
-        rtol=1e-5, atol=1e-5,
-    )
+    for impl in ("grouped", "few"):
+        np.testing.assert_allclose(
+            np.asarray(outs["dense"]), np.asarray(outs[impl]),
+            rtol=1e-5, atol=1e-5,
+        )
 
 
 def test_router_weights_normalized():
