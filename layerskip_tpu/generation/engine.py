@@ -566,6 +566,10 @@ def _spec_insert_rows(
     steps: Optional[jnp.ndarray] = None,  # [B] int32 per-request max tokens
     new_table: Optional[jnp.ndarray] = None,  # [B, maxp] page table rows
     # for the inserted slots (paged KV only; see ops/paged_kv.py)
+    prefix_len: Optional[jnp.ndarray] = None,  # [B] int32 page-aligned
+    # cached-prompt-prefix lengths (prefix caching, paged only): those
+    # positions' KV already lives in shared pages mapped by ``new_table``,
+    # so the prefill runs on the prompt SUFFIX at past=prefix_len
     *,
     max_steps: int,
     exit_layer: int,
@@ -612,10 +616,28 @@ def _spec_insert_rows(
         # slots for exactly this): beyond every possible valid frontier,
         # never visible to the masking rule, never read.
         park = jnp.int32(max_len - p_bucket)
-    past = jnp.where(row_mask, 0, park)
-
-    res = llama.forward_split(params, cfg, ids, s.early, s.full, past, e)
-    last_logits = _row_gather(res.logits, true_len - 1)  # [B, V]
+    if prefix_len is None:
+        past = jnp.where(row_mask, 0, park)
+        res = llama.forward_split(params, cfg, ids, s.early, s.full, past, e)
+        last_logits = _row_gather(res.logits, true_len - 1)  # [B, V]
+    else:
+        # prefix caching: the first ``prefix_len`` positions' KV is already
+        # in shared pages — prefill only the suffix, shifted to the front
+        # of the window, at past=prefix_len. Positions past the true suffix
+        # process junk-but-real token ids; their KV lands beyond the row's
+        # frontier (invisible to the mask rule, legitimately overwritten by
+        # later decode writes) — the same argument as padded prompt tails.
+        pl = jnp.where(row_mask, prefix_len.astype(jnp.int32), 0)
+        idx = pl[:, None] + jnp.arange(p_bucket, dtype=jnp.int32)[None]
+        suffix_ids = jnp.take_along_axis(
+            ids, jnp.minimum(idx, p_bucket - 1), axis=1
+        )
+        suffix_len = jnp.maximum(true_len - pl, 1)
+        past = jnp.where(row_mask, pl, park)
+        res = llama.forward_split(
+            params, cfg, suffix_ids, s.early, s.full, past, e
+        )
+        last_logits = _row_gather(res.logits, suffix_len - 1)  # [B, V]
     out_size = max_steps + w + 1
     hist_new = jnp.concatenate(
         [ids, jnp.zeros((b, out_size), jnp.int32)], axis=1
@@ -882,10 +904,10 @@ class Engine:
 
         if paged:
             def insert_fn(params, state, row_mask, ids, true_len, seeds,
-                          steps, new_table):
+                          steps, new_table, prefix_len):
                 return _spec_insert_rows(
                     params, cfg, state, row_mask, ids, true_len, seeds,
-                    steps, new_table,
+                    steps, new_table, prefix_len,
                     max_steps=max_steps, exit_layer=e, num_speculations=w,
                     scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 )
@@ -958,11 +980,14 @@ class Engine:
         self, gen_cfg: GenerationConfig, batch: int, prompt_bucket: int,
         eos_ids: Sequence[int] = (),
         paged_pool_pages: int = 0, page_size: int = 256,
+        prefix_cache: bool = False,
     ) -> "ContinuousSession":
         """``paged_pool_pages > 0`` switches the session to paged KV: slots
         draw pages from a shared pool sized for the mean load instead of
         reserving worst-case contiguous buffers (ops/paged_kv.py), so the
-        same HBM serves ~2x+ the slots under heterogeneous budgets."""
+        same HBM serves ~2x+ the slots under heterogeneous budgets.
+        ``prefix_cache`` (paged only) additionally shares page-aligned
+        prompt-prefix KV across requests and skips its prefill compute."""
         scfg = SamplingConfig(
             sample=gen_cfg.sample, temperature=gen_cfg.temperature,
             top_k=gen_cfg.top_k, top_p=gen_cfg.top_p,
@@ -980,7 +1005,8 @@ class Engine:
             paged,
         )
         return ContinuousSession(
-            self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged
+            self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,
+            prefix_cache=prefix_cache,
         )
 
     # -- stepped / streaming mode -------------------------------------------
@@ -1091,7 +1117,7 @@ class ContinuousSession:
     """
 
     def __init__(self, engine, fns, gen_cfg, batch, prompt_bucket, eos,
-                 paged=None):
+                 paged=None, prefix_cache=False):
         import numpy as np
 
         self.engine = engine
@@ -1102,8 +1128,11 @@ class ContinuousSession:
         self.prompt_bucket = prompt_bucket
         self.eos = eos
         self.paged = paged  # (pool_pages, page_size) or None
+        self.prefix_cache = None
         if paged:
-            from layerskip_tpu.ops.paged_kv import PageAllocator, paged_geometry
+            from layerskip_tpu.ops.paged_kv import (
+                PageAllocator, PrefixCache, paged_geometry,
+            )
 
             pool_pages, page_size = paged
             capacity = (prompt_bucket + gen_cfg.max_steps
@@ -1112,7 +1141,10 @@ class ContinuousSession:
                 capacity, page_size, prompt_bucket
             )
             self.allocator = PageAllocator(pool_pages, page_size)
+            if prefix_cache:
+                self.prefix_cache = PrefixCache(self.allocator)
         else:
+            assert not prefix_cache, "prefix_cache requires paged KV"
             self.allocator = None
         self.state = self._blank()
         self.active = np.zeros(batch, bool)  # slot occupied by a live request
@@ -1151,31 +1183,66 @@ class ContinuousSession:
             if max_tokens is not None and max_tokens[k]:
                 steps_vec[r] = int(max_tokens[k])
         args = ()
+        slot_pages = {}
         if self.paged:
             # allocate exactly what each request's frontier can reach:
             # prompt + clipped budget + speculation overhang; everything
             # past that maps to trash (PagePoolExhausted propagates BEFORE
-            # any device state changes — the scheduler's backpressure)
+            # any device state changes — the scheduler's backpressure).
+            # With a prefix cache, cached page-aligned prompt prefixes map
+            # shared (refcounted) pages instead of fresh ones and skip
+            # their prefill compute (the device runs the suffix only).
+            from layerskip_tpu.ops.paged_kv import PagePoolExhausted
+
             pool_pages, page_size = self.paged
             w = self.gen_cfg.num_speculations
-            table = np.full((self.batch, self._max_pages), pool_pages,
-                            np.int32)
             clipped = np.clip(steps_vec, 1, self.gen_cfg.max_steps)
-            snapshot = self.allocator.snapshot()
-            try:
-                for r in rows:
-                    need = int(lens[r]) + int(clipped[r]) + w + 2
-                    pages = self.allocator.allocate(r, need)
-                    table[r, : len(pages)] = pages
-            except Exception:
-                self.allocator.restore(snapshot)  # all-or-nothing
-                raise
-            args = (jnp.asarray(table),)
+            prefix_vec = np.zeros(self.batch, np.int32)
+            prompts_by_row = {
+                r: list(p)[-self.prompt_bucket:]
+                for r, p in zip(rows, prompts)
+            }
+            for attempt in (0, 1):
+                table = np.full((self.batch, self._max_pages), pool_pages,
+                                np.int32)
+                snapshot = self.allocator.snapshot()
+                try:
+                    for r in rows:
+                        shared, pmatch = [], 0
+                        if self.prefix_cache is not None:
+                            pmatch, shared = self.prefix_cache.match(
+                                prompts_by_row[r]
+                            )
+                        need = int(lens[r]) + int(clipped[r]) + w + 2
+                        pages = self.allocator.allocate(r, need, shared)
+                        table[r, : len(pages)] = pages
+                        prefix_vec[r] = pmatch
+                        slot_pages[r] = pages
+                    break
+                except Exception as exc:
+                    self.allocator.restore(snapshot)  # all-or-nothing
+                    slot_pages.clear()
+                    if (
+                        attempt == 0
+                        and isinstance(exc, PagePoolExhausted)
+                        and self.prefix_cache is not None
+                        # shed cold cache entries and retry once before
+                        # surfacing backpressure to the scheduler
+                        and self.prefix_cache.evict(self._max_pages)
+                    ):
+                        continue
+                    raise
+            args = (jnp.asarray(table), jnp.asarray(prefix_vec))
         self.state = self._insert(
             self.engine.params, self.state,
             jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(lens),
             jnp.asarray(seed_vec), jnp.asarray(steps_vec), *args,
         )
+        if self.prefix_cache is not None:
+            # the freshly prefilled full prompt pages are now immutable
+            # (decode writes begin at prompt_len) — publish them
+            for r in rows:
+                self.prefix_cache.put(prompts_by_row[r], slot_pages[r])
         self.active |= mask
         # keep the host mirrors coherent without an extra device sync:
         # fresh rows start at out_len 1 (the prefill commits one token) and

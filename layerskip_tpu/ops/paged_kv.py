@@ -216,17 +216,22 @@ def init_paged_group(
 
 
 class PageAllocator:
-    """Host-side free-list allocator over ``pool_pages`` physical pages.
+    """Host-side refcounted free-list allocator over ``pool_pages`` pages.
 
     Trash pages (indices >= pool_pages) are permanently mapped and never
     allocated. Raised ``PagePoolExhausted`` is the scheduler's backpressure
-    signal: the request waits until a finished slot frees its pages."""
+    signal: the request waits until a finished slot frees its pages.
+
+    Pages are refcounted so the prefix cache can share read-only prompt
+    pages across slots (each sharer + the cache itself holds one reference;
+    a page returns to the free list when the last reference drops)."""
 
     def __init__(self, pool_pages: int, page_size: int):
         self.page_size = page_size
         self.pool_pages = pool_pages
         self._free = list(range(pool_pages - 1, -1, -1))  # pop() -> page 0 first
         self._owned = {}  # slot -> [page, ...]
+        self._refs = {}  # page -> live reference count (absent == free)
 
     def free_pages(self) -> int:
         return len(self._free)
@@ -234,30 +239,130 @@ class PageAllocator:
     def pages_needed(self, tokens: int) -> int:
         return -(-max(int(tokens), 1) // self.page_size)
 
-    def allocate(self, slot: int, tokens: int):
+    def addref(self, pages) -> None:
+        for p in pages:
+            self._refs[p] = self._refs.get(p, 0) + 1
+
+    def decref(self, pages) -> None:
+        for p in pages:
+            n = self._refs.get(p, 0) - 1
+            if n <= 0:
+                self._refs.pop(p, None)
+                self._free.append(p)
+            else:
+                self._refs[p] = n
+
+    def allocate(self, slot: int, tokens: int, shared=()):
         """Map ``tokens`` logical positions for ``slot``; returns the page
-        list. Frees the slot's previous pages first (slot reuse)."""
+        list. ``shared`` pages (an already-referenced prefix) are reference-
+        bumped and prepended; only the remainder draws fresh pages. Frees
+        the slot's previous pages first (slot reuse)."""
         self.release(slot)
-        need = self.pages_needed(tokens)
+        shared = list(shared)
+        need = self.pages_needed(tokens) - len(shared)
         if need > len(self._free):
             raise PagePoolExhausted(
                 f"need {need} pages for slot {slot}, "
                 f"{len(self._free)} free of {self.pool_pages}"
             )
-        pages = [self._free.pop() for _ in range(need)]
+        fresh = [self._free.pop() for _ in range(max(need, 0))]
+        self.addref(shared)
+        self.addref(fresh)
+        pages = shared + fresh
         self._owned[slot] = pages
         return pages
 
     def release(self, slot: int) -> None:
-        self._free.extend(self._owned.pop(slot, ()))
+        self.decref(self._owned.pop(slot, ()))
 
     def snapshot(self):
-        return list(self._free), {s: list(p) for s, p in self._owned.items()}
+        return (
+            list(self._free),
+            {s: list(p) for s, p in self._owned.items()},
+            dict(self._refs),
+        )
 
     def restore(self, snap) -> None:
-        self._free, self._owned = list(snap[0]), {
-            s: list(p) for s, p in snap[1].items()
-        }
+        self._free = list(snap[0])
+        self._owned = {s: list(p) for s, p in snap[1].items()}
+        self._refs = dict(snap[2])
+
+
+class PrefixCache:
+    """Host-side prompt-prefix page cache (paged serving, vLLM-style
+    automatic prefix caching re-thought for this static-shape engine).
+
+    Keys are page-aligned token prefixes (a page is cacheable only when
+    FULLY covered by prompt tokens: decode writes begin at ``prompt_len``,
+    so full prompt pages are immutable after prefill — the sharing-safety
+    invariant). An entry holds one allocator reference per page; sharers
+    add their own. ``match`` returns the longest cached aligned prefix
+    strictly shorter than the prompt (the engine always re-processes >= 1
+    suffix token to produce the first logits). Eviction is LRU over
+    entries and only frees pages whose last reference is the cache's."""
+
+    def __init__(self, allocator: PageAllocator):
+        self.alloc = allocator
+        self.page_size = allocator.page_size
+        self._entries = {}  # key(tuple tokens) -> [pages]
+        self._clock = 0
+        self._last_used = {}  # key -> clock
+        self.hits = 0
+        self.hit_tokens = 0
+
+    def match(self, prompt):
+        """-> (prefix_tokens, pages) for the longest cached aligned prefix
+        shorter than ``prompt``; (0, []) on miss."""
+        pg = self.page_size
+        toks = tuple(prompt)
+        max_pages = (len(toks) - 1) // pg  # strictly shorter than the prompt
+        for n in range(max_pages, 0, -1):
+            key = toks[: n * pg]
+            pages = self._entries.get(key)
+            if pages is not None:
+                self._clock += 1
+                self._last_used[key] = self._clock
+                self.hits += 1
+                self.hit_tokens += n * pg
+                return n * pg, list(pages)
+        return 0, []
+
+    def put(self, prompt, pages) -> None:
+        """Register every aligned full-page prefix of ``prompt`` whose pages
+        are ``pages[:n]`` (the slot's prompt pages, in logical order)."""
+        pg = self.page_size
+        toks = tuple(prompt)
+        for n in range(1, len(toks) // pg + 1):
+            key = toks[: n * pg]
+            if key in self._entries:
+                continue
+            entry = pages[:n]
+            if len(entry) < n:
+                break
+            self.alloc.addref(entry)
+            self._entries[key] = list(entry)
+            self._clock += 1
+            self._last_used[key] = self._clock
+
+    def evict(self, pages_wanted: int) -> int:
+        """Drop LRU entries until ~``pages_wanted`` pages could return to
+        the free list (pages still shared by live slots survive, they just
+        lose their cache reference). Returns entries dropped."""
+        order = sorted(self._entries, key=lambda k: self._last_used[k])
+        dropped = 0
+        freed_before = self.alloc.free_pages()
+        for key in order:
+            if self.alloc.free_pages() - freed_before >= pages_wanted:
+                break
+            self.alloc.decref(self._entries.pop(key))
+            self._last_used.pop(key, None)
+            dropped += 1
+        return dropped
+
+    def clear(self) -> None:
+        for key in list(self._entries):
+            self.alloc.decref(self._entries.pop(key))
+        self._last_used.clear()
 
 
 class PagePoolExhausted(RuntimeError):

@@ -188,6 +188,7 @@ class ContinuousBatchScheduler:
         max_wave_rounds: int = 128,
         paged_pool_pages: int = 0,  # >0: paged KV pool (ops/paged_kv.py)
         page_size: int = 256,
+        prefix_cache: bool = False,  # paged only: share prompt-prefix KV
     ):
         self.engine = engine
         self.gen_cfg = gen_cfg
@@ -195,6 +196,7 @@ class ContinuousBatchScheduler:
         self.session = engine.continuous_session(
             gen_cfg, batch_size, prompt_bucket, eos_ids,
             paged_pool_pages=paged_pool_pages, page_size=page_size,
+            prefix_cache=prefix_cache,
         )
         self._held: List[_Request] = []  # backpressured: waiting for pages
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -433,6 +435,9 @@ def main():
                     help="with --continuous: paged KV, pool of N shared "
                          "pages instead of per-slot worst-case buffers")
     ap.add_argument("--page-size", type=int, default=256)
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="share prompt-prefix KV pages across requests "
+                         "(requires --paged-pool-pages)")
     ap.add_argument("--generation_strategy", default="self_speculative")
     ap.add_argument("--exit_layer", type=int, default=8)
     ap.add_argument("--num_speculations", type=int, default=6)
@@ -454,6 +459,7 @@ def main():
             engine, default_cfg, batch_size=args.batch_size,
             prompt_bucket=args.prompt_bucket,
             paged_pool_pages=args.paged_pool_pages, page_size=args.page_size,
+            prefix_cache=args.prefix_cache,
         ).start()
     else:
         sched = BatchScheduler(engine, batch_size=args.batch_size).start()

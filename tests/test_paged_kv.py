@@ -350,3 +350,127 @@ def test_paged_q8_session_equals_static_q8_session():
         gen, batch=2, prompt_bucket=16, paged_pool_pages=8, page_size=16,
     ))
     assert static == paged and len(static[0]) == 12 and len(static[1]) == 9
+
+
+# --- prefix caching ---------------------------------------------------------
+
+
+def test_allocator_refcounted_sharing():
+    """Shared pages return to the free list only when the LAST reference
+    (slots and/or the prefix cache) drops."""
+    al = PageAllocator(pool_pages=6, page_size=16)
+    a = al.allocate(0, 3 * 16)  # 3 pages
+    assert al.free_pages() == 3
+    b = al.allocate(1, 3 * 16, shared=a[:2])  # shares 2, draws 1 fresh
+    assert b[:2] == a[:2] and al.free_pages() == 2
+    al.release(0)  # pages a[:2] still referenced by slot 1
+    assert al.free_pages() == 3
+    al.release(1)
+    assert al.free_pages() == 6
+
+
+def test_prefix_cache_match_put_evict():
+    from layerskip_tpu.ops.paged_kv import PrefixCache
+
+    al = PageAllocator(pool_pages=8, page_size=4)
+    pc = PrefixCache(al)
+    prompt = list(range(10))  # 2 full pages + tail
+    pages = al.allocate(0, len(prompt) + 8)
+    pc.put(prompt, pages)
+    # longest cached aligned prefix strictly shorter than the query
+    n, shared = pc.match(prompt)
+    assert n == 8 and shared == pages[:2]
+    # a query equal to a cached prefix re-processes >= 1 token
+    n, shared = pc.match(prompt[:8])
+    assert n == 4 and shared == pages[:1]
+    # diverging tail after one page: only the first page matches
+    n, shared = pc.match(prompt[:4] + [99, 98, 97, 96, 95])
+    assert n == 4 and shared == pages[:1]
+    # no match
+    assert pc.match([42, 43, 44, 45, 46])[0] == 0
+    # cache keeps pages alive after the slot frees them; evict returns them
+    al.release(0)
+    free_before = al.free_pages()
+    assert pc.evict(pages_wanted=100) >= 1
+    assert al.free_pages() > free_before
+
+
+def test_prefix_cached_session_matches_cold():
+    """Warm-prefix inserts produce exactly the cold-engine token streams,
+    and actually hit the cache (prefill skips the shared pages)."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+    import dataclasses as dc
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    system = [7, 13, 19, 23, 29, 31, 37, 41]  # 2 full pages at page_size=4
+    prompts = [system + tail for tail in ([3, 17], [5], [9, 11, 2])]
+
+    session = engine.continuous_session(
+        gen, batch=2, prompt_bucket=16,
+        paged_pool_pages=24, page_size=4, prefix_cache=True,
+    )
+    results = {}
+    session.insert([0], [prompts[0]], seeds=[0], max_tokens=[12])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[0] = toks
+    assert session.prefix_cache.hits == 0  # cold
+    # second + third share the system prefix -> served from cached pages
+    session.insert([0, 1], [prompts[1], prompts[2]], seeds=[0, 0],
+                   max_tokens=[12, 12])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[1 + r] = toks
+    assert session.prefix_cache.hits == 2
+    assert session.prefix_cache.hit_tokens == 16  # 2 pages x 4 tokens, x2
+
+    for i, p in enumerate(prompts):
+        want = postprocess_output(
+            engine.generate(p, dc.replace(gen, max_steps=12),
+                            jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
+            engine.cfg.eos_token_ids, 12)
+        assert results[i] == want, (i, results[i], want)
+
+
+def test_prefix_cache_eviction_under_pressure():
+    """When the pool runs dry, cold cache entries are evicted and the
+    insert retries instead of surfacing backpressure."""
+    from layerskip_tpu.config import GenerationConfig
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=8, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    # need per request: ceil((prompt<=16 + 8 + 5)/8) <= 4 pages; pool of 7
+    # pages can't hold two slots + a populated cache without eviction
+    session = engine.continuous_session(
+        gen, batch=1, prompt_bucket=16,
+        paged_pool_pages=7, page_size=8, prefix_cache=True,
+    )
+
+    def run(prompt):
+        session.insert([0], [prompt], seeds=[0], max_tokens=[8])
+        out = None
+        while session.has_active():
+            for _, toks, _ in session.step(max_rounds=2):
+                out = toks
+        return out
+
+    a = run([1, 2, 3, 4, 5, 6, 7, 8, 9])   # caches 1 page
+    b = run([9, 8, 7, 6, 5, 4, 3, 2, 1])   # unrelated: more cache pressure
+    c = run([4, 4, 4, 4, 4, 4, 4, 4, 4])   # forces eviction of a/b entries
+    assert all(x is not None for x in (a, b, c))
+    from layerskip_tpu.generation.engine import postprocess_output
+    import dataclasses as dc
+
+    want = postprocess_output(
+        engine.generate([4] * 9, dc.replace(gen, max_steps=8),
+                        jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
+        engine.cfg.eos_token_ids, 8)
+    assert c == want
