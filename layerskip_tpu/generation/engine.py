@@ -570,6 +570,10 @@ def _spec_insert_rows(
     # cached-prompt-prefix lengths (prefix caching, paged only): those
     # positions' KV already lives in shared pages mapped by ``new_table``,
     # so the prefill runs on the prompt SUFFIX at past=prefix_len
+    suffix_ids: Optional[jnp.ndarray] = None,  # [B, SB] host-shifted suffix
+    # tokens in a NARROW bucket (SB < P): the prefill then computes SB
+    # positions instead of P — the prefix cache's time-to-first-token win
+    # (a static [B, P] window costs full-prompt FLOPs even on a hit)
     *,
     max_steps: int,
     exit_layer: int,
@@ -628,10 +632,11 @@ def _spec_insert_rows(
         # frontier (invisible to the mask rule, legitimately overwritten by
         # later decode writes) — the same argument as padded prompt tails.
         pl = jnp.where(row_mask, prefix_len.astype(jnp.int32), 0)
-        idx = pl[:, None] + jnp.arange(p_bucket, dtype=jnp.int32)[None]
-        suffix_ids = jnp.take_along_axis(
-            ids, jnp.minimum(idx, p_bucket - 1), axis=1
-        )
+        if suffix_ids is None:
+            idx = pl[:, None] + jnp.arange(p_bucket, dtype=jnp.int32)[None]
+            suffix_ids = jnp.take_along_axis(
+                ids, jnp.minimum(idx, p_bucket - 1), axis=1
+            )
         suffix_len = jnp.maximum(true_len - pl, 1)
         past = jnp.where(row_mask, pl, park)
         res = llama.forward_split(
@@ -912,6 +917,30 @@ class Engine:
                     scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 )
 
+            narrow_cache = {}
+
+            def narrow_insert(suffix_bucket: int):
+                """Compiled insert whose prefill window is ``suffix_bucket``
+                wide: on prefix-cache hits the device computes only the
+                prompt suffix (full ids still populate history/ngram).
+                One extra (cached) compile per distinct suffix bucket."""
+                fn = narrow_cache.get(suffix_bucket)
+                if fn is None:
+                    def fn_raw(params, state, row_mask, ids, true_len,
+                               seeds, steps, new_table, prefix_len,
+                               suffix_ids):
+                        return _spec_insert_rows(
+                            params, cfg, state, row_mask, ids, true_len,
+                            seeds, steps, new_table, prefix_len, suffix_ids,
+                            max_steps=max_steps, exit_layer=e,
+                            num_speculations=w, scfg=scfg, eos_ids=eos_ids,
+                            ngram=ngram,
+                        )
+
+                    fn = jax.jit(fn_raw, donate_argnums=(1,))
+                    narrow_cache[suffix_bucket] = fn
+                return fn
+
             def park_fn(state, row_mask):
                 """Redirect ``row_mask`` rows' tables to the trash pages —
                 the host may then reclaim their physical pages. (Frozen
@@ -937,6 +966,7 @@ class Engine:
                     scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 )
             park_fn = None
+            narrow_insert = None
 
         def round_fn(params, state):
             return _spec_round(
@@ -972,6 +1002,7 @@ class Engine:
             jax.jit(round_fn, donate_argnums=(1,)),
             jax.jit(multi_round_fn, donate_argnums=(1,)),
             jax.jit(park_fn, donate_argnums=(0,)) if park_fn else None,
+            narrow_insert,
         )
         self._stepped_cache[key] = fns
         return fns
@@ -1122,7 +1153,7 @@ class ContinuousSession:
 
         self.engine = engine
         (self._blank, self._insert, self._round, self._multi_round,
-         self._park) = fns
+         self._park, self._narrow_insert) = fns
         self.gen_cfg = gen_cfg
         self.batch = batch
         self.prompt_bucket = prompt_bucket
@@ -1233,10 +1264,27 @@ class ContinuousSession:
                         continue
                     raise
             args = (jnp.asarray(table), jnp.asarray(prefix_vec))
-        self.state = self._insert(
+        insert_call, extra = self._insert, ()
+        if self.paged and self.prefix_cache is not None \
+                and self._narrow_insert is not None:
+            # prefix hits leave only short suffixes to prefill: drop to the
+            # narrowest bucket covering every inserted row's suffix so the
+            # device computes SB positions instead of prompt_bucket (the
+            # actual FLOP saving — a static [B, P] window costs full-prompt
+            # compute even when the prefix KV is shared)
+            max_suffix = max(int(lens[r]) - int(prefix_vec[r]) for r in rows)
+            sb = _bucket(max_suffix, (32, 64, 128, 256, 512, 1024, 2048))
+            if sb < self.prompt_bucket:
+                sfx = np.zeros((self.batch, sb), np.int32)
+                for r in rows:
+                    tail = prompts_by_row[r][int(prefix_vec[r]):]
+                    sfx[r, : len(tail)] = tail
+                insert_call = self._narrow_insert(sb)
+                extra = (jnp.asarray(sfx),)
+        self.state = insert_call(
             self.engine.params, self.state,
             jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(lens),
-            jnp.asarray(seed_vec), jnp.asarray(steps_vec), *args,
+            jnp.asarray(seed_vec), jnp.asarray(steps_vec), *args, *extra,
         )
         if self.prefix_cache is not None:
             # the freshly prefilled full prompt pages are now immutable

@@ -42,6 +42,12 @@ def main():
                     help="paged only (e.g. when static slots cannot fit)")
     ap.add_argument("--kv-quant", action="store_true",
                     help="int8 KV cache (composes with --paged)")
+    ap.add_argument("--prefix-cache", action="store_true",
+                    help="paged runs also measured with prompt-prefix KV "
+                         "sharing (requires --paged)")
+    ap.add_argument("--system-len", type=int, default=0,
+                    help="shared system-prompt tokens prepended to every "
+                         "request (the prefix-cache target)")
     ap.add_argument("--prompt-bucket", type=int, default=64)
     ap.add_argument("--prompt-len", type=int, default=32)
     ap.add_argument("--budget-min", type=int, default=32)
@@ -66,8 +72,9 @@ def main():
         exit_layer=exit_layer, num_speculations=args.spec,
         kv_quant=args.kv_quant,
     )
+    system = list(range(7, 7 + args.system_len))  # shared across requests
     prompts = [
-        list(range(5 + i % 7, 5 + i % 7 + args.prompt_len))
+        system + list(range(5 + i % 7, 5 + i % 7 + args.prompt_len))
         for i in range(args.requests)
     ]
     if args.varied:
@@ -90,7 +97,8 @@ def main():
     import dataclasses
 
     pb = args.prompt_bucket
-    paged_tps = None
+    paged_tps = prefix_tps = None
+    prefix_stats = None
     if args.paged:
         # paged KV: more slots, pool capped at the *same token capacity*
         # the static continuous scheduler reserved (batch x (2*pb+steps+W+2))
@@ -99,16 +107,31 @@ def main():
         pool_pages = (args.paged_pool_tokens
                       or static_tokens) // args.page_size
         slots = args.paged_slots or 2 * args.batch
-        paged = ContinuousBatchScheduler(
-            engine, gen, batch_size=slots, prompt_bucket=pb,
-            paged_pool_pages=pool_pages, page_size=args.page_size,
-        ).start()
-        try:
-            paged_tps = run(lambda p, bdg: paged.submit(p, max_tokens=bdg))
-            print(f"[serve] paged({slots} slots): {paged_tps:.1f} tok/s "
-                  f"(pool={pool_pages}x{args.page_size})", file=sys.stderr)
-        finally:
-            paged.stop()
+
+        def run_paged(prefix_cache):
+            sched = ContinuousBatchScheduler(
+                engine, gen, batch_size=slots, prompt_bucket=pb,
+                paged_pool_pages=pool_pages, page_size=args.page_size,
+                prefix_cache=prefix_cache,
+            ).start()
+            try:
+                tps = run(lambda p, bdg: sched.submit(p, max_tokens=bdg))
+                pc = sched.session.prefix_cache
+                stats = (
+                    {"hits": pc.hits, "hit_tokens": pc.hit_tokens}
+                    if pc else None
+                )
+            finally:
+                sched.stop()
+            return tps, stats
+
+        paged_tps, _ = run_paged(False)
+        print(f"[serve] paged({slots} slots): {paged_tps:.1f} tok/s "
+              f"(pool={pool_pages}x{args.page_size})", file=sys.stderr)
+        if args.prefix_cache:
+            prefix_tps, prefix_stats = run_paged(True)
+            print(f"[serve] paged+prefix-cache: {prefix_tps:.1f} tok/s "
+                  f"{prefix_stats}", file=sys.stderr)
 
     cont_tps = None
     if not args.skip_static:
@@ -133,6 +156,9 @@ def main():
             "unit": "tok/s",
             **({"paged": round(paged_tps, 1)}
                if paged_tps is not None else {}),
+            **({"paged_prefix_cache": round(prefix_tps, 1),
+                "prefix_stats": prefix_stats}
+               if prefix_tps is not None else {}),
         }))
         return
 
@@ -161,6 +187,9 @@ def main():
         "unit": "tok/s",
         **({"paged": round(paged_tps, 1)}
            if paged_tps is not None else {}),
+        **({"paged_prefix_cache": round(prefix_tps, 1),
+            "prefix_stats": prefix_stats}
+           if prefix_tps is not None else {}),
     }))
 
 

@@ -474,3 +474,45 @@ def test_prefix_cache_eviction_under_pressure():
                         jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
         engine.cfg.eos_token_ids, 8)
     assert c == want
+
+
+def test_prefix_cache_narrow_suffix_insert_matches():
+    """When every inserted suffix fits a narrower bucket, the insert runs
+    the narrow compiled program (suffix-width prefill) — token streams must
+    still exactly match the cold engine."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+    import dataclasses as dc
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    system = list(range(60, 100))  # 40 tokens = 10 full pages at size 4
+    prompts = [system + [3, 17], system + [5, 9, 11]]
+
+    session = engine.continuous_session(
+        gen, batch=2, prompt_bucket=64,
+        paged_pool_pages=64, page_size=4, prefix_cache=True,
+    )
+    results = {}
+    session.insert([0], [prompts[0]], seeds=[0], max_tokens=[10])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[0] = toks
+    # warm: suffix (2-3 toks) fits the 32-bucket -> narrow insert program
+    session.insert([0, 1], [prompts[0], prompts[1]], seeds=[0, 0],
+                   max_tokens=[10, 10])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[1 + r] = toks
+    assert session.prefix_cache.hits == 2
+    assert session.prefix_cache.hit_tokens == 80  # 10 pages x 4, x2 hits
+
+    for i, p in enumerate([prompts[0], prompts[0], prompts[1]]):
+        want = postprocess_output(
+            engine.generate(p, dc.replace(gen, max_steps=10),
+                            jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
+            engine.cfg.eos_token_ids, 10)
+        assert results[i] == want, (i, results[i], want)
