@@ -285,7 +285,8 @@ def run_single(args) -> dict:
     )
     sp_cfg = GenerationConfig(
         generation_strategy="self_speculative", exit_layer=exit_layer,
-        num_speculations=args.spec, **common
+        num_speculations=args.spec, draft_exit_prob=args.draft_exit_prob,
+        **common
     )
     print(f"[bench] config={args.config} exit={exit_layer} spec={args.spec} "
           f"backend={jax.default_backend()}", file=sys.stderr)
@@ -404,6 +405,9 @@ def parse_args(argv=None):
                     help="int8 weight-only quantized model")
     ap.add_argument("--single", action="store_true",
                     help="run only --config in-process (no fallback chain)")
+    ap.add_argument("--draft-exit-prob", type=float, default=0.0,
+                    help="confidence-adaptive drafting threshold (0 = "
+                         "always draft the full window)")
     ap.add_argument("--tail-eps", type=float, default=0.0,
                     help="tail output-projection scale (0 = acceptance~1)")
     ap.add_argument("--curve", action="store_true",
@@ -435,6 +439,7 @@ def main():
             "--repeats", str(args.repeats),
             "--batch", str(args.batch),
             "--tail-eps", str(args.tail_eps),
+            "--draft-exit-prob", str(args.draft_exit_prob),
         ] + (["--sample"] if args.sample else []) + (
             ["--quant"] if args.quant else []) + (
             ["--curve"] if args.curve else ["--no-curve"])

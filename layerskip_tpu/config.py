@@ -199,3 +199,8 @@ class GenerationConfig:
     max_prompt_len: int = 0  # 0 -> bucketed automatically
     max_seq_len: int = 0  # 0 -> model max_position_embeddings
     kv_quant: bool = False  # int8 KV cache (halves KV HBM traffic)
+    # confidence-adaptive drafting (net-new): stop extending the draft
+    # window once the drafted token's probability drops below this (0 =
+    # always draft the full num_speculations window). Committed tokens are
+    # invariant; low-acceptance rounds skip wasted early-layer passes.
+    draft_exit_prob: float = 0.0

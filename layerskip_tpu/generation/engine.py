@@ -32,6 +32,7 @@ self_speculation_generator.py:186-199).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -354,6 +355,7 @@ def spec_generate(
     max_cache_len: int,
     ngram: int = 0,
     kv_quant: bool = False,
+    draft_exit_prob: float = 0.0,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
@@ -377,6 +379,7 @@ def spec_generate(
             params, cfg, s,
             max_steps=max_steps, exit_layer=e, num_speculations=w,
             scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+            draft_exit_prob=draft_exit_prob,
         )
         return s
 
@@ -400,12 +403,21 @@ def _spec_round(
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
     ngram: int = 0,
+    draft_exit_prob: float = 0.0,
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One draft+verify round (reference ``single_step_speculation``,
     self_speculation_generator.py:102-229). Returns
     ``(new_state, window [B, W+1], n [B])`` where ``window[:, :n+1]`` is the
     committed token run — used by the streaming/stepped mode; the
-    whole-generation while_loop discards the extras."""
+    whole-generation while_loop discards the extras.
+
+    ``draft_exit_prob > 0`` enables confidence-adaptive drafting (net-new,
+    Draft&Verify-style): the draft loop becomes a ``lax.while_loop`` that
+    stops extending a row's window once its drafted token's probability
+    falls below the threshold — skipped early-layer passes are the compute
+    saving at low acceptance. Committed tokens are invariant to the draft
+    length (verification + rejection sampling see only the drafted prefix),
+    so greedy spec == greedy AR still holds exactly."""
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
     v_size = cfg.vocab_size
@@ -422,39 +434,129 @@ def _spec_round(
     # ---- draft phase: W early-exit steps under lax.scan
     # (reference draft loop, self_speculation_generator.py:121-148; the
     # reference applies logits processors to draft logits at :138-139) ----
-    def dstep(carry, i):
-        early, tok, rng, hist = carry
-        r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
-        key, rng = _split_rows(rng)
-        logits = ban(r.logits[:, -1], hist, hist_len0 + i)
-        probs = token_distribution(logits, scfg)  # [B, V]
-        d_tok = draw(probs, key, scfg)  # [B]
-        hist = _row_update(hist, d_tok[:, None], hist_len0 + i)
-        return (r.cache, d_tok[:, None], rng, hist), (d_tok, probs, r.hidden[:, 0])
+    if draft_exit_prob <= 0.0:
+        def dstep(carry, i):
+            early, tok, rng, hist = carry
+            r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
+            key, rng = _split_rows(rng)
+            logits = ban(r.logits[:, -1], hist, hist_len0 + i)
+            probs = token_distribution(logits, scfg)  # [B, V]
+            d_tok = draw(probs, key, scfg)  # [B]
+            hist = _row_update(hist, d_tok[:, None], hist_len0 + i)
+            return (r.cache, d_tok[:, None], rng, hist), (d_tok, probs, r.hidden[:, 0])
 
-    (early, last_inp, rng, hist), (d_toks, d_probs, exit_h) = jax.lax.scan(
-        dstep,
-        (s.early, s.next_tok, s.rng, s.hist),
-        jnp.arange(w, dtype=jnp.int32),
-    )
-    drafts = jnp.transpose(d_toks)  # [B, W]
-    p_draft = jnp.transpose(d_probs, (1, 0, 2))  # [B, W, V]
-    exit_hidden = jnp.transpose(exit_h, (1, 0, 2))  # [B, W, D]
+        (early, last_inp, rng, hist), (d_toks, d_probs, exit_h) = jax.lax.scan(
+            dstep,
+            (s.early, s.next_tok, s.rng, s.hist),
+            jnp.arange(w, dtype=jnp.int32),
+        )
+        drafts = jnp.transpose(d_toks)  # [B, W]
+        p_draft = jnp.transpose(d_probs, (1, 0, 2))  # [B, W, V]
+        exit_hidden = jnp.transpose(exit_h, (1, 0, 2))  # [B, W, D]
+        w_dyn = jnp.full((b,), w, jnp.int32)  # every row drafts the full W
+    else:
+        # Confidence-adaptive drafting: a while_loop that runs only while
+        # some row is still extending. Per-row bookkeeping is masked so a
+        # stopped row's rng stream, history, and buffers are untouched by
+        # other rows' extra iterations (per-request reproducibility); its
+        # early-KV junk writes land beyond its own w_dyn frontier.
+        tau = jnp.float32(draft_exit_prob)
+        hid_dtype = params.embed.dtype
+        carry0 = (
+            s.early, s.next_tok, s.rng, s.hist,
+            jnp.int32(0),  # i
+            ~s.done,  # drafting: done rows never draft
+            jnp.zeros((b,), jnp.int32),  # w_dyn
+            jnp.zeros((b, w), jnp.int32),  # drafts
+            jnp.zeros((b, w, v_size), jnp.float32),  # p_draft
+            jnp.zeros((b, w, cfg.hidden_size), hid_dtype),  # exit_hidden
+        )
+
+        def dcond(c):
+            return (c[4] < w) & jnp.any(c[5])
+
+        def dbody(c):
+            (early, tok, rng, hist, i, drafting, w_dyn,
+             d_toks, p_dr, ex_h) = c
+            r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
+            key, rng2 = _split_rows(rng)
+            logits = ban(r.logits[:, -1], hist, hist_len0 + i)
+            probs = token_distribution(logits, scfg)  # [B, V]
+            d_tok = draw(probs, key, scfg)  # [B]
+            rec = drafting
+            col = jnp.arange(w) == i
+            d_toks = jnp.where(
+                col[None, :] & rec[:, None], d_tok[:, None], d_toks
+            )
+            p_dr = jnp.where(
+                col[None, :, None] & rec[:, None, None],
+                probs[:, None].astype(p_dr.dtype), p_dr,
+            )
+            ex_h = jnp.where(
+                col[None, :, None] & rec[:, None, None],
+                r.hidden[:, :1].astype(ex_h.dtype), ex_h,
+            )
+            hist = jnp.where(
+                rec[:, None],
+                _row_update(hist, d_tok[:, None], hist_len0 + i), hist,
+            )
+            tok = jnp.where(rec[:, None], d_tok[:, None], tok)
+            rng = jnp.where(rec[:, None], rng2, rng)
+            w_dyn = w_dyn + rec.astype(jnp.int32)
+            # stop extending once the drafted token's own probability drops
+            # below the threshold (it stays in the window — it was a valid
+            # sample; the verifier will judge it)
+            pd = jnp.take_along_axis(probs, d_tok[:, None], axis=-1)[:, 0]
+            drafting = rec & (pd >= tau)
+            return (r.cache, tok, rng, hist, i + 1, drafting, w_dyn,
+                    d_toks, p_dr, ex_h)
+
+        (early, last_inp, rng, hist, _, _, w_dyn,
+         drafts, p_draft, exit_hidden) = jax.lax.while_loop(
+            dcond, dbody, carry0
+        )
+        # Rows that drafted nothing (done rows / w_eff-clamped corner):
+        # give them w_dyn=1 semantics over the zero buffers — acceptance
+        # masks below force n=0 there, and frozen rows commit nothing.
+        w_dyn = jnp.maximum(w_dyn, 1)
 
     # ---- verify phase: one pass over the stitched window
     # (reference self_speculation_generator.py:150-182) ----
-    vres = llama.forward_remainder(
-        params,
-        cfg,
-        last_inp,
-        exit_hidden,
-        early,
-        s.full,
-        draft_len=s.ctx + w,
-        full_len=s.ctx,
-        exit_layer=e,
-    )
-    vlogits = vres.logits  # [B, W+1, V]
+    if draft_exit_prob <= 0.0:
+        vres = llama.forward_remainder(
+            params,
+            cfg,
+            last_inp,
+            exit_hidden,
+            early,
+            s.full,
+            draft_len=s.ctx + w,
+            full_len=s.ctx,
+            exit_layer=e,
+        )
+        vlogits = vres.logits  # [B, W+1, V]
+        early_after, full_after = vres.early_cache, vres.full_cache
+    else:
+        # per-row stitched window: the last draft token's exit hidden goes
+        # at window position w_dyn (not the static W), garbage beyond it —
+        # position j's verifier logits depend only on tokens < j, so
+        # positions <= w_dyn are exactly the static semantics
+        r_last = llama.forward_early(
+            params, cfg, last_inp, early, s.ctx + w_dyn, e
+        )
+        h1 = r_last.hidden  # [B, 1, D]
+        win_h = jnp.concatenate(
+            [exit_hidden, jnp.zeros_like(exit_hidden[:, :1])], axis=1
+        )  # [B, W+1, D]
+        sel = jnp.arange(w + 1)[None, :, None] == w_dyn[:, None, None]
+        win_h = jnp.where(sel, h1.astype(win_h.dtype), win_h)
+        full_h, kf, vf = llama.run_layers(
+            cfg, params.layers, win_h, s.full.k, s.full.v, s.ctx,
+            layer_offset=e,
+        )
+        vlogits = llama.lm_logits(params, cfg, full_h)  # [B, W+1, V]
+        early_after = r_last.cache
+        full_after = KVCache(k=kf, v=vf)
     if ngram > 0:
         # position j verifies with history = committed + drafts < j (the
         # drafts are already in ``hist``), keeping greedy spec == greedy AR
@@ -475,6 +577,9 @@ def _spec_round(
     kr, rng = _split_rows(rng)
     u = jax.vmap(lambda k: jax.random.uniform(k, (w,)))(ku)  # [B, W]
     accept = u * pd_d < pv_d
+    # adaptive drafting: positions past a row's dynamic draft count hold
+    # garbage and are never acceptable (no-op when w_dyn == w)
+    accept = accept & (jnp.arange(w)[None, :] < w_dyn[:, None])
     n_raw = jnp.sum(jnp.cumprod(accept.astype(jnp.int32), axis=1), axis=1)  # [B]
     # Reference clamps speculations near max_steps
     # (self_speculation_generator.py:63-66); we clamp acceptances so the
@@ -488,13 +593,15 @@ def _spec_round(
     # window has w+1 positions); p_draft only has w entries, so its gather
     # clamps — it is only consumed on true rejections, where n < w.
     pv_n = jnp.take_along_axis(p_verify, n[:, None, None], axis=1)[:, 0]
-    pd_pos = jnp.minimum(n, w - 1)
+    pd_pos = jnp.minimum(n, w_dyn - 1)
     pd_n = jnp.take_along_axis(p_draft, pd_pos[:, None, None], axis=1)[:, 0]
     residual = jnp.clip(pv_n - pd_n, 0.0, None)
     residual = residual / jnp.maximum(
         jnp.sum(residual, axis=-1, keepdims=True), 1e-30
     )
-    all_accepted = (n == w) | (n == w_eff)  # clamped => not a true rejection
+    # full-window acceptance (w_dyn == w when not adaptive) or the
+    # near-max_steps clamp => bonus draw, not a true rejection
+    all_accepted = (n == w_dyn) | (n == w_eff)
     extra_dist = jnp.where(all_accepted[:, None], pv_n, residual)
     extra_tok = draw(extra_dist, kr, scfg)  # [B]
 
@@ -529,17 +636,19 @@ def _spec_round(
     # (self_speculation_generator.py:63-66) — a fully-clamped round (w_eff=0)
     # drafts nothing. Matches are capped to the same denominator so
     # acceptance stays in [0, 1]. Output tokens are unaffected.
-    d_eos = _is_eos(drafts, eos_ids)  # [B, W]
+    d_eos = _is_eos(drafts, eos_ids) & (
+        jnp.arange(w)[None, :] < w_dyn[:, None]
+    )  # [B, W]
     eos_cap = jnp.where(
         jnp.any(d_eos, axis=1),
         jnp.argmax(d_eos, axis=1).astype(jnp.int32) + 1,
         jnp.int32(w),
     )
-    drafted = jnp.minimum(w_eff, eos_cap)  # [B]
+    drafted = jnp.minimum(jnp.minimum(w_eff, eos_cap), w_dyn)  # [B]
     act32 = active.astype(jnp.int32)
     new_state = _SpecState(
-        early=vres.early_cache,
-        full=vres.full_cache,
+        early=early_after,
+        full=full_after,
         ctx=s.ctx + committed,
         prompt_len=s.prompt_len,
         next_tok=extra_tok[:, None],
@@ -750,9 +859,11 @@ class Engine:
         eos_ids: Tuple[int, ...],
         ngram: int = 0,
         kv_quant: bool = False,
+        draft_exit_prob: float = 0.0,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
-               num_speculations, scfg, eos_ids, ngram, kv_quant)
+               num_speculations, scfg, eos_ids, ngram, kv_quant,
+               draft_exit_prob)
         if key in self._exec_cache:
             return self._exec_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -769,7 +880,7 @@ class Engine:
                     max_steps=max_steps, exit_layer=exit_layer,
                     num_speculations=num_speculations, scfg=scfg,
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
-                    kv_quant=kv_quant,
+                    kv_quant=kv_quant, draft_exit_prob=draft_exit_prob,
                 )
 
         elif strategy == "autoregressive":
@@ -822,6 +933,7 @@ class Engine:
             strategy, bucket, b, max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
+            float(gen_cfg.draft_exit_prob or 0.0),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -844,6 +956,7 @@ class Engine:
         ngram: int = 0,
         kv_quant: bool = False,
         paged: Optional[Tuple[int, int]] = None,  # (pool_pages, page_size)
+        draft_exit_prob: float = 0.0,
     ):
         """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
         batching.
@@ -854,7 +967,8 @@ class Engine:
         logical positions through per-row page tables (ops/paged_kv.py).
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
-               num_speculations, scfg, eos_ids, ngram, kv_quant, paged)
+               num_speculations, scfg, eos_ids, ngram, kv_quant, paged,
+               draft_exit_prob)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = 2 * prompt_bucket + max_steps + num_speculations + 2
@@ -973,6 +1087,7 @@ class Engine:
                 params, cfg, state,
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                draft_exit_prob=draft_exit_prob,
             )
 
         def multi_round_fn(params, state, k):
@@ -990,6 +1105,7 @@ class Engine:
                     params, cfg, s,
                     max_steps=max_steps, exit_layer=e, num_speculations=w,
                     scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                    draft_exit_prob=draft_exit_prob,
                 )
                 return (s2, i + 1)
 
@@ -1033,7 +1149,7 @@ class Engine:
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
-            paged,
+            paged, float(gen_cfg.draft_exit_prob or 0.0),
         )
         return ContinuousSession(
             self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,
@@ -1052,9 +1168,10 @@ class Engine:
         scfg: SamplingConfig,
         eos_ids: Tuple[int, ...],
         ngram: int = 0,
+        draft_exit_prob: float = 0.0,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
-               scfg, eos_ids, ngram)
+               scfg, eos_ids, ngram, draft_exit_prob)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -1072,7 +1189,7 @@ class Engine:
                 params, self.cfg, state,
                 max_steps=max_steps, exit_layer=exit_layer,
                 num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
-                ngram=ngram,
+                ngram=ngram, draft_exit_prob=draft_exit_prob,
             )
 
         self._stepped_cache[key] = (
@@ -1115,6 +1232,7 @@ class Engine:
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
+            float(gen_cfg.draft_exit_prob or 0.0),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -1266,12 +1384,17 @@ class ContinuousSession:
             args = (jnp.asarray(table), jnp.asarray(prefix_vec))
         insert_call, extra = self._insert, ()
         if self.paged and self.prefix_cache is not None \
-                and self._narrow_insert is not None:
-            # prefix hits leave only short suffixes to prefill: drop to the
-            # narrowest bucket covering every inserted row's suffix so the
-            # device computes SB positions instead of prompt_bucket (the
-            # actual FLOP saving — a static [B, P] window costs full-prompt
-            # compute even when the prefix KV is shared)
+                and self._narrow_insert is not None \
+                and os.environ.get("LAYERSKIP_PREFIX_NARROW") == "1":
+            # OPT-IN (LAYERSKIP_PREFIX_NARROW=1): drop to the narrowest
+            # bucket covering every inserted row's suffix so the device
+            # computes SB positions instead of prompt_bucket. Measured at
+            # 1B/512-prompt this LOSES ~40%: dispatching a second insert
+            # executable against the donated state forces buffer relayout
+            # copies on every switch (the known two-executables trap),
+            # outweighing the prefill FLOPs saved. Default path keeps ONE
+            # insert executable; the prefix win comes from page sharing
+            # (admission pressure), measured 2.0x on a mean-sized pool.
             max_suffix = max(int(lens[r]) - int(prefix_vec[r]) for r in rows)
             sb = _bucket(max_suffix, (32, 64, 128, 256, 512, 1024, 2048))
             if sb < self.prompt_bucket:

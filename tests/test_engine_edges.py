@@ -100,3 +100,104 @@ def test_max_seq_len_caps_generation(eng):
     )
     toks = _go(eng_, gen_cfg, [3, 5, 9])  # bucket 64 -> cap at 16 steps
     assert len(toks) == 16
+
+
+# --- confidence-adaptive drafting (draft_exit_prob) -------------------------
+
+
+def _adaptive_engine():
+    from layerskip_tpu.config import tiny_config
+    from layerskip_tpu.generation.engine import Engine
+    from layerskip_tpu.models.params import init_params
+
+    cfg = tiny_config()
+    return Engine(init_params(jax.random.PRNGKey(3), cfg), cfg)
+
+
+@pytest.mark.parametrize("tau", [0.2, 0.6, 0.95])
+def test_adaptive_greedy_equals_ar(tau):
+    """Committed tokens are invariant to the dynamic draft length: greedy
+    spec with any draft-exit threshold == greedy AR, token for token."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    prompt = [3, 17, 52, 9, 30]
+    ar = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=20, sample=False,
+            generation_strategy="autoregressive"), jax.random.PRNGKey(0)),
+        (), 20,
+    )
+    sp = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=20, sample=False,
+            generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=4, draft_exit_prob=tau),
+            jax.random.PRNGKey(0)),
+        (), 20,
+    )
+    assert ar == sp
+
+
+def test_adaptive_batched_matches_solo():
+    """Per-row adaptive draft lengths must not couple rows: each batched
+    row's stream equals its solo run (greedy)."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_batch, postprocess_output
+
+    eng = _adaptive_engine()
+    gen = GenerationConfig(
+        max_steps=14, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, draft_exit_prob=0.5,
+    )
+    prompts = [[3, 17, 52], [5, 9, 11, 13], [250, 4]]
+    batched = postprocess_batch(
+        eng.generate(prompts, gen, jax.random.PRNGKey(0)), (), 14
+    )
+    for p, got in zip(prompts, batched):
+        solo = postprocess_output(
+            eng.generate(p, gen, jax.random.PRNGKey(0)), (), 14
+        )
+        assert got == solo, p
+
+
+def test_adaptive_draft_counters_shrink():
+    """A high threshold must draft fewer tokens than the static window
+    (that is the compute saving) while committing the same stream."""
+    from layerskip_tpu.config import GenerationConfig
+
+    eng = _adaptive_engine()
+    prompt = [3, 17, 52, 9]
+    base = dict(max_steps=16, sample=False,
+                generation_strategy="self_speculative",
+                exit_layer=2, num_speculations=4)
+    out_static = eng.generate(
+        prompt, GenerationConfig(**base), jax.random.PRNGKey(0))
+    out_adapt = eng.generate(
+        prompt, GenerationConfig(**base, draft_exit_prob=0.97),
+        jax.random.PRNGKey(0))
+    assert int(out_adapt.drafts) <= int(out_static.drafts)
+    import numpy as np
+
+    assert np.asarray(out_adapt.tokens).tolist() == \
+        np.asarray(out_static.tokens).tolist()
+
+
+def test_adaptive_sampling_runs_and_respects_eos():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    out = eng.generate(
+        [7, 9, 11],
+        GenerationConfig(
+            max_steps=12, sample=True, temperature=0.8, top_p=0.95,
+            generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=3, draft_exit_prob=0.3,
+        ),
+        jax.random.PRNGKey(1),
+    )
+    toks = postprocess_output(out, eng.cfg.eos_token_ids, 12)
+    assert 0 < len(toks) <= 12
+    assert 0 <= float(out.matches) <= float(out.drafts) + 1e-9

@@ -476,10 +476,11 @@ def test_prefix_cache_eviction_under_pressure():
     assert c == want
 
 
-def test_prefix_cache_narrow_suffix_insert_matches():
-    """When every inserted suffix fits a narrower bucket, the insert runs
-    the narrow compiled program (suffix-width prefill) — token streams must
+def test_prefix_cache_narrow_suffix_insert_matches(monkeypatch):
+    """When every inserted suffix fits a narrower bucket, the (opt-in)
+    narrow insert program runs suffix-width prefills — token streams must
     still exactly match the cold engine."""
+    monkeypatch.setenv("LAYERSKIP_PREFIX_NARROW", "1")
     from layerskip_tpu.config import GenerationConfig
     from layerskip_tpu.generation.engine import postprocess_output
     import dataclasses as dc
