@@ -503,11 +503,16 @@ def _spec_round(
             tok = jnp.where(rec[:, None], d_tok[:, None], tok)
             rng = jnp.where(rec[:, None], rng2, rng)
             w_dyn = w_dyn + rec.astype(jnp.int32)
-            # stop extending once the drafted token's own probability drops
-            # below the threshold (it stays in the window — it was a valid
-            # sample; the verifier will judge it)
-            pd = jnp.take_along_axis(probs, d_tok[:, None], axis=-1)[:, 0]
-            drafting = rec & (pd >= tau)
+            # stop extending once the drafted token's raw-softmax
+            # probability drops below the threshold (it stays in the
+            # window — it was a valid sample; the verifier will judge it).
+            # NOT the sampling distribution: greedy one-hot would report
+            # confidence 1.0 for every token and never stop.
+            lf = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(lf, axis=-1)
+            sel = jnp.take_along_axis(lf, d_tok[:, None], axis=-1)[:, 0]
+            conf = jnp.exp(sel - lse)
+            drafting = rec & (conf >= tau)
             return (r.cache, tok, rng, hist, i + 1, drafting, w_dyn,
                     d_toks, p_dr, ex_h)
 

@@ -163,8 +163,10 @@ def test_adaptive_batched_matches_solo():
 
 
 def test_adaptive_draft_counters_shrink():
-    """A high threshold must draft fewer tokens than the static window
-    (that is the compute saving) while committing the same stream."""
+    """A high threshold must draft strictly fewer tokens than the static
+    window (that is the compute saving) while committing the same stream.
+    Random weights give near-uniform raw softmax, so tau=0.97 stops every
+    window after its first draft."""
     from layerskip_tpu.config import GenerationConfig
 
     eng = _adaptive_engine()
@@ -177,7 +179,7 @@ def test_adaptive_draft_counters_shrink():
     out_adapt = eng.generate(
         prompt, GenerationConfig(**base, draft_exit_prob=0.97),
         jax.random.PRNGKey(0))
-    assert int(out_adapt.drafts) <= int(out_static.drafts)
+    assert int(out_adapt.drafts) < int(out_static.drafts)
     import numpy as np
 
     assert np.asarray(out_adapt.tokens).tolist() == \
