@@ -307,9 +307,9 @@ def _spec_prefill(
         params, cfg, ids,
         _mk_group_cache(cfg, e, b, max_cache_len, kv_quant),
         _mk_group_cache(cfg, nl - e, b, max_cache_len, kv_quant),
-        jnp.int32(0), e,
+        jnp.int32(0), e, last_pos=true_len - 1,
     )
-    last_logits = _row_gather(res.logits, true_len - 1)  # [B, V]
+    last_logits = res.logits[:, 0]  # [B, V]
     out_size = max_steps + w + 1  # rounds may overshoot max_steps by <= W
     hist = jnp.concatenate([ids, jnp.zeros((b, out_size), jnp.int32)], axis=1)
     if ngram > 0:
@@ -736,8 +736,11 @@ def _spec_insert_rows(
         park = jnp.int32(max_len - p_bucket)
     if prefix_len is None:
         past = jnp.where(row_mask, 0, park)
-        res = llama.forward_split(params, cfg, ids, s.early, s.full, past, e)
-        last_logits = _row_gather(res.logits, true_len - 1)  # [B, V]
+        res = llama.forward_split(
+            params, cfg, ids, s.early, s.full, past, e,
+            last_pos=true_len - 1,
+        )
+        last_logits = res.logits[:, 0]  # [B, V]
     else:
         # prefix caching: the first ``prefix_len`` positions' KV is already
         # in shared pages — prefill only the suffix, shifted to the front
@@ -754,9 +757,10 @@ def _spec_insert_rows(
         suffix_len = jnp.maximum(true_len - pl, 1)
         past = jnp.where(row_mask, pl, park)
         res = llama.forward_split(
-            params, cfg, suffix_ids, s.early, s.full, past, e
+            params, cfg, suffix_ids, s.early, s.full, past, e,
+            last_pos=suffix_len - 1,
         )
-        last_logits = _row_gather(res.logits, suffix_len - 1)  # [B, V]
+        last_logits = res.logits[:, 0]  # [B, V]
     out_size = max_steps + w + 1
     hist_new = jnp.concatenate(
         [ids, jnp.zeros((b, out_size), jnp.int32)], axis=1

@@ -313,8 +313,13 @@ def forward_split(
     ids: jnp.ndarray,  # [B, T]
     early_cache: KVCache,  # layers [0, E)
     full_cache: KVCache,  # layers [E, L)
-    past_len: jnp.ndarray,  # scalar int32 (both groups aligned)
+    past_len: jnp.ndarray,  # scalar or [B] int32 (both groups aligned)
     exit_layer: int,  # static
+    last_pos: Optional[jnp.ndarray] = None,  # [B]: project logits ONLY at
+    # this position per row (returned as [B, 1, V]). Prefill needs one
+    # row's logits; the full [B, T, V] fp32 tensor is 15.8 GB at a
+    # 30k-token window with a 128k vocab — an OOM, and wasted MXU time at
+    # every bucket size (XLA does not DCE the unused logit rows).
 ) -> RemainderResult:
     """Full-model forward over the split early/full caches (engine prefill)."""
     e = exit_layer
@@ -327,6 +332,12 @@ def forward_split(
         cfg, params.layers, h, full_cache.k, full_cache.v, past_len,
         layer_offset=e,
     )
+    if last_pos is not None:
+        b, _, d = h.shape
+        idx = jnp.broadcast_to(
+            last_pos.astype(jnp.int32).reshape(b, 1, 1), (b, 1, d)
+        )
+        h = jnp.take_along_axis(h, idx, axis=1)  # [B, 1, D]
     return RemainderResult(
         logits=lm_logits(params, cfg, h),
         early_cache=KVCache(k=ke, v=ve),
