@@ -53,16 +53,20 @@ def kv_seq_sharding(axis: str):
 def current_kv_seq_shard():
     return _KV_SEQ_SHARD.get()
 
-# Pallas decode-attention dispatch: on TPU, short-query attention against the
-# long KV buffer goes through the fused kernel (ops/pallas/decode_attention)
-# — one HBM read of K/V per call instead of materializing fp32 scores. The
-# kernel is KV-blocked with an online softmax, so S is unbounded.
-# Disable with LAYERSKIP_TPU_DISABLE_PALLAS=1.
+# Pallas dispatch: on TPU, short-query attention over PAGED KV goes through
+# the page-table kernels (ops/pallas/paged_decode — XLA cannot read through
+# a page table without materializing the gathered view), and long prompt
+# prefill goes through the flash kernel. Contiguous-cache decode stays on
+# XLA — see the dispatch comments in gqa_attention.
+# Disable all kernels with LAYERSKIP_TPU_DISABLE_PALLAS=1.
 _MAX_PALLAS_QUERY = 16  # draft T=1, verify T=W+1; prefill stays on XLA
 _PALLAS_HEAD_DIMS = (64, 128, 256)
 
 
 def _use_pallas(t: int, s: int, dh: int) -> bool:
+    """Gate for the PAGED decode kernels (ops/pallas/paged_decode.py) —
+    the only decode-path Pallas dispatch left; see the dispatch comments
+    in gqa_attention for why the contiguous kernels were removed."""
     if os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") == "1":
         return False
     if _KV_SEQ_SHARD.get() is not None:
@@ -142,29 +146,24 @@ def gqa_attention(
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)
     elif isinstance(k_cache, QuantKV):
-        if _use_pallas(q.shape[1], k_cache.q.shape[1], q.shape[3]):
-            # fused int8-KV kernel: dequant happens in VMEM
-            from layerskip_tpu.ops.pallas.decode_attention import (
-                decode_attention_q8,
-            )
-
-            return decode_attention_q8(
-                q, k_cache.q, k_cache.scale, v_cache.q, v_cache.scale,
-                q_positions, q_heads_per_kv=q_heads_per_kv,
-                sliding_window=_window,
-            )
-        # elsewhere: dequant is elementwise and fuses into the attention
-        # matmul under XLA, so the int8 bytes are what crosses HBM
+        # XLA fuses the elementwise dequant into the attention matmul, so
+        # the int8 bytes are what crosses HBM. A Pallas in-VMEM-dequant
+        # kernel was built and MEASURED SLOWER or equal at every shape
+        # (0.67 vs 0.93 ms at S=4k, parity at 31k, 7B shapes) — removed,
+        # like the contiguous bf16 decode kernel below.
         k_cache = k_cache.dequantize(q.dtype)
         v_cache = v_cache.dequantize(q.dtype)
-    elif _use_pallas(q.shape[1], k_cache.shape[1], q.shape[3]):
-        from layerskip_tpu.ops.pallas.decode_attention import decode_attention
-
-        return decode_attention(
-            q, k_cache, v_cache, q_positions, q_heads_per_kv=q_heads_per_kv,
-            sliding_window=_window,
-        )
-    elif past_scalar is not None and _use_flash_prefill(
+    # Contiguous-cache short-query decode deliberately has NO Pallas
+    # kernel: XLA's fused masked-softmax attention runs the T=1..W+1
+    # query shapes on the VPU at up to 421 GB/s, while every kernel
+    # formulation measured slower — per-head blocks pay whole-cache
+    # transpose copies (3x traffic), native-layout per-head blocks pay
+    # strided 256B reads (181 GB/s), and full-width block-diagonal
+    # packing turns the M=1 dot MXU-bound (hkv x wasted FLOPs). E2E at
+    # 7B the XLA path also wins (130.2 vs 127.0 spec tok/s). Pallas pays
+    # only where XLA cannot express the access pattern: paged KV (above)
+    # and long prefill (below).
+    if past_scalar is not None and _use_flash_prefill(
         q.shape[1], k_cache.shape[1], q.shape[3]
     ):
         from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
