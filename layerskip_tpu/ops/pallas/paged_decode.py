@@ -63,8 +63,11 @@ def _paged_kernel(
 
     @pl.when(visible)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # [TG, Dh]
-        k = k_ref[0, 0].astype(jnp.float32)  # [pg, Dh]
+        # native-dtype operands: the MXU multiplies bf16 inputs exactly and
+        # accumulates fp32 — casting whole pages to fp32 in VMEM is pure
+        # VPU overhead (measured on the removed contiguous kernels)
+        q = q_ref[0, 0]  # [TG, Dh]
+        k = k_ref[0, 0]  # [pg, Dh]
         scores = jax.lax.dot_general(
             q, k,
             dimension_numbers=(((1,), (1,)), ((), ())),
@@ -75,8 +78,7 @@ def _paged_kernel(
         if window > 0:
             mask = jnp.logical_and(mask, key_idx > pos - window)
         scores = jnp.where(mask, scores, NEG_INF)
-        _online_block(scores, v_ref[0, 0].astype(jnp.float32),
-                      m_scr, l_scr, acc_scr)
+        _online_block(scores, v_ref[0, 0], m_scr, l_scr, acc_scr)
 
     @pl.when(nb == pl.num_programs(2) - 1)
     def _finish():
