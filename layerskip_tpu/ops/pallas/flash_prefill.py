@@ -69,8 +69,10 @@ def _flash_kernel(
 
     @pl.when(run)
     def _():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
+        # native-dtype operands: the MXU multiplies bf16 inputs exactly
+        # and accumulates fp32; whole-block fp32 casts are VPU overhead
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BQ, BK]
@@ -85,8 +87,11 @@ def _flash_kernel(
         # would otherwise get exp(0)=1 per masked lane
         p = jnp.where(s > NEG_INF * 0.5, jnp.exp(s - m_cur), 0.0)  # [BQ, BK]
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        # p in the value dtype mirrors the XLA path (probs cast to
+        # v.dtype before the weighted sum)
+        v_blk = v_ref[0, 0]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v_ref[0, 0].astype(jnp.float32),
+            p.astype(v_blk.dtype), v_blk,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         m_ref[:] = m_cur
