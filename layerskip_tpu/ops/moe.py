@@ -37,9 +37,12 @@ import jax.numpy as jnp
 
 from layerskip_tpu.ops.linear import QuantTensor
 
-# Below this many tokens the dense-combine path wins (decode/verify windows);
-# above it the grouped ragged_dot path saves (E/k)x FLOPs (prefill).
-_RAGGED_MIN_TOKENS = 64
+# Below this many tokens the dense-combine path wins; above it the grouped
+# ragged_dot path's (k/E)x FLOP saving overcomes its sort/scatter overhead.
+# Measured on the v5e at Mixtral-ish shapes (E=8, D=2048, F=4096, top-2),
+# dense vs grouped ms: N=256: 2.4/3.2, N=1024: 6.5/10.4, N=4096: 33.8/18.6
+# — crossover sits between 1k and 4k tokens.
+_RAGGED_MIN_TOKENS = 2048
 
 
 def _dense(w) -> jnp.ndarray:
