@@ -187,7 +187,10 @@ class GenerationConfig:
     max_steps: int = 512
     exit_layer: int = -1
     num_speculations: int = -1
-    generation_strategy: str = "autoregressive"  # | "self_speculative"
+    # "autoregressive" | "self_speculative" | "prompt_lookup" (net-new:
+    # n-gram drafts copied from the context, zero draft-model calls)
+    generation_strategy: str = "autoregressive"
+    pld_ngram: int = 3  # prompt-lookup match length (prompt_lookup only)
     sample: bool = True
     temperature: float = 0.6
     top_k: int = 0

@@ -340,6 +340,41 @@ def _spec_prefill(
     )
 
 
+def _pld_propose(
+    hist: jnp.ndarray,  # [B, L] committed history (prompt + outputs)
+    hist_len: jnp.ndarray,  # [B] committed length incl. next_tok
+    w: int,
+    n: int,
+) -> jnp.ndarray:
+    """Prompt-lookup proposals: [B, W] continuation of the most recent
+    earlier occurrence of each row's last-``n`` committed tokens.
+
+    Fully vectorized over the static history buffer (n static shifted
+    compares + one reversed argmax), so a round's drafting costs O(L*n)
+    VPU compares and zero model calls. Rows without a match propose their
+    own trailing tokens (harmless: the verifier rejects disagreements)."""
+    b, l = hist.shape
+    idx = jnp.arange(l, dtype=jnp.int32)
+    # each row's suffix hist[len-n .. len-1]
+    sfx = jnp.take_along_axis(
+        hist, jnp.clip(hist_len[:, None] - n + jnp.arange(n)[None], 0, l - 1),
+        axis=1,
+    )  # [B, n]
+    # match[j]: the n-window ENDING at j equals the suffix
+    match = jnp.ones((b, l), bool)
+    for i in range(n):  # static, small
+        shift = idx[None, :] - (n - 1) + i
+        vals = jnp.take_along_axis(hist, jnp.clip(shift, 0, l - 1), axis=1)
+        match &= (vals == sfx[:, i:i + 1]) & (shift >= 0)
+    # strictly earlier than the suffix's own occurrence, window complete
+    match &= (idx[None] < (hist_len - 1)[:, None]) & (idx[None] >= n - 1)
+    has = jnp.any(match, axis=1)
+    jstar = (l - 1) - jnp.argmax(match[:, ::-1], axis=1).astype(jnp.int32)
+    jstar = jnp.where(has, jstar, jnp.maximum(hist_len - 2, 0))
+    prop = jstar[:, None] + 1 + jnp.arange(w, dtype=jnp.int32)[None]
+    return jnp.take_along_axis(hist, jnp.clip(prop, 0, l - 1), axis=1)
+
+
 def spec_generate(
     params: LlamaParams,
     cfg: ModelConfig,
@@ -356,6 +391,7 @@ def spec_generate(
     ngram: int = 0,
     kv_quant: bool = False,
     draft_exit_prob: float = 0.0,
+    pld_ngram: int = 0,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
@@ -379,7 +415,7 @@ def spec_generate(
             params, cfg, s,
             max_steps=max_steps, exit_layer=e, num_speculations=w,
             scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-            draft_exit_prob=draft_exit_prob,
+            draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
         )
         return s
 
@@ -404,6 +440,7 @@ def _spec_round(
     eos_ids: Tuple[int, ...],
     ngram: int = 0,
     draft_exit_prob: float = 0.0,
+    pld_ngram: int = 0,
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One draft+verify round (reference ``single_step_speculation``,
     self_speculation_generator.py:102-229). Returns
@@ -417,7 +454,18 @@ def _spec_round(
     falls below the threshold — skipped early-layer passes are the compute
     saving at low acceptance. Committed tokens are invariant to the draft
     length (verification + rejection sampling see only the drafted prefix),
-    so greedy spec == greedy AR still holds exactly."""
+    so greedy spec == greedy AR still holds exactly.
+
+    ``pld_ngram > 0`` switches the DRAFT source to prompt-lookup decoding
+    (net-new): the window is proposed by matching the last ``pld_ngram``
+    committed tokens against the history and copying what followed the
+    most recent earlier occurrence — zero model calls to draft. The draft
+    distributions are one-hot, under which the rejection sampler reduces
+    to "accept while the verifier agrees" (exactly the greedy-draft
+    degeneration this engine already uses), so greedy PLD == greedy AR
+    and sampling stays distribution-correct. Verification runs the
+    stitched window through ALL layers via ``forward_split`` (there is no
+    draft/exit split to exploit)."""
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
     v_size = cfg.vocab_size
@@ -434,7 +482,17 @@ def _spec_round(
     # ---- draft phase: W early-exit steps under lax.scan
     # (reference draft loop, self_speculation_generator.py:121-148; the
     # reference applies logits processors to draft logits at :138-139) ----
-    if draft_exit_prob <= 0.0:
+    if pld_ngram > 0:
+        # prompt-lookup drafting: copy the continuation of the most recent
+        # earlier occurrence of the last-n committed tokens. No model
+        # calls; unmatched rows propose their own recent tokens, which the
+        # verifier simply rejects (cost: one wasted window).
+        drafts = _pld_propose(s.hist, hist_len0, w, pld_ngram)  # [B, W]
+        p_draft = jax.nn.one_hot(drafts, v_size, dtype=jnp.float32)
+        hist = _row_update(s.hist, drafts, hist_len0)
+        w_dyn = jnp.full((b,), w, jnp.int32)
+        rng = s.rng
+    elif draft_exit_prob <= 0.0:
         def dstep(carry, i):
             early, tok, rng, hist = carry
             r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
@@ -527,7 +585,16 @@ def _spec_round(
 
     # ---- verify phase: one pass over the stitched window
     # (reference self_speculation_generator.py:150-182) ----
-    if draft_exit_prob <= 0.0:
+    if pld_ngram > 0:
+        # PLD verifies token ids through ALL layers at positions
+        # ctx..ctx+W — there is no exit split to reuse
+        window_ids = jnp.concatenate([s.next_tok, drafts], axis=1)
+        vres = llama.forward_split(
+            params, cfg, window_ids, s.early, s.full, s.ctx, e
+        )
+        vlogits = vres.logits  # [B, W+1, V] fp32
+        early_after, full_after = vres.early_cache, vres.full_cache
+    elif draft_exit_prob <= 0.0:
         vres = llama.forward_remainder(
             params,
             cfg,
@@ -869,10 +936,11 @@ class Engine:
         ngram: int = 0,
         kv_quant: bool = False,
         draft_exit_prob: float = 0.0,
+        pld_ngram: int = 0,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant,
-               draft_exit_prob)
+               draft_exit_prob, pld_ngram)
         if key in self._exec_cache:
             return self._exec_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -881,7 +949,8 @@ class Engine:
             # long-prompt prefills dispatch to it (ops/attention.py)
             max_cache_len = -(-max_cache_len // 512) * 512
 
-        if strategy == "self_speculative":
+        if strategy in ("self_speculative", "prompt_lookup"):
+            pld = pld_ngram if strategy == "prompt_lookup" else 0
 
             def fn(params, ids, true_len, rng):
                 return spec_generate(
@@ -890,6 +959,7 @@ class Engine:
                     num_speculations=num_speculations, scfg=scfg,
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
                     kv_quant=kv_quant, draft_exit_prob=draft_exit_prob,
+                    pld_ngram=pld,
                 )
 
         elif strategy == "autoregressive":
@@ -933,6 +1003,11 @@ class Engine:
         strategy = gen_cfg.generation_strategy
         if strategy == "self_speculative":
             assert exit_layer > 0 and gen_cfg.num_speculations > 0
+        elif strategy == "prompt_lookup":
+            assert gen_cfg.num_speculations > 0
+            # the exit split is irrelevant to PLD math; any valid split works
+            if exit_layer <= 0:
+                exit_layer = max(self.cfg.num_hidden_layers // 2, 1)
         max_steps = gen_cfg.max_steps
         cap = gen_cfg.max_seq_len or self.cfg.max_position_embeddings
         if bucket + max_steps > cap:
@@ -943,6 +1018,7 @@ class Engine:
             max(gen_cfg.num_speculations, 1), scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
             float(gen_cfg.draft_exit_prob or 0.0),
+            int(gen_cfg.pld_ngram or 0),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

@@ -52,7 +52,7 @@ class GenerationStrategy(abc.ABC):
 
             streamer.put(jnp.asarray(tokens))
         acceptance = None
-        if self.strategy_name == "self_speculative":
+        if self.strategy_name in ("self_speculative", "prompt_lookup"):
             acceptance = float(int(out.matches)) / max(int(out.drafts), 1)
         return GenerationStrategyResult(
             predicted_tokens=tokens, acceptance_rate=acceptance
@@ -78,6 +78,22 @@ class SelfSpeculativeGenerationStrategy(GenerationStrategy):
     """reference: self_speculation_generator.py:31."""
 
     strategy_name = "self_speculative"
+
+    def generate_token_ids(
+        self, engine, input_ids, eos_token_ids, generation_config,
+        rng=None, streamer=None,
+    ) -> GenerationStrategyResult:
+        return self._run(
+            engine, input_ids, eos_token_ids, generation_config, rng, streamer
+        )
+
+
+class PromptLookupGenerationStrategy(GenerationStrategy):
+    """Net-new (no reference counterpart): n-gram drafts copied from the
+    context, verified through the full model — zero draft-model calls
+    (``GenerationConfig.pld_ngram`` sets the match length)."""
+
+    strategy_name = "prompt_lookup"
 
     def generate_token_ids(
         self, engine, input_ids, eos_token_ids, generation_config,

@@ -203,3 +203,80 @@ def test_adaptive_sampling_runs_and_respects_eos():
     toks = postprocess_output(out, eng.cfg.eos_token_ids, 12)
     assert 0 < len(toks) <= 12
     assert 0 <= float(out.matches) <= float(out.drafts) + 1e-9
+
+
+# --- prompt-lookup decoding (generation_strategy="prompt_lookup") -----------
+
+
+def test_pld_greedy_equals_ar():
+    """One-hot drafts + rejection sampling degenerate to verify-prefix
+    acceptance, so greedy PLD must equal greedy AR on ANY prompt."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    for prompt in ([3, 17, 52, 9], [5, 5, 5, 5, 5], [250, 4, 8, 4, 8, 4]):
+        ar = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=16, sample=False,
+                generation_strategy="autoregressive"), jax.random.PRNGKey(0)),
+            (), 16,
+        )
+        pld = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=16, sample=False,
+                generation_strategy="prompt_lookup",
+                num_speculations=4, pld_ngram=2), jax.random.PRNGKey(0)),
+            (), 16,
+        )
+        assert ar == pld, prompt
+
+
+def test_pld_accepts_on_repetitive_context():
+    """A context that literally contains the continuation must produce
+    accepted drafts (the whole point of prompt lookup)."""
+    from layerskip_tpu.config import GenerationConfig
+
+    eng = _adaptive_engine()
+    # force a repeating continuation by priming with two copies of a motif;
+    # the tiny random model degenerates into loops, which PLD should ride
+    prompt = [7, 11, 13, 7, 11, 13, 7, 11]
+    out = eng.generate(prompt, GenerationConfig(
+        max_steps=24, sample=False, generation_strategy="prompt_lookup",
+        num_speculations=4, pld_ngram=2), jax.random.PRNGKey(0))
+    assert int(out.matches) > 0  # some drafts were accepted
+    assert 0 <= float(out.matches) <= float(out.drafts)
+
+
+def test_pld_sampling_runs():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    out = eng.generate([4, 8, 15, 16], GenerationConfig(
+        max_steps=12, sample=True, temperature=0.9, top_p=0.95,
+        generation_strategy="prompt_lookup", num_speculations=3,
+        pld_ngram=2), jax.random.PRNGKey(2))
+    toks = postprocess_output(out, eng.cfg.eos_token_ids, 12)
+    assert 0 <= len(toks) <= 12  # may stop at a sampled EOS immediately
+    assert 0 <= float(out.matches) <= float(out.drafts) + 1e-9
+
+
+def test_pld_batched_matches_solo():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_batch, postprocess_output
+
+    eng = _adaptive_engine()
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="prompt_lookup",
+        num_speculations=3, pld_ngram=2,
+    )
+    prompts = [[3, 17, 52], [5, 9, 11, 13]]
+    batched = postprocess_batch(
+        eng.generate(prompts, gen, jax.random.PRNGKey(0)), (), 12
+    )
+    for p, got in zip(prompts, batched):
+        solo = postprocess_output(
+            eng.generate(p, gen, jax.random.PRNGKey(0)), (), 12
+        )
+        assert got == solo, p
