@@ -1042,6 +1042,7 @@ class Engine:
         kv_quant: bool = False,
         paged: Optional[Tuple[int, int]] = None,  # (pool_pages, page_size)
         draft_exit_prob: float = 0.0,
+        pld_ngram: int = 0,
     ):
         """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
         batching.
@@ -1053,7 +1054,7 @@ class Engine:
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant, paged,
-               draft_exit_prob)
+               draft_exit_prob, pld_ngram)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = 2 * prompt_bucket + max_steps + num_speculations + 2
@@ -1172,7 +1173,7 @@ class Engine:
                 params, cfg, state,
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-                draft_exit_prob=draft_exit_prob,
+                draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
             )
 
         def multi_round_fn(params, state, k):
@@ -1190,7 +1191,7 @@ class Engine:
                     params, cfg, s,
                     max_steps=max_steps, exit_layer=e, num_speculations=w,
                     scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-                    draft_exit_prob=draft_exit_prob,
+                    draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
                 )
                 return (s2, i + 1)
 
@@ -1230,11 +1231,15 @@ class Engine:
         assert gen_cfg.exit_layer > 0 and gen_cfg.num_speculations > 0
         paged = (int(paged_pool_pages), int(page_size)) \
             if paged_pool_pages else None
+        pld = (
+            int(gen_cfg.pld_ngram or 0)
+            if gen_cfg.generation_strategy == "prompt_lookup" else 0
+        )
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
-            paged, float(gen_cfg.draft_exit_prob or 0.0),
+            paged, float(gen_cfg.draft_exit_prob or 0.0), pld,
         )
         return ContinuousSession(
             self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,

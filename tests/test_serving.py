@@ -378,3 +378,33 @@ def test_continuous_min_rounds_bound(engine):
                         jax.random.PRNGKey(0), [250]), [250], 9)
     got = next(t for r, t, _ in done_rows if r == 0)
     assert got == want
+
+
+def test_continuous_pld_matches_solo():
+    """Prompt-lookup decoding in the continuous session: each slot's
+    stream equals its solo run (greedy)."""
+    import dataclasses as dc
+
+    from layerskip_tpu.config import GenerationConfig, tiny_config
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.models.params import init_params
+
+    cfg = tiny_config()
+    engine = Engine(init_params(jax.random.PRNGKey(1), cfg), cfg)
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="prompt_lookup",
+        exit_layer=2, num_speculations=3, pld_ngram=2,
+    )
+    session = engine.continuous_session(gen, batch=2, prompt_bucket=16)
+    results = {}
+    session.insert([0, 1], [[3, 17, 52], [5, 9, 5, 9, 5]], seeds=[0, 0],
+                   max_tokens=[12, 12])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[r] = toks
+    for r, p in enumerate([[3, 17, 52], [5, 9, 5, 9, 5]]):
+        want = postprocess_output(
+            engine.generate(p, dc.replace(gen), jax.random.PRNGKey(0),
+                            engine.cfg.eos_token_ids),
+            engine.cfg.eos_token_ids, 12)
+        assert results[r] == want, r
