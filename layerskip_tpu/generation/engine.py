@@ -1259,9 +1259,10 @@ class Engine:
         eos_ids: Tuple[int, ...],
         ngram: int = 0,
         draft_exit_prob: float = 0.0,
+        pld_ngram: int = 0,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
-               scfg, eos_ids, ngram, draft_exit_prob)
+               scfg, eos_ids, ngram, draft_exit_prob, pld_ngram)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -1280,6 +1281,7 @@ class Engine:
                 max_steps=max_steps, exit_layer=exit_layer,
                 num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
                 ngram=ngram, draft_exit_prob=draft_exit_prob,
+                pld_ngram=pld_ngram,
             )
 
         self._stepped_cache[key] = (
@@ -1323,6 +1325,8 @@ class Engine:
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
             float(gen_cfg.draft_exit_prob or 0.0),
+            int(gen_cfg.pld_ngram or 0)
+            if gen_cfg.generation_strategy == "prompt_lookup" else 0,
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

@@ -280,3 +280,43 @@ def test_pld_batched_matches_solo():
             eng.generate(p, gen, jax.random.PRNGKey(0)), (), 12
         )
         assert got == solo, p
+
+
+def test_pld_propose_lookup_semantics():
+    """Unit semantics of the vectorized n-gram lookup."""
+    import jax.numpy as jnp
+    from layerskip_tpu.generation.engine import _pld_propose
+
+    #             0  1  2  3  4  5  6   (len=7: ...suffix = [1, 2])
+    hist = jnp.asarray([[1, 2, 9, 8, 7, 1, 2, 0, 0, 0]], jnp.int32)
+    out = _pld_propose(hist, jnp.asarray([7]), w=3, n=2)
+    # earlier [1, 2] ends at j=1 -> proposal = hist[2:5] = [9, 8, 7]
+    assert np.asarray(out)[0].tolist() == [9, 8, 7]
+
+    # most RECENT earlier occurrence wins
+    hist2 = jnp.asarray([[1, 2, 9, 1, 2, 4, 4, 1, 2, 0, 0, 0]], jnp.int32)
+    out2 = _pld_propose(hist2, jnp.asarray([9]), w=2, n=2)
+    # matches end at j=1 and j=4; j=4 is later -> proposal hist[5:7] = [4, 4]
+    assert np.asarray(out2)[0].tolist() == [4, 4]
+
+    # no match: fall back to trailing tokens (harmless, verifier rejects)
+    hist3 = jnp.asarray([[5, 6, 7, 8, 0, 0]], jnp.int32)
+    out3 = _pld_propose(hist3, jnp.asarray([4]), w=2, n=2)
+    assert np.asarray(out3).shape == (1, 2)
+
+
+def test_pld_stream_generate():
+    """PLD works through the stepped/streaming path (per-round callbacks)."""
+    from layerskip_tpu.config import GenerationConfig
+
+    eng = _adaptive_engine()
+    rounds = []
+    out = eng.stream_generate(
+        [7, 11, 13, 7, 11],
+        GenerationConfig(
+            max_steps=12, sample=False, generation_strategy="prompt_lookup",
+            exit_layer=2, num_speculations=3, pld_ngram=2,
+        ),
+        on_round=lambda drafted, accepted: rounds.append((drafted, accepted)),
+    )
+    assert rounds and int(out.num_tokens[0]) > 0
