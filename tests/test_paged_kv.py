@@ -517,3 +517,42 @@ def test_prefix_cache_narrow_suffix_insert_matches(monkeypatch):
                             jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
             engine.cfg.eos_token_ids, 10)
         assert results[i] == want, (i, results[i], want)
+
+
+def test_prefix_cache_int8_pool_matches_cold():
+    """Prefix sharing over the int8 paged pool (kv_quant=True): quantized
+    prompt pages are shared bit-identically, so warm streams equal cold."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+    import dataclasses as dc
+
+    engine = _tiny_engine()
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, kv_quant=True,
+    )
+    system = [7, 13, 19, 23, 29, 31, 37, 41]
+    prompts = [system + [3, 17], system + [5]]
+
+    session = engine.continuous_session(
+        gen, batch=2, prompt_bucket=16,
+        paged_pool_pages=24, page_size=4, prefix_cache=True,
+    )
+    results = {}
+    session.insert([0], [prompts[0]], seeds=[0], max_tokens=[10])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[0] = toks
+    session.insert([0, 1], [prompts[0], prompts[1]], seeds=[0, 0],
+                   max_tokens=[10, 10])
+    while session.has_active():
+        for r, toks, _ in session.step(max_rounds=2):
+            results[1 + r] = toks
+    assert session.prefix_cache.hits == 2
+
+    for i, p in enumerate([prompts[0], prompts[0], prompts[1]]):
+        want = postprocess_output(
+            engine.generate(p, dc.replace(gen, max_steps=10),
+                            jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
+            engine.cfg.eos_token_ids, 10)
+        assert results[i] == want, i
