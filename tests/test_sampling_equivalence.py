@@ -58,7 +58,8 @@ def _tv(p, q):
     return 0.5 * float(np.abs(p - q).sum())
 
 
-def _check_equivalence(engine, scfg_kwargs, max_steps, exit_layer=2, spec=4):
+def _check_equivalence(engine, scfg_kwargs, max_steps, exit_layer=2, spec=4,
+                       strategy="self_speculative"):
     """spec-vs-AR TV must be within noise of the AR-vs-AR null."""
     v = engine.cfg.vocab_size
     positions = [0, max_steps // 2, max_steps - 1]
@@ -67,8 +68,8 @@ def _check_equivalence(engine, scfg_kwargs, max_steps, exit_layer=2, spec=4):
         generation_strategy="autoregressive", exit_layer=-1, **common
     )
     sp_cfg = GenerationConfig(
-        generation_strategy="self_speculative", exit_layer=exit_layer,
-        num_speculations=spec, **common
+        generation_strategy=strategy, exit_layer=exit_layer,
+        num_speculations=spec, pld_ngram=2, **common
     )
     ar1 = _marginals(engine, ar_cfg, 0, positions, v)
     ar2 = _marginals(engine, ar_cfg, 1, positions, v)
@@ -118,3 +119,14 @@ def test_spec_acceptance_below_one_on_random_model(engine):
     out = engine.generate([PROMPT] * 64, sp_cfg, jax.random.PRNGKey(5))
     acc = float(int(out.matches)) / max(int(out.drafts), 1)
     assert 0.0 < acc < 0.95, acc
+
+
+def test_pld_sampling_matches_ar_distribution(engine):
+    """Prompt-lookup drafting under sampling: the draft distributions are
+    one-hot, so rejection sampling must still commit AR-distributed tokens
+    (accept with p_verify(d), else sample the residual — which for a
+    one-hot q is the renormalized remainder of p_verify)."""
+    _check_equivalence(
+        engine, dict(temperature=0.9, top_k=0, top_p=1.0), max_steps=12,
+        strategy="prompt_lookup",
+    )
