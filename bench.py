@@ -405,6 +405,10 @@ def parse_args(argv=None):
                     help="int8 weight-only quantized model")
     ap.add_argument("--single", action="store_true",
                     help="run only --config in-process (no fallback chain)")
+    ap.add_argument("--attempt-timeout", type=float, default=5400.0,
+                    help="seconds per size attempt in the fallback chain "
+                         "(a hung remote compile then falls back to the "
+                         "next size instead of wedging the whole bench)")
     ap.add_argument("--draft-exit-prob", type=float, default=0.0,
                     help="confidence-adaptive drafting threshold (0 = "
                          "always draft the full window)")
@@ -443,7 +447,15 @@ def main():
         ] + (["--sample"] if args.sample else []) + (
             ["--quant"] if args.quant else []) + (
             ["--curve"] if args.curve else ["--no-curve"])
-        proc = subprocess.run(cmd, stdout=subprocess.PIPE)
+        try:
+            proc = subprocess.run(
+                cmd, stdout=subprocess.PIPE, timeout=args.attempt_timeout
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] {cfg_name} timed out after "
+                  f"{args.attempt_timeout:.0f}s (hung remote compile?); "
+                  f"falling back", file=sys.stderr)
+            continue
         out = proc.stdout.decode().strip().splitlines()
         if proc.returncode == 0 and out:
             print(out[-1])
