@@ -30,8 +30,18 @@ operating point*, with the ceiling and the whole curve attached.
 Each model size runs in a subprocess: a failed (OOM) attempt then cannot
 poison the device arena for the fallback size.
 
+The bench is designed to be *un-losable* (VERDICT r2 #1): every measured
+point is snapshotted to a sidecar file, SIGTERM/SIGINT/SIGALRM make the
+parent print the best-so-far JSON line before dying, ``--deadline-s``
+(default 3300, env LAYERSKIP_BENCH_DEADLINE) short-circuits the curve so a
+result always lands inside the driver's budget, and a TPU-tunnel init
+failure retries the same size once instead of falling back to a smaller
+model. Killing the process at any moment after the first speculative
+measurement still yields one valid result line on stdout.
+
 Usage: python bench.py [--config 7b|1b|tiny] [--exit-layer N] [--spec K]
        [--max-steps N] [--sample] [--single] [--tail-eps X] [--no-curve]
+       [--deadline-s S]
 """
 
 from __future__ import annotations
@@ -39,6 +49,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -254,6 +265,13 @@ def timed_generate(engine, prompt, gen_cfg, repeats=3, batch=1, warmup=True):
 TARGET_ACCEPTANCE = 0.80  # the trained-7B regime the paper's 2.16x lives in
 
 
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def run_single(args) -> dict:
     """Run one config in-process and return the result dict."""
     import gc
@@ -288,13 +306,77 @@ def run_single(args) -> dict:
         num_speculations=args.spec, draft_exit_prob=args.draft_exit_prob,
         **common
     )
+    metric_base = (
+        f"selfspec_speedup_vs_ar_{args.config}"
+        + ("_int8" if args.quant else "")
+        + f"_exit{exit_layer}_spec{args.spec}"
+    )
+    target = TARGET_ACCEPTANCE
+
+    # -- incremental best-so-far publication (VERDICT r2 #1b): every measured
+    # point updates the sidecar, so killing this process at any moment after
+    # the first measurement still yields a valid headline line upstream.
+    state = {"ar_tps": 0.0, "curve": [], "ceiling": None}
+
+    def current_result(partial=True) -> dict:
+        ar_tps = state["ar_tps"]
+        curve = sorted(state["curve"], key=lambda p: p["tail_eps"])
+        if not curve:
+            return {
+                "metric": f"ar_tokens_per_s_{args.config}"
+                          + ("_int8" if args.quant else ""),
+                "value": round(ar_tps, 2), "unit": "tok/s",
+                "vs_baseline": 0.0, "partial": "ar_only",
+            }
+        cands = [p for p in curve if p["tail_eps"] > 0] or curve
+        head = min(cands, key=lambda p: abs(p["acceptance"] - target))
+        if not args.curve:
+            suffix = ""
+        elif abs(head["acceptance"] - target) <= 0.05:
+            suffix = "_acc80"
+        else:  # deadline-cut partials: name the point we actually measured
+            suffix = f"_acc{int(round(head['acceptance'] * 100))}"
+        out = {
+            "metric": metric_base + suffix,
+            "value": head["speedup"],
+            "unit": "x",
+            "vs_baseline": round(
+                head["speedup"] / REFERENCE_HEADLINE_SPEEDUP, 4
+            ),
+            "ar_tokens_per_s": round(ar_tps, 2),
+            "spec_tokens_per_s": head["spec_tokens_per_s"],
+            "acceptance": head["acceptance"],
+            "tail_eps": head["tail_eps"],
+            "spec_backed": True,
+        }
+        if state["ceiling"] is not None:
+            out["ceiling_speedup"] = state["ceiling"]["speedup"]
+            out["ceiling_acceptance"] = state["ceiling"]["acceptance"]
+        if args.curve:
+            out["curve"] = curve
+        if partial:
+            out["partial"] = True
+        return out
+
+    def publish() -> None:
+        if args.sidecar:
+            _atomic_write_json(args.sidecar, current_result())
+
+    def remaining() -> float:
+        return (args.deadline - time.time()) if args.deadline else float("inf")
+
     print(f"[bench] config={args.config} exit={exit_layer} spec={args.spec} "
           f"backend={jax.default_backend()}", file=sys.stderr)
     ar_tps, _ = timed_generate(engine, prompt, ar_cfg, args.repeats, args.batch)
+    state["ar_tps"] = ar_tps
+    publish()
     print(f"[bench] AR tokens/s = {ar_tps:.2f}", file=sys.stderr)
+
+    last_cost = [0.0]  # wall cost of the most recent warm point
 
     def spec_point(eps: float, repeats: int, warmup: bool = False) -> dict:
         """One measured point of the speedup-vs-acceptance curve."""
+        t0 = time.time()
         set_tail_eps(eps)
         tps, out = timed_generate(
             engine, prompt, sp_cfg, repeats, args.batch, warmup=warmup
@@ -309,84 +391,76 @@ def run_single(args) -> dict:
         print(f"[bench]   eps={eps:.4f}: {tps:.2f} tok/s "
               f"acceptance={acc:.3f} speedup={point['speedup']:.2f}x",
               file=sys.stderr)
+        state["curve"].append(point)
+        if not warmup:
+            last_cost[0] = time.time() - t0
+        publish()
         return point
+
+    def time_for_another_point(repeats: int = 1) -> bool:
+        """Deadline short-circuit (VERDICT r2 #1c): stop measuring while
+        there is still time to report what we have."""
+        est = max(last_cost[0], 5.0) * max(repeats, 1) * 1.3 + 15.0
+        ok = remaining() > est
+        if not ok:
+            print(f"[bench] deadline: {remaining():.0f}s left < {est:.0f}s "
+                  f"estimated point cost; finalizing early", file=sys.stderr)
+        return ok
 
     if not args.curve:
         pt = spec_point(args.tail_eps, args.repeats, warmup=True)
-        speedup = pt["speedup"]
-        return {
-            "metric": (
-                f"selfspec_speedup_vs_ar_{args.config}"
-                + ("_int8" if args.quant else "")
-                + f"_exit{exit_layer}_spec{args.spec}"
-            ),
-            "value": speedup,
-            "unit": "x",
-            "vs_baseline": round(speedup / REFERENCE_HEADLINE_SPEEDUP, 4),
-            "ar_tokens_per_s": round(ar_tps, 2),
-            "spec_tokens_per_s": pt["spec_tokens_per_s"],
-            "acceptance": pt["acceptance"],
-        }
+        return dict(current_result(partial=False),
+                    acceptance=pt["acceptance"], tail_eps=pt["tail_eps"],
+                    spec_tokens_per_s=pt["spec_tokens_per_s"],
+                    value=pt["speedup"],
+                    vs_baseline=round(
+                        pt["speedup"] / REFERENCE_HEADLINE_SPEEDUP, 4))
 
     # ---- speedup-vs-acceptance curve ------------------------------------
     # The generation program never recompiles across eps (params are traced
-    # args), so each extra point costs runtime only.
+    # args), so each extra point costs runtime only. Bisection is seeded at
+    # eps=0.08 (the target-acceptance neighborhood for the deterministic
+    # PRNGKey(0) weights) instead of a fixed 4-point pre-sweep (VERDICT r2
+    # #1d: curve richness is not worth losing the headline to a timeout).
     ceiling = spec_point(0.0, args.repeats, warmup=True)
-    curve = [ceiling]
-    for eps in (0.05, 0.1, 0.2, 0.4):
-        curve.append(spec_point(eps, 1))
+    state["ceiling"] = ceiling
+    publish()
 
-    # bisect tail_eps (log-ish space) to land acceptance near the target
-    target = TARGET_ACCEPTANCE
-    pts = sorted(curve, key=lambda p: p["tail_eps"])
-    lo = max((p for p in pts if p["acceptance"] >= target),
-             key=lambda p: p["tail_eps"], default=pts[0])
-    hi = min((p for p in pts if p["acceptance"] < target),
-             key=lambda p: p["tail_eps"], default=None)
-    if hi is None:  # even the largest eps accepts too much: extend upward
-        e = pts[-1]["tail_eps"] or 0.05
-        for _ in range(6):
-            e *= 2.5
-            p = spec_point(e, 1)
-            curve.append(p)
-            if p["acceptance"] < target:
-                hi = p
-                break
+    lo, hi = ceiling, None  # invariant: lo.acc >= target > hi.acc (hi set)
+    seed = spec_point(0.08, 1) if time_for_another_point() else None
+    if seed is not None:
+        if seed["acceptance"] >= target:
+            lo = seed
+        else:
+            hi = seed
+    e = 0.08
+    while hi is None and seed is not None and time_for_another_point():
+        e *= 2.5  # even the seed accepts too much: extend upward
+        p = spec_point(e, 1)
+        if p["acceptance"] < target:
+            hi = p
+        else:
             lo = p
+        if e > 30.0:
+            break
     for _ in range(5):
         if hi is None or abs(lo["acceptance"] - target) <= 0.02:
+            break
+        if not time_for_another_point():
             break
         mid = (lo["tail_eps"] * hi["tail_eps"]) ** 0.5 if lo["tail_eps"] > 0 \
             else hi["tail_eps"] / 2.0
         p = spec_point(mid, 1)
-        curve.append(p)
         if p["acceptance"] >= target:
             lo = p
         else:
             hi = p
-    cands = [p for p in curve if p["tail_eps"] > 0] or curve
-    best = min(cands, key=lambda p: abs(p["acceptance"] - target))
-    head = spec_point(best["tail_eps"], args.repeats)
-    curve.append(head)
-    curve = sorted(curve, key=lambda p: p["tail_eps"])
-    speedup = head["speedup"]
-    return {
-        "metric": (
-            f"selfspec_speedup_vs_ar_{args.config}"
-            + ("_int8" if args.quant else "")
-            + f"_exit{exit_layer}_spec{args.spec}_acc80"
-        ),
-        "value": speedup,
-        "unit": "x",
-        "vs_baseline": round(speedup / REFERENCE_HEADLINE_SPEEDUP, 4),
-        "ar_tokens_per_s": round(ar_tps, 2),
-        "spec_tokens_per_s": head["spec_tokens_per_s"],
-        "acceptance": head["acceptance"],
-        "tail_eps": head["tail_eps"],
-        "ceiling_speedup": ceiling["speedup"],
-        "ceiling_acceptance": ceiling["acceptance"],
-        "curve": curve,
-    }
+    # re-measure the headline point at full repeats if time allows
+    cands = [p for p in state["curve"] if p["tail_eps"] > 0]
+    if cands and args.repeats > 1 and time_for_another_point(args.repeats):
+        best = min(cands, key=lambda p: abs(p["acceptance"] - target))
+        spec_point(best["tail_eps"], args.repeats)
+    return current_result(partial=False)
 
 
 def parse_args(argv=None):
@@ -420,7 +494,105 @@ def parse_args(argv=None):
     ap.add_argument("--no-curve", action="store_true",
                     help="driver default is --curve; this restores the "
                          "single-point (ceiling) measurement")
+    ap.add_argument("--sidecar", default="",
+                    help="(child) path for incremental best-so-far snapshots")
+    ap.add_argument("--deadline", type=float, default=0.0,
+                    help="(child) absolute unix time to stop measuring by")
+    ap.add_argument("--deadline-s", type=float,
+                    default=float(os.environ.get(
+                        "LAYERSKIP_BENCH_DEADLINE", 3300)),
+                    help="overall wall budget in seconds; the bench always "
+                         "prints its best-so-far JSON line before this "
+                         "elapses (0 = unbounded)")
+    ap.add_argument("--platform", default="",
+                    help="force a jax platform (e.g. cpu) before any "
+                         "device use — used by tests")
     return ap.parse_args(argv)
+
+
+# exit code for 'the TPU tunnel failed to initialize' — the parent retries
+# the same size once instead of falling back to a smaller model (VERDICT r2
+# #1a: rc=1 used to be treated as size-OOM, the wrong remedy for a
+# transient tunnel hiccup)
+_RC_BACKEND_INIT = 17
+
+_CHILD = None  # the currently-running size-attempt subprocess
+_SIDECARS = []  # (cfg_name, path) in fallback-chain (= preference) order
+
+
+def _read_json(path: str):
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _best_sidecar_result():
+    """Best partial result across size attempts: first (largest) size with a
+    speculative-backed speedup wins; an AR-only stub is the last resort."""
+    fallback = None
+    for _name, path in _SIDECARS:
+        d = _read_json(path)
+        if not d or not d.get("value"):
+            continue
+        if d.get("spec_backed"):
+            return d
+        fallback = fallback or d
+    return fallback
+
+
+def _emit_best_and_exit(signum=None, frame=None):
+    """Signal-safe last-resort emission: kill the child, print the best
+    sidecar snapshot as the one JSON line, exit 0 (VERDICT r2 #1b — a
+    driver timeout must still yield the headline)."""
+    global _CHILD
+    try:
+        if _CHILD is not None and _CHILD.poll() is None:
+            _CHILD.kill()
+    except Exception:
+        pass
+    d = _best_sidecar_result()
+    if d is not None:
+        if signum is not None:
+            d["interrupted"] = True
+        sys.stdout.write(json.dumps(d) + "\n")
+        sys.stdout.flush()
+        os._exit(0)
+    os._exit(1)
+
+
+def _run_child(args, cfg_name: str, sidecar: str, timeout_s: float):
+    """One size attempt in a subprocess (OOM/hang isolation). Returns
+    (rc, stdout_lines); rc=124 for a timeout."""
+    global _CHILD
+    child_deadline = time.time() + timeout_s - 20 if args.deadline_s else 0.0
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--single",
+        "--config", cfg_name,
+        "--exit-layer", str(args.exit_layer), "--spec", str(args.spec),
+        "--max-steps", str(args.max_steps),
+        "--prompt-len", str(args.prompt_len),
+        "--repeats", str(args.repeats),
+        "--batch", str(args.batch),
+        "--tail-eps", str(args.tail_eps),
+        "--draft-exit-prob", str(args.draft_exit_prob),
+        "--sidecar", sidecar,
+        "--deadline", str(child_deadline),
+    ] + (["--sample"] if args.sample else []) + (
+        ["--quant"] if args.quant else []) + (
+        ["--platform", args.platform] if args.platform else []) + (
+        ["--curve"] if args.curve else ["--no-curve"])
+    _CHILD = subprocess.Popen(cmd, stdout=subprocess.PIPE)
+    try:
+        out, _ = _CHILD.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        _CHILD.kill()
+        _CHILD.communicate()
+        return 124, []
+    finally:
+        proc, _CHILD = _CHILD, None
+    return proc.returncode, out.decode().strip().splitlines()
 
 
 def main():
@@ -428,40 +600,71 @@ def main():
     if not args.no_curve:
         args.curve = True
     if args.single:
-        print(json.dumps(run_single(args)))
+        if args.platform:
+            import jax
+
+            jax.config.update("jax_platforms", args.platform)
+        try:
+            print(json.dumps(run_single(args)))
+        except Exception as e:  # tunnel init failure -> distinct exit code
+            msg = f"{type(e).__name__}: {e}"
+            if "Unable to initialize backend" in msg or "UNAVAILABLE" in msg:
+                print(f"[bench] backend init failed: {msg}", file=sys.stderr)
+                raise SystemExit(_RC_BACKEND_INIT)
+            raise
         return
+
+    # -- parent: fallback chain with retry, deadline, and signal-safe emit
+    start = time.time()
+    deadline = start + args.deadline_s if args.deadline_s else None
+    for sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP, signal.SIGALRM):
+        signal.signal(sig, _emit_best_and_exit)
+    if deadline is not None:
+        # hard backstop: even if the parent is stuck waiting on a wedged
+        # child, SIGALRM fires in the main thread and emits the best-so-far
+        signal.alarm(max(int(args.deadline_s) - 30, 60))
+
+    def remaining() -> float:
+        return (deadline - time.time()) if deadline else float("inf")
 
     order = {"7b": ["7b", "1b", "tiny"], "1b": ["1b", "tiny"],
              "moe-3b": ["moe-3b", "tiny"], "tiny": ["tiny"]}
     for cfg_name in order[args.config]:
-        cmd = [
-            sys.executable, os.path.abspath(__file__), "--single",
-            "--config", cfg_name,
-            "--exit-layer", str(args.exit_layer), "--spec", str(args.spec),
-            "--max-steps", str(args.max_steps),
-            "--prompt-len", str(args.prompt_len),
-            "--repeats", str(args.repeats),
-            "--batch", str(args.batch),
-            "--tail-eps", str(args.tail_eps),
-            "--draft-exit-prob", str(args.draft_exit_prob),
-        ] + (["--sample"] if args.sample else []) + (
-            ["--quant"] if args.quant else []) + (
-            ["--curve"] if args.curve else ["--no-curve"])
+        sidecar = os.path.join(_REPO, f".bench_partial_{cfg_name}.json")
         try:
-            proc = subprocess.run(
-                cmd, stdout=subprocess.PIPE, timeout=args.attempt_timeout
-            )
-        except subprocess.TimeoutExpired:
-            print(f"[bench] {cfg_name} timed out after "
-                  f"{args.attempt_timeout:.0f}s (hung remote compile?); "
-                  f"falling back", file=sys.stderr)
-            continue
-        out = proc.stdout.decode().strip().splitlines()
-        if proc.returncode == 0 and out:
-            print(out[-1])
-            return
-        print(f"[bench] {cfg_name} subprocess failed "
-              f"(rc={proc.returncode}); falling back", file=sys.stderr)
+            os.remove(sidecar)  # never report a stale run's numbers
+        except OSError:
+            pass
+        _SIDECARS.append((cfg_name, sidecar))
+        init_retries = 1
+        while True:
+            budget = min(args.attempt_timeout, remaining() - 45)
+            if budget < 90:
+                print("[bench] out of wall budget; emitting best-so-far",
+                      file=sys.stderr)
+                _emit_best_and_exit()
+            rc, out = _run_child(args, cfg_name, sidecar, budget)
+            if rc == 0 and out:
+                print(out[-1])
+                for _n, p in _SIDECARS:
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                return
+            if rc == _RC_BACKEND_INIT and init_retries > 0:
+                init_retries -= 1
+                print(f"[bench] {cfg_name}: TPU backend init failed; "
+                      f"retrying the same size in 20s", file=sys.stderr)
+                time.sleep(min(20, max(remaining() - 120, 0)))
+                continue
+            reason = ("timed out (hung remote compile?)" if rc == 124
+                      else f"failed (rc={rc})")
+            print(f"[bench] {cfg_name} subprocess {reason}; falling back",
+                  file=sys.stderr)
+            break
+    if _best_sidecar_result() is not None:
+        _emit_best_and_exit()
     raise SystemExit("all bench configs failed")
 
 

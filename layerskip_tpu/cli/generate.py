@@ -32,6 +32,7 @@ class GenerateArguments:
 
     streamer: str = "none"  # none | standard | speculative
     chat: bool = False  # wrap prompts with the tokenizer's chat template
+    warmup: bool = True  # compile + warm the generation program pre-REPL
 
 
 def _apply_chat_template(tokenizer, user_message: str) -> str:
@@ -55,6 +56,18 @@ def main(args: Arguments, gen_args: GenerateArguments, gen_cfg: GenerationConfig
         gen_args.streamer == "speculative"
         and gen_cfg.generation_strategy == "self_speculative"
     )
+    if gen_args.warmup:
+        # Warm up before the first prompt (reference generate.py:100-104):
+        # compiles the generation program for the smallest prompt bucket and
+        # publishes it to the persistent compile cache set in cli/loading.py,
+        # so the first real prompt pays no compile and a *second* process
+        # start reaches the REPL warm in seconds.
+        import time as _time
+
+        t0 = _time.time()
+        print("warming up (compiling the generation program)...", file=sys.stderr)
+        generator.generate("warmup", gen_cfg, seed=args.seed)
+        print(f"warmup done in {_time.time() - t0:.1f}s", file=sys.stderr)
     print("Enter a prompt (Ctrl-D to exit):", file=sys.stderr)
     for line in sys.stdin:
         prompt = line.rstrip("\n")

@@ -15,8 +15,30 @@ from __future__ import annotations
 import os
 from typing import Tuple
 
+# Persistent XLA compile cache for every CLI app (they all import this
+# module before building an engine): 7B whole-generation programs take
+# minutes to compile through a remote-compile tunnel; a second process
+# start replays them in seconds. Override the location with
+# JAX_COMPILATION_CACHE_DIR; the reference instead warms up per-process
+# (generate.py:100-104) — we do both (see cli/generate.py warmup).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(
+        os.path.expanduser("~"), ".cache", "layerskip_tpu", "jax_cache"
+    ),
+)
+
 import jax
 import jax.numpy as jnp
+
+# sitecustomize imports jax at interpreter startup (before the env default
+# above), so pin the config value directly as well
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+    )
+except Exception:
+    pass
 
 from layerskip_tpu.config import ModelConfig, tiny_config
 from layerskip_tpu.models.llama import LlamaParams

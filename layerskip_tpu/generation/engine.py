@@ -884,6 +884,42 @@ def _bucket(n: int, sizes: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096)
     return ((n + 1023) // 1024) * 1024
 
 
+class _LRUCache:
+    """Bounded executable cache with dict syntax.
+
+    Eviction calls ``clear_cache()`` on the evicted ``jax.jit`` wrappers
+    (tuples of them for the stepped/continuous entries), releasing the
+    compiled executable and the KV-zeros constants it pins on device.
+    """
+
+    def __init__(self, maxsize: int):
+        import collections
+
+        self.maxsize = max(int(maxsize), 1)
+        self._data = collections.OrderedDict()
+        self.evictions = 0
+
+    def __contains__(self, key) -> bool:
+        return key in self._data
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __getitem__(self, key):
+        self._data.move_to_end(key)
+        return self._data[key]
+
+    def __setitem__(self, key, value) -> None:
+        self._data[key] = value
+        self._data.move_to_end(key)
+        while len(self._data) > self.maxsize:
+            _, old = self._data.popitem(last=False)
+            self.evictions += 1
+            for fn in old if isinstance(old, tuple) else (old,):
+                if hasattr(fn, "clear_cache"):
+                    fn.clear_cache()
+
+
 class Engine:
     """Holds params and a cache of jit-compiled generate functions.
 
@@ -893,7 +929,8 @@ class Engine:
     """
 
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
-                 mesh=None, kv_shard_axis: Optional[str] = None):
+                 mesh=None, kv_shard_axis: Optional[str] = None,
+                 exec_cache_size: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         # sequence-sharded decode: shard the KV sequence dim over
@@ -904,9 +941,15 @@ class Engine:
             "kv_shard_axis requires a mesh"
         # per-instance executable caches — a class-level functools.lru_cache
         # would key on ``self`` and keep params alive forever (a leak when
-        # engines are rebuilt, e.g. bench size fallback)
-        self._exec_cache = {}
-        self._stepped_cache = {}
+        # engines are rebuilt, e.g. bench size fallback). Bounded LRU: every
+        # (bucket, batch, max_steps, scfg, ...) combo pins a compiled
+        # executable plus its KV-zeros constants, so a long-lived gather
+        # server fed varied GenerationConfigs would otherwise grow without
+        # bound (VERDICT r2 #6).
+        if exec_cache_size is None:
+            exec_cache_size = int(os.environ.get("LAYERSKIP_EXEC_CACHE", 64))
+        self._exec_cache = _LRUCache(exec_cache_size)
+        self._stepped_cache = _LRUCache(exec_cache_size)
 
     def _trace_ctx(self):
         """Context active around compiled-fn calls: the mesh (for bare-

@@ -85,20 +85,23 @@ class LlamaGenerator:
         the stop string — same visible text up to the stop word, minus any
         overshoot the reference would have kept.
         """
-        full = self.tokenizer.decode(tokens)
-        hit = min(
-            (full.find(swd) for swd in stop_words if swd and swd in full),
-            default=-1,
-        )
-        if hit < 0:
+        def hits(n: int) -> bool:
+            text = self.tokenizer.decode(tokens[:n])
+            return any(swd in text for swd in stop_words if swd)
+
+        if not hits(len(tokens)):
             return tokens
-        for n in range(1, len(tokens) + 1):
-            if any(
-                swd in self.tokenizer.decode(tokens[:n])
-                for swd in stop_words if swd
-            ):
-                return tokens[:n]
-        return tokens
+        # binary-search the shortest prefix containing a stop string:
+        # containment is monotone in prefix length, so O(log n) decodes
+        # instead of one decode per prefix (VERDICT r2 #8)
+        lo, hi = 1, len(tokens)  # invariant: hits(hi) is True
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if hits(mid):
+                hi = mid
+            else:
+                lo = mid + 1
+        return tokens[:hi]
 
     def generate(
         self,
@@ -136,7 +139,11 @@ class LlamaGenerator:
         decoded = self.tokenizer.decode(tokens)
         n = len(tokens)
         acceptance = None
-        if generation_config.generation_strategy == "self_speculative":
+        if generation_config.generation_strategy in (
+            "self_speculative", "prompt_lookup",
+        ):
+            # prompt_lookup tracks matches/drafts identically (VERDICT r2 #3:
+            # reporting None here made EvaluationMetrics log acceptance 0.0)
             drafts = max(int(out.drafts), 1)
             acceptance = float(int(out.matches) / drafts)
         return GenerationResult(

@@ -46,13 +46,15 @@ def _cfg_key(cfg: GenerationConfig):
 
     Covers all GenerationConfig fields (ADVICE r1: max_prompt_len /
     max_seq_len / stop_words were omitted, so requests differing only in
-    those batched together and silently took row 0's values).
+    those batched together and silently took row 0's values; VERDICT r2 #2:
+    draft_exit_prob / pld_ngram had the same bug).
     """
     return (
         cfg.generation_strategy, cfg.max_steps, cfg.exit_layer,
         cfg.num_speculations, cfg.sample, cfg.temperature, cfg.top_k,
         cfg.top_p, cfg.no_repeat_ngram_size, cfg.kv_quant,
         cfg.max_prompt_len, cfg.max_seq_len,
+        cfg.draft_exit_prob, cfg.pld_ngram,
         tuple(cfg.stop_words or ()),
         tuple(cfg.stop_token_ids or ()),
     )
@@ -355,7 +357,15 @@ def serve(
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._json(200, {"ok": True, "stats": scheduler.stats})
+                eng = scheduler.engine
+                stats = dict(
+                    scheduler.stats,
+                    executables=len(eng._exec_cache) + len(eng._stepped_cache),
+                    executable_evictions=(
+                        eng._exec_cache.evictions + eng._stepped_cache.evictions
+                    ),
+                )
+                self._json(200, {"ok": True, "stats": stats})
             else:
                 self._json(404, {"error": "not found"})
 

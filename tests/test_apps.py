@@ -354,3 +354,82 @@ def test_sweep_cli(jsonl_dataset, tmp_path):
     assert all(r["tokens_per_second"] > 0 for r in rows)
     csvs = [f for f in os.listdir(tmp_path) if f.endswith(".csv")]
     assert csvs
+
+
+def test_rolling_token_windows_exact():
+    """lm-eval ``get_rolling_token_windows(context_len=1, prefix_token=eot)``
+    + ``make_disjoint_window`` semantics, hand-computed (VERDICT r2 #4):
+    EOT-prefixed first window, every token scored exactly once."""
+    from layerskip_tpu.cli.eval import rolling_token_windows
+
+    EOT = 99
+    assert rolling_token_windows([], EOT, 5) == []
+    # shorter than max_len: one EOT-prefixed window covering every token
+    assert rolling_token_windows([0, 1, 2], EOT, 5) == [([EOT], [0, 1, 2])]
+    # exactly max_len
+    assert rolling_token_windows(list(range(5)), EOT, 5) == [
+        ([EOT], [0, 1, 2, 3, 4]),
+    ]
+    # remainder window: disjoint context is the lookback before it
+    assert rolling_token_windows(list(range(8)), EOT, 5) == [
+        ([EOT], [0, 1, 2, 3, 4]),
+        ([2, 3, 4], [5, 6, 7]),
+    ]
+    # two full windows: context_len=1 leaves a single-token context
+    assert rolling_token_windows(list(range(10)), EOT, 5) == [
+        ([EOT], [0, 1, 2, 3, 4]),
+        ([4], [5, 6, 7, 8, 9]),
+    ]
+
+
+def test_rolling_token_windows_cover_once():
+    from layerskip_tpu.cli.eval import rolling_token_windows
+
+    for n in (1, 4, 5, 6, 11, 23):
+        toks = list(range(n))
+        ws = rolling_token_windows(toks, -1, 5)
+        # concatenated continuations == the text: each token scored once
+        assert sum((cont for _, cont in ws), []) == toks
+        for ctx, cont in ws:
+            assert len(ctx) >= 1  # never an empty context
+            assert len(ctx) + len(cont) <= 5 + 1  # model input <= max_len
+
+
+def test_loglikelihood_rolling_matches_single_window():
+    """A text that fits one window: rolling == EOT-prefixed single score."""
+    from layerskip_tpu.cli.eval import EvalHarnessLM
+    from layerskip_tpu.cli.loading import SimpleTokenizer
+    from layerskip_tpu.generation.generator import LlamaGenerator
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    gen = LlamaGenerator(SimpleTokenizer(cfg.vocab_size), params, cfg, eos_ids=[0])
+    wrap = EvalHarnessLM(gen, GenerationConfig(max_steps=4, sample=False))
+
+    class Req:
+        args = ("hi there",)
+
+    (got,) = wrap.loglikelihood_rolling([Req()])
+    toks = wrap.tok_encode("hi there")
+    want, _ = wrap.scorer.loglikelihood_tokens([wrap.eot_token_id], toks)
+    assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_generator_reports_prompt_lookup_acceptance():
+    """VERDICT r2 #3: acceptance must be reported for prompt_lookup too
+    (the engine tracks matches/drafts for it identically)."""
+    from layerskip_tpu.cli.loading import SimpleTokenizer
+    from layerskip_tpu.generation.generator import LlamaGenerator
+
+    cfg = tiny_config()
+    params = init_params(jax.random.PRNGKey(4), cfg)
+    gen = LlamaGenerator(SimpleTokenizer(cfg.vocab_size), params, cfg, eos_ids=[0])
+    res = gen.generate(
+        "ab cd ab cd ab",
+        GenerationConfig(
+            max_steps=6, sample=False, generation_strategy="prompt_lookup",
+            num_speculations=3, pld_ngram=2,
+        ),
+    )
+    acc = res.generation_strategy_result.acceptance_rate
+    assert acc is not None and 0.0 <= acc <= 1.0

@@ -108,3 +108,34 @@ def test_stop_words_truncation(model):
     # shortest prefix whose decoding contains the stop word
     assert stop_word in " ".join(str(t) for t in toks2)
     assert len(toks2) <= full_tokens.index(int(stop_word)) + 1
+
+
+def test_stop_words_truncation_logarithmic(model):
+    """VERDICT r2 #8: the stop-word trim bisects — O(log n) tokenizer.decode
+    calls instead of one per prefix length."""
+    eng, cfg = model
+    calls = {"n": 0}
+
+    class Tok:
+        eos_token_id = None
+
+        def encode(self, s):
+            return [1]
+
+        def decode(self, ids, skip_special_tokens=True):
+            calls["n"] += 1
+            return " ".join(str(int(t)) for t in ids)
+
+    from layerskip_tpu.generation.generator import LlamaGenerator
+
+    gen = LlamaGenerator(Tok(), eng.params, cfg, eos_ids=[127])
+    tokens = list(range(1, 257))
+    out = gen._truncate_at_stop_words(tokens, ["17"])
+    # shortest prefix whose decoding contains "17" is tokens[:17]
+    assert out == tokens[:17]
+    # 1 full-string check + ceil(log2(256)) bisection probes
+    assert calls["n"] <= 1 + 8, calls["n"]
+    # no stop-word hit: exactly one decode, tokens unchanged
+    calls["n"] = 0
+    assert gen._truncate_at_stop_words([1, 2, 3], ["zzz"]) == [1, 2, 3]
+    assert calls["n"] == 1

@@ -408,3 +408,51 @@ def test_continuous_pld_matches_solo():
                             engine.cfg.eos_token_ids),
             engine.cfg.eos_token_ids, 12)
         assert results[r] == want, r
+
+
+def test_cfg_key_covers_every_field():
+    """VERDICT r2 #2: requests differing in ANY GenerationConfig field must
+    not batch together (draft_exit_prob / pld_ngram were omitted; in round 1
+    it was max_prompt_len / stop_words). Perturb every dataclass field and
+    require the batching key to change — future fields cannot be forgotten
+    silently."""
+    import dataclasses
+
+    from layerskip_tpu.serving import _cfg_key
+
+    base = GenerationConfig()
+    for f in dataclasses.fields(GenerationConfig):
+        v = getattr(base, f.name)
+        if f.name == "stop_words":
+            new = ["STOP"]
+        elif f.name == "stop_token_ids":
+            new = [42]
+        elif f.name == "no_repeat_ngram_size":
+            new = 5
+        elif isinstance(v, bool):
+            new = not v
+        elif isinstance(v, int):
+            new = v + 7
+        elif isinstance(v, float):
+            new = v + 0.125
+        else:
+            new = str(v) + "_x"
+        mod = dataclasses.replace(base, **{f.name: new})
+        assert _cfg_key(mod) != _cfg_key(base), (
+            f"GenerationConfig.{f.name} missing from serving._cfg_key"
+        )
+
+
+def test_scheduler_splits_on_draft_exit_prob(engine):
+    """Two requests identical except draft_exit_prob run as two batches."""
+    sched = BatchScheduler(engine, batch_size=4, eos_ids=[127],
+                           gather_window_s=0.2).start()
+    try:
+        import dataclasses
+
+        f1 = sched.submit([3, 17, 52], GEN)
+        f2 = sched.submit([3, 17, 52], dataclasses.replace(GEN, draft_exit_prob=0.3))
+        f1.result(timeout=300), f2.result(timeout=300)
+        assert sched.stats["batches"] == 2
+    finally:
+        sched.stop()
