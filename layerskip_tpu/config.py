@@ -188,9 +188,11 @@ class GenerationConfig:
     exit_layer: int = -1
     num_speculations: int = -1
     # "autoregressive" | "self_speculative" | "prompt_lookup" (net-new:
-    # n-gram drafts copied from the context, zero draft-model calls)
+    # n-gram drafts copied from the context, zero draft-model calls) |
+    # "hybrid" (net-new: prompt-lookup drafts when the context matches,
+    # early-exit model drafts otherwise — selected per round on device)
     generation_strategy: str = "autoregressive"
-    pld_ngram: int = 3  # prompt-lookup match length (prompt_lookup only)
+    pld_ngram: int = 3  # lookup match length (prompt_lookup / hybrid)
     sample: bool = True
     temperature: float = 0.6
     top_k: int = 0

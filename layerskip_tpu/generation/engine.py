@@ -345,9 +345,11 @@ def _pld_propose(
     hist_len: jnp.ndarray,  # [B] committed length incl. next_tok
     w: int,
     n: int,
-) -> jnp.ndarray:
-    """Prompt-lookup proposals: [B, W] continuation of the most recent
-    earlier occurrence of each row's last-``n`` committed tokens.
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Prompt-lookup proposals: ``(proposals [B, W], has_match [B])`` — the
+    continuation of the most recent earlier occurrence of each row's
+    last-``n`` committed tokens, and whether such an occurrence exists
+    (the hybrid strategy's draft-source selector).
 
     Fully vectorized over the static history buffer (n static shifted
     compares + one reversed argmax), so a round's drafting costs O(L*n)
@@ -372,7 +374,7 @@ def _pld_propose(
     jstar = (l - 1) - jnp.argmax(match[:, ::-1], axis=1).astype(jnp.int32)
     jstar = jnp.where(has, jstar, jnp.maximum(hist_len - 2, 0))
     prop = jstar[:, None] + 1 + jnp.arange(w, dtype=jnp.int32)[None]
-    return jnp.take_along_axis(hist, jnp.clip(prop, 0, l - 1), axis=1)
+    return jnp.take_along_axis(hist, jnp.clip(prop, 0, l - 1), axis=1), has
 
 
 def spec_generate(
@@ -392,6 +394,7 @@ def spec_generate(
     kv_quant: bool = False,
     draft_exit_prob: float = 0.0,
     pld_ngram: int = 0,
+    hybrid: bool = False,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
@@ -416,6 +419,7 @@ def spec_generate(
             max_steps=max_steps, exit_layer=e, num_speculations=w,
             scfg=scfg, eos_ids=eos_ids, ngram=ngram,
             draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
+            hybrid=hybrid,
         )
         return s
 
@@ -441,6 +445,7 @@ def _spec_round(
     ngram: int = 0,
     draft_exit_prob: float = 0.0,
     pld_ngram: int = 0,
+    hybrid: bool = False,
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One draft+verify round (reference ``single_step_speculation``,
     self_speculation_generator.py:102-229). Returns
@@ -482,17 +487,33 @@ def _spec_round(
     # ---- draft phase: W early-exit steps under lax.scan
     # (reference draft loop, self_speculation_generator.py:121-148; the
     # reference applies logits processors to draft logits at :138-139) ----
-    if pld_ngram > 0:
-        # prompt-lookup drafting: copy the continuation of the most recent
-        # earlier occurrence of the last-n committed tokens. No model
-        # calls; unmatched rows propose their own recent tokens, which the
-        # verifier simply rejects (cost: one wasted window).
-        drafts = _pld_propose(s.hist, hist_len0, w, pld_ngram)  # [B, W]
+
+    def _pld_draft_verify(proposals: jnp.ndarray):
+        """Prompt-lookup draft + full-stack verify, as one unit.
+
+        Drafting copies the continuation of the most recent earlier
+        occurrence of the last-n committed tokens — no model calls;
+        unmatched rows propose their own recent tokens, which the verifier
+        simply rejects (cost: one wasted window). Verification runs the
+        stitched window through ALL layers via ``forward_split`` (there is
+        no draft/exit split to exploit). Returns the branch-shared tuple
+        (drafts, p_draft, hist, w_dyn, rng, vlogits, early_after,
+        full_after)."""
+        drafts = proposals  # [B, W]
         p_draft = jax.nn.one_hot(drafts, v_size, dtype=jnp.float32)
         hist = _row_update(s.hist, drafts, hist_len0)
         w_dyn = jnp.full((b,), w, jnp.int32)
-        rng = s.rng
-    elif draft_exit_prob <= 0.0:
+        window_ids = jnp.concatenate([s.next_tok, drafts], axis=1)
+        vres = llama.forward_split(
+            params, cfg, window_ids, s.early, s.full, s.ctx, e
+        )
+        return (drafts, p_draft, hist, w_dyn, s.rng,
+                vres.logits, vres.early_cache, vres.full_cache)
+
+    def _model_draft_verify():
+        """Early-exit draft scan + remainder verify, as one unit (the
+        self-speculative hot path). Same return tuple as
+        ``_pld_draft_verify``."""
         def dstep(carry, i):
             early, tok, rng, hist = carry
             r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
@@ -512,6 +533,38 @@ def _spec_round(
         p_draft = jnp.transpose(d_probs, (1, 0, 2))  # [B, W, V]
         exit_hidden = jnp.transpose(exit_h, (1, 0, 2))  # [B, W, D]
         w_dyn = jnp.full((b,), w, jnp.int32)  # every row drafts the full W
+        vres = llama.forward_remainder(
+            params, cfg, last_inp, exit_hidden, early, s.full,
+            draft_len=s.ctx + w, full_len=s.ctx, exit_layer=e,
+        )
+        return (drafts, p_draft, hist, w_dyn, rng,
+                vres.logits, vres.early_cache, vres.full_cache)
+
+    if hybrid:
+        # ---- hybrid drafting (net-new; no reference counterpart): rounds
+        # whose active rows ALL have a prompt-lookup match draft for free
+        # by copying; other rounds draft with the early-exit model. Both
+        # branches commit through the identical acceptance/rejection math
+        # below, so greedy hybrid == greedy AR exactly, and a PLD round
+        # skips all W early-layer draft passes (the branch's saving).
+        assert pld_ngram > 0 and draft_exit_prob <= 0.0, \
+            "hybrid = pld + early-exit drafting; adaptive drafting n/a"
+        proposals, has = _pld_propose(s.hist, hist_len0, w, pld_ngram)
+        use_pld = jnp.all(has | s.done)
+        (drafts, p_draft, hist, w_dyn, rng,
+         vlogits, early_after, full_after) = jax.lax.cond(
+            use_pld,
+            lambda _: _pld_draft_verify(proposals),
+            lambda _: _model_draft_verify(),
+            operand=None,
+        )
+    elif pld_ngram > 0:
+        proposals, _has = _pld_propose(s.hist, hist_len0, w, pld_ngram)
+        (drafts, p_draft, hist, w_dyn, rng,
+         vlogits, early_after, full_after) = _pld_draft_verify(proposals)
+    elif draft_exit_prob <= 0.0:
+        (drafts, p_draft, hist, w_dyn, rng,
+         vlogits, early_after, full_after) = _model_draft_verify()
     else:
         # Confidence-adaptive drafting: a while_loop that runs only while
         # some row is still extending. Per-row bookkeeping is masked so a
@@ -583,32 +636,9 @@ def _spec_round(
         # masks below force n=0 there, and frozen rows commit nothing.
         w_dyn = jnp.maximum(w_dyn, 1)
 
-    # ---- verify phase: one pass over the stitched window
-    # (reference self_speculation_generator.py:150-182) ----
-    if pld_ngram > 0:
-        # PLD verifies token ids through ALL layers at positions
-        # ctx..ctx+W — there is no exit split to reuse
-        window_ids = jnp.concatenate([s.next_tok, drafts], axis=1)
-        vres = llama.forward_split(
-            params, cfg, window_ids, s.early, s.full, s.ctx, e
-        )
-        vlogits = vres.logits  # [B, W+1, V] fp32
-        early_after, full_after = vres.early_cache, vres.full_cache
-    elif draft_exit_prob <= 0.0:
-        vres = llama.forward_remainder(
-            params,
-            cfg,
-            last_inp,
-            exit_hidden,
-            early,
-            s.full,
-            draft_len=s.ctx + w,
-            full_len=s.ctx,
-            exit_layer=e,
-        )
-        vlogits = vres.logits  # [B, W+1, V]
-        early_after, full_after = vres.early_cache, vres.full_cache
-    else:
+        # ---- verify phase: one pass over the stitched window
+        # (reference self_speculation_generator.py:150-182; the pld and
+        # static-draft paths verify inside their draft closures above) ----
         # per-row stitched window: the last draft token's exit hidden goes
         # at window position w_dyn (not the static W), garbage beyond it —
         # position j's verifier logits depend only on tokens < j, so
@@ -992,8 +1022,8 @@ class Engine:
             # long-prompt prefills dispatch to it (ops/attention.py)
             max_cache_len = -(-max_cache_len // 512) * 512
 
-        if strategy in ("self_speculative", "prompt_lookup"):
-            pld = pld_ngram if strategy == "prompt_lookup" else 0
+        if strategy in ("self_speculative", "prompt_lookup", "hybrid"):
+            pld = pld_ngram if strategy in ("prompt_lookup", "hybrid") else 0
 
             def fn(params, ids, true_len, rng):
                 return spec_generate(
@@ -1002,7 +1032,7 @@ class Engine:
                     num_speculations=num_speculations, scfg=scfg,
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
                     kv_quant=kv_quant, draft_exit_prob=draft_exit_prob,
-                    pld_ngram=pld,
+                    pld_ngram=pld, hybrid=(strategy == "hybrid"),
                 )
 
         elif strategy == "autoregressive":
@@ -1051,6 +1081,12 @@ class Engine:
             # the exit split is irrelevant to PLD math; any valid split works
             if exit_layer <= 0:
                 exit_layer = max(self.cfg.num_hidden_layers // 2, 1)
+        elif strategy == "hybrid":
+            # pld drafting when the context matches, early-exit otherwise
+            assert exit_layer > 0 and gen_cfg.num_speculations > 0
+            assert (gen_cfg.pld_ngram or 0) > 0
+            assert not gen_cfg.draft_exit_prob, \
+                "hybrid and adaptive drafting are mutually exclusive"
         max_steps = gen_cfg.max_steps
         cap = gen_cfg.max_seq_len or self.cfg.max_position_embeddings
         if bucket + max_steps > cap:
@@ -1086,6 +1122,7 @@ class Engine:
         paged: Optional[Tuple[int, int]] = None,  # (pool_pages, page_size)
         draft_exit_prob: float = 0.0,
         pld_ngram: int = 0,
+        hybrid: bool = False,
     ):
         """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
         batching.
@@ -1097,7 +1134,7 @@ class Engine:
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant, paged,
-               draft_exit_prob, pld_ngram)
+               draft_exit_prob, pld_ngram, hybrid)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = 2 * prompt_bucket + max_steps + num_speculations + 2
@@ -1217,6 +1254,7 @@ class Engine:
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
+                hybrid=hybrid,
             )
 
         def multi_round_fn(params, state, k):
@@ -1235,6 +1273,7 @@ class Engine:
                     max_steps=max_steps, exit_layer=e, num_speculations=w,
                     scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                     draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
+                    hybrid=hybrid,
                 )
                 return (s2, i + 1)
 
@@ -1276,13 +1315,15 @@ class Engine:
             if paged_pool_pages else None
         pld = (
             int(gen_cfg.pld_ngram or 0)
-            if gen_cfg.generation_strategy == "prompt_lookup" else 0
+            if gen_cfg.generation_strategy in ("prompt_lookup", "hybrid")
+            else 0
         )
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
             paged, float(gen_cfg.draft_exit_prob or 0.0), pld,
+            hybrid=(gen_cfg.generation_strategy == "hybrid"),
         )
         return ContinuousSession(
             self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,
@@ -1303,9 +1344,10 @@ class Engine:
         ngram: int = 0,
         draft_exit_prob: float = 0.0,
         pld_ngram: int = 0,
+        hybrid: bool = False,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
-               scfg, eos_ids, ngram, draft_exit_prob, pld_ngram)
+               scfg, eos_ids, ngram, draft_exit_prob, pld_ngram, hybrid)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = prompt_bucket + max_steps + num_speculations + 2
@@ -1324,7 +1366,7 @@ class Engine:
                 max_steps=max_steps, exit_layer=exit_layer,
                 num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
                 ngram=ngram, draft_exit_prob=draft_exit_prob,
-                pld_ngram=pld_ngram,
+                pld_ngram=pld_ngram, hybrid=hybrid,
             )
 
         self._stepped_cache[key] = (
@@ -1369,7 +1411,9 @@ class Engine:
             int(gen_cfg.no_repeat_ngram_size or 0),
             float(gen_cfg.draft_exit_prob or 0.0),
             int(gen_cfg.pld_ngram or 0)
-            if gen_cfg.generation_strategy == "prompt_lookup" else 0,
+            if gen_cfg.generation_strategy in ("prompt_lookup", "hybrid")
+            else 0,
+            hybrid=(gen_cfg.generation_strategy == "hybrid"),
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

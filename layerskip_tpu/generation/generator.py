@@ -140,7 +140,7 @@ class LlamaGenerator:
         n = len(tokens)
         acceptance = None
         if generation_config.generation_strategy in (
-            "self_speculative", "prompt_lookup",
+            "self_speculative", "prompt_lookup", "hybrid",
         ):
             # prompt_lookup tracks matches/drafts identically (VERDICT r2 #3:
             # reporting None here made EvaluationMetrics log acceptance 0.0)

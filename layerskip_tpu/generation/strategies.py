@@ -52,7 +52,7 @@ class GenerationStrategy(abc.ABC):
 
             streamer.put(jnp.asarray(tokens))
         acceptance = None
-        if self.strategy_name in ("self_speculative", "prompt_lookup"):
+        if self.strategy_name in ("self_speculative", "prompt_lookup", "hybrid"):
             acceptance = float(int(out.matches)) / max(int(out.drafts), 1)
         return GenerationStrategyResult(
             predicted_tokens=tokens, acceptance_rate=acceptance
@@ -94,6 +94,24 @@ class PromptLookupGenerationStrategy(GenerationStrategy):
     (``GenerationConfig.pld_ngram`` sets the match length)."""
 
     strategy_name = "prompt_lookup"
+
+    def generate_token_ids(
+        self, engine, input_ids, eos_token_ids, generation_config,
+        rng=None, streamer=None,
+    ) -> GenerationStrategyResult:
+        return self._run(
+            engine, input_ids, eos_token_ids, generation_config, rng, streamer
+        )
+
+
+class HybridGenerationStrategy(GenerationStrategy):
+    """Net-new (no reference counterpart): per-round draft-source selection.
+    Rounds whose committed suffix has an earlier n-gram occurrence draft for
+    free via prompt lookup (skipping every early-layer draft pass); the rest
+    draft with the early-exit model. Uses ``exit_layer``,
+    ``num_speculations`` and ``pld_ngram``."""
+
+    strategy_name = "hybrid"
 
     def generate_token_ids(
         self, engine, input_ids, eos_token_ids, generation_config,

@@ -289,20 +289,23 @@ def test_pld_propose_lookup_semantics():
 
     #             0  1  2  3  4  5  6   (len=7: ...suffix = [1, 2])
     hist = jnp.asarray([[1, 2, 9, 8, 7, 1, 2, 0, 0, 0]], jnp.int32)
-    out = _pld_propose(hist, jnp.asarray([7]), w=3, n=2)
+    out, has = _pld_propose(hist, jnp.asarray([7]), w=3, n=2)
     # earlier [1, 2] ends at j=1 -> proposal = hist[2:5] = [9, 8, 7]
     assert np.asarray(out)[0].tolist() == [9, 8, 7]
+    assert bool(np.asarray(has)[0]) is True
 
     # most RECENT earlier occurrence wins
     hist2 = jnp.asarray([[1, 2, 9, 1, 2, 4, 4, 1, 2, 0, 0, 0]], jnp.int32)
-    out2 = _pld_propose(hist2, jnp.asarray([9]), w=2, n=2)
+    out2, has2 = _pld_propose(hist2, jnp.asarray([9]), w=2, n=2)
     # matches end at j=1 and j=4; j=4 is later -> proposal hist[5:7] = [4, 4]
     assert np.asarray(out2)[0].tolist() == [4, 4]
+    assert bool(np.asarray(has2)[0]) is True
 
     # no match: fall back to trailing tokens (harmless, verifier rejects)
     hist3 = jnp.asarray([[5, 6, 7, 8, 0, 0]], jnp.int32)
-    out3 = _pld_propose(hist3, jnp.asarray([4]), w=2, n=2)
+    out3, has3 = _pld_propose(hist3, jnp.asarray([4]), w=2, n=2)
     assert np.asarray(out3).shape == (1, 2)
+    assert bool(np.asarray(has3)[0]) is False
 
 
 def test_pld_stream_generate():
@@ -361,3 +364,93 @@ def test_exec_cache_lru_bounded_and_evicts():
     # evicted entry recompiles and reproduces its original output
     assert run(2) == first
     assert len(eng._exec_cache) == 3
+
+
+# --- hybrid drafting (generation_strategy="hybrid") --------------------------
+
+
+def test_hybrid_greedy_equals_ar():
+    """Hybrid rounds pick between one-hot PLD drafts and early-exit model
+    drafts; both commit through the same acceptance math, so greedy hybrid
+    must equal greedy AR on ANY prompt — repetitive (PLD rounds fire) or
+    not (model rounds only)."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    for prompt in ([3, 17, 52, 9], [7, 11, 13, 7, 11, 13, 7, 11],
+                   [250, 4, 8, 4, 8, 4]):
+        ar = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=16, sample=False,
+                generation_strategy="autoregressive"), jax.random.PRNGKey(0)),
+            (), 16,
+        )
+        hy = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=16, sample=False, generation_strategy="hybrid",
+                exit_layer=2, num_speculations=4, pld_ngram=2),
+                jax.random.PRNGKey(0)),
+            (), 16,
+        )
+        assert ar == hy, prompt
+
+
+def test_hybrid_accepts_on_repetitive_context():
+    from layerskip_tpu.config import GenerationConfig
+
+    eng = _adaptive_engine()
+    prompt = [7, 11, 13, 7, 11, 13, 7, 11]
+    out = eng.generate(prompt, GenerationConfig(
+        max_steps=24, sample=False, generation_strategy="hybrid",
+        exit_layer=2, num_speculations=4, pld_ngram=2), jax.random.PRNGKey(0))
+    assert int(out.matches) > 0
+    assert 0 <= float(out.matches) <= float(out.drafts)
+
+
+def test_hybrid_sampling_runs():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    out = eng.generate([4, 8, 15, 16], GenerationConfig(
+        max_steps=12, sample=True, temperature=0.9, top_p=0.95,
+        generation_strategy="hybrid", exit_layer=2, num_speculations=3,
+        pld_ngram=2), jax.random.PRNGKey(2))
+    toks = postprocess_output(out, eng.cfg.eos_token_ids, 12)
+    assert 0 <= len(toks) <= 12
+    assert 0 <= float(out.matches) <= float(out.drafts) + 1e-9
+
+
+def test_hybrid_stream_matches_solo():
+    """Hybrid through the stepped/streaming path == whole-generation path."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="hybrid",
+        exit_layer=2, num_speculations=3, pld_ngram=2,
+    )
+    prompt = [7, 11, 13, 7, 11, 13, 7, 11]
+    solo = postprocess_output(
+        eng.generate(prompt, gen, jax.random.PRNGKey(0)), (), 12
+    )
+    streamed = postprocess_output(
+        eng.stream_generate(prompt, gen, jax.random.PRNGKey(0)), (), 12
+    )
+    assert solo == streamed
+
+
+def test_hybrid_strategy_class_reports_acceptance():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.strategies import HybridGenerationStrategy
+
+    eng = _adaptive_engine()
+    res = HybridGenerationStrategy().generate_token_ids(
+        eng, [7, 11, 13, 7, 11, 13, 7, 11], (),
+        GenerationConfig(max_steps=8, sample=False, exit_layer=2,
+                         num_speculations=3, pld_ngram=2),
+    )
+    assert res.acceptance_rate is not None
+    assert 0.0 <= res.acceptance_rate <= 1.0
