@@ -304,11 +304,13 @@ def run_single(args) -> dict:
     sp_cfg = GenerationConfig(
         generation_strategy="self_speculative", exit_layer=exit_layer,
         num_speculations=args.spec, draft_exit_prob=args.draft_exit_prob,
+        spec_tree_width=args.tree_width,
         **common
     )
     metric_base = (
         f"selfspec_speedup_vs_ar_{args.config}"
         + ("_int8" if args.quant else "")
+        + (f"_tree{args.tree_width}" if args.tree_width > 1 else "")
         + f"_exit{exit_layer}_spec{args.spec}"
     )
     target = TARGET_ACCEPTANCE
@@ -483,6 +485,10 @@ def parse_args(argv=None):
                     help="seconds per size attempt in the fallback chain "
                          "(a hung remote compile then falls back to the "
                          "next size instead of wedging the whole bench)")
+    ap.add_argument("--tree-width", type=int, default=0,
+                    help="multi-candidate speculation: k draft chains "
+                         "branching at each round's first token (greedy "
+                         "only; 0 = linear drafting)")
     ap.add_argument("--draft-exit-prob", type=float, default=0.0,
                     help="confidence-adaptive drafting threshold (0 = "
                          "always draft the full window)")
@@ -577,6 +583,7 @@ def _run_child(args, cfg_name: str, sidecar: str, timeout_s: float):
         "--batch", str(args.batch),
         "--tail-eps", str(args.tail_eps),
         "--draft-exit-prob", str(args.draft_exit_prob),
+        "--tree-width", str(args.tree_width),
         "--sidecar", sidecar,
         "--deadline", str(child_deadline),
     ] + (["--sample"] if args.sample else []) + (

@@ -209,3 +209,8 @@ class GenerationConfig:
     # always draft the full num_speculations window). Committed tokens are
     # invariant; low-acceptance rounds skip wasted early-layer passes.
     draft_exit_prob: float = 0.0
+    # multi-candidate speculation (net-new, greedy only): k draft chains
+    # branch at each round's first position (top-k of the early-exit head)
+    # and verify in ONE full-model pass — nearly free on a bandwidth-bound
+    # TPU decode. 0/1 = linear drafting; self_speculative only.
+    spec_tree_width: int = 0

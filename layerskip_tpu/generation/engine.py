@@ -395,6 +395,7 @@ def spec_generate(
     draft_exit_prob: float = 0.0,
     pld_ngram: int = 0,
     hybrid: bool = False,
+    tree_width: int = 0,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
@@ -414,13 +415,20 @@ def spec_generate(
         return jnp.any(~s.done)
 
     def body(s: _SpecState):
-        s, _, _ = _spec_round(
-            params, cfg, s,
-            max_steps=max_steps, exit_layer=e, num_speculations=w,
-            scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-            draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
-            hybrid=hybrid,
-        )
+        if tree_width > 1:
+            s, _, _ = _tree_round(
+                params, cfg, s,
+                exit_layer=e, num_speculations=w, tree_width=tree_width,
+                eos_ids=eos_ids,
+            )
+        else:
+            s, _, _ = _spec_round(
+                params, cfg, s,
+                max_steps=max_steps, exit_layer=e, num_speculations=w,
+                scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
+                hybrid=hybrid,
+            )
         return s
 
     final = jax.lax.while_loop(cond, body, state)
@@ -766,6 +774,187 @@ def _spec_round(
     return new_state, window, n
 
 
+def _tree_compact(buf: jnp.ndarray, start: jnp.ndarray, idx: jnp.ndarray):
+    """Gather the winning chain's KV slots and write them contiguously.
+
+    ``buf`` [L, B, S, H, Dh]; ``start`` [B] destination offset; ``idx``
+    [B, W] absolute source slots. Touches only W slots per layer (a
+    whole-cache gather would cost O(S) HBM traffic per round)."""
+    lsub, b, _s, h_, d_ = buf.shape
+    w = idx.shape[1]
+    ii = jnp.broadcast_to(
+        idx[None, :, :, None, None].astype(jnp.int32), (lsub, b, w, h_, d_)
+    )
+    block = jnp.take_along_axis(buf, ii, axis=2)  # [L, B, W, H, Dh]
+
+    def row(bufb, newb, p):  # [L, S, H, Dh], [L, W, H, Dh], scalar
+        zero = jnp.zeros((), jnp.int32)
+        return jax.lax.dynamic_update_slice(bufb, newb, (zero, p, zero, zero))
+
+    return jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(
+        buf, block.astype(buf.dtype), start.astype(jnp.int32)
+    )
+
+
+def _tree_round(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    s: _SpecState,
+    *,
+    exit_layer: int,
+    num_speculations: int,
+    tree_width: int,
+    eos_ids: Tuple[int, ...],
+) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
+    """One greedy multi-candidate draft+verify round (net-new; no reference
+    counterpart — SpecInfer/Medusa-style tree speculation, redesigned for
+    TPU).
+
+    ``tree_width`` (k) chains branch at the round's FIRST draft position:
+    the early-exit model's top-k candidates each continue greedily for
+    ``num_speculations`` (W) depths. All k*W+1 window tokens verify in ONE
+    full-model pass — on a bandwidth-bound TPU decode the verify cost is
+    set by the weight bytes, not the token count, so the extra candidates
+    are nearly free; what they buy is rescuing rounds whose single greedy
+    draft would die at position 1 (the verifier's token is in the top-k
+    with much higher probability than it is the top-1 of the draft head).
+
+    Chains live in interleaved cache slots ``scratch + (depth-1)*k + chain``
+    past the committed frontier; visibility is one extra clause on the
+    attention mask (ops/attention.gqa_attention tree_meta) and the winning
+    chain's KV is compacted into the contiguous frontier afterwards — no
+    mask tensors, no re-prefill, static shapes throughout.
+
+    Greedy only: drafts are argmax chains and commits follow the verifier's
+    argmax, so greedy tree == greedy AR token-for-token (at most one chain
+    can match the verifier at depth 1 — the candidates are distinct).
+    """
+    b = s.next_tok.shape[0]
+    e, w, kk = exit_layer, num_speculations, tree_width
+    hist_len0 = s.prompt_len + s.out_len
+    scratch = (s.ctx + 1).astype(jnp.int32)  # [B]
+
+    # ---- draft phase: root pass, then W chain steps of width k ----
+    # (scratch is empty at the root step, so the plain causal rule applies)
+    r0 = llama.forward_early(params, cfg, s.next_tok, s.early, s.ctx, e)
+    root_h = r0.hidden  # [B, 1, D]
+    _, top = jax.lax.top_k(r0.logits[:, -1], kk)  # [B, k] depth-1 candidates
+    q_chain_d = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32)[None], (b, kk))
+
+    def dstep(carry, i):
+        ke, ve, tips = carry  # tips [B, k]: the depth-(i+1) tokens
+        h = llama.embed_tokens(params, tips, cfg)
+        h, ke, ve = llama.run_layers(
+            cfg, params.layers, h, ke, ve, s.ctx, layer_offset=0,
+            q_positions=jnp.broadcast_to((s.ctx + 1 + i)[:, None], (b, kk)),
+            write_pos=scratch + i * kk,
+            tree_meta=(q_chain_d, scratch, kk),
+        )
+        logits = llama.lm_logits(params, cfg, h)  # [B, k, V]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (ke, ve, nxt), (tips, h)
+
+    (ke, ve, _), (toks_steps, h_steps) = jax.lax.scan(
+        dstep, (r0.cache.k, r0.cache.v, top.astype(jnp.int32)),
+        jnp.arange(w, dtype=jnp.int32),
+    )
+    chain_toks = jnp.transpose(toks_steps, (1, 0, 2))  # [B, W, k]
+    draft_h = jnp.transpose(h_steps, (1, 0, 2, 3)).reshape(b, w * kk, -1)
+
+    # ---- verify phase: one full-stack pass over the whole tree window ----
+    win_h = jnp.concatenate([root_h, draft_h], axis=1)  # [B, 1+W*k, D]
+    offs = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        1 + jnp.repeat(jnp.arange(w, dtype=jnp.int32), kk),
+    ])
+    q_chain_v = jnp.concatenate([
+        -jnp.ones((1,), jnp.int32),
+        jnp.tile(jnp.arange(kk, dtype=jnp.int32), w),
+    ])
+    full_h, kf, vf = llama.run_layers(
+        cfg, params.layers, win_h, s.full.k, s.full.v, s.ctx, layer_offset=e,
+        q_positions=s.ctx[:, None] + offs[None, :],
+        write_pos=s.ctx,
+        tree_meta=(jnp.broadcast_to(q_chain_v[None], (b, 1 + w * kk)),
+                   scratch, kk),
+    )
+    vlogits = llama.lm_logits(params, cfg, full_h)  # [B, 1+W*k, V] fp32
+
+    # ---- acceptance: longest verifier-greedy chain prefix ----
+    g = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, 1+W*k]
+    g_root = g[:, 0]
+    g_nodes = g[:, 1:].reshape(b, w, kk)  # greedy continuation after (d, c)
+    ok = jnp.concatenate([
+        chain_toks[:, :1] == g_root[:, None, None],
+        chain_toks[:, 1:] == g_nodes[:, :-1],
+    ], axis=1)  # [B, W, k]
+    n_c = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)  # [B, k]
+    c_star = jnp.argmax(n_c, axis=1).astype(jnp.int32)  # [B]
+    w_eff = jnp.clip(s.steps - s.out_len - 1, 0, w)  # near-max_steps clamp
+    n = jnp.minimum(jnp.max(n_c, axis=1), w_eff)  # [B]
+    # bonus: the verifier's token after the accepted prefix
+    bonus_idx = jnp.where(n > 0, 1 + (n - 1) * kk + c_star, 0)
+    extra_tok = jnp.take_along_axis(g, bonus_idx[:, None], axis=1)[:, 0]
+
+    # ---- commit: winning chain prefix + bonus (mirrors _spec_round) ----
+    win_toks = jnp.take_along_axis(
+        chain_toks, c_star[:, None, None], axis=2
+    )[..., 0]  # [B, W]
+    window = jnp.concatenate([win_toks, jnp.zeros((b, 1), jnp.int32)], axis=1)
+    window = jnp.where(
+        jnp.arange(w + 1)[None, :] == n[:, None], extra_tok[:, None], window
+    )
+    active = ~s.done
+    out = jnp.where(
+        active[:, None], _row_update(s.out, window, s.out_len), s.out
+    )
+    hist = jnp.where(
+        active[:, None], _row_update(s.hist, window, hist_len0), s.hist
+    )
+    committed = jnp.where(active, n + 1, 0)
+    out_len = s.out_len + committed
+    idx = jnp.arange(w + 1)[None, :]
+    eos_hit = jnp.any(_is_eos(window, eos_ids) & (idx <= n[:, None]), axis=1)
+    done = s.done | eos_hit | (out_len >= s.steps)
+
+    # ---- compact the winning chain's KV into the contiguous frontier ----
+    src = scratch[:, None] + (
+        jnp.arange(w, dtype=jnp.int32) * kk
+    )[None, :] + c_star[:, None]  # [B, W] absolute source slots
+    early_after = KVCache(
+        k=_tree_compact(ke, scratch, src), v=_tree_compact(ve, scratch, src)
+    )
+    full_after = KVCache(
+        k=_tree_compact(kf, scratch, src), v=_tree_compact(vf, scratch, src)
+    )
+
+    d_eos = _is_eos(win_toks, eos_ids)
+    eos_cap = jnp.where(
+        jnp.any(d_eos, axis=1),
+        jnp.argmax(d_eos, axis=1).astype(jnp.int32) + 1,
+        jnp.int32(w),
+    )
+    drafted = jnp.minimum(w_eff, eos_cap)
+    act32 = active.astype(jnp.int32)
+    new_state = _SpecState(
+        early=early_after,
+        full=full_after,
+        ctx=s.ctx + committed,
+        prompt_len=s.prompt_len,
+        next_tok=extra_tok[:, None],
+        out=out,
+        hist=hist,
+        out_len=out_len,
+        steps=s.steps,
+        done=done,
+        rng=s.rng,
+        matches=s.matches + jnp.minimum(n, drafted) * act32,
+        drafts=s.drafts + drafted * act32,
+    )
+    return new_state, window, n
+
+
+
 def _spec_insert_rows(
     params: LlamaParams,
     cfg: ModelConfig,
@@ -1010,13 +1199,16 @@ class Engine:
         kv_quant: bool = False,
         draft_exit_prob: float = 0.0,
         pld_ngram: int = 0,
+        tree_width: int = 0,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant,
-               draft_exit_prob, pld_ngram)
+               draft_exit_prob, pld_ngram, tree_width)
         if key in self._exec_cache:
             return self._exec_cache[key]
-        max_cache_len = prompt_bucket + max_steps + num_speculations + 2
+        # tree speculation parks k interleaved chains past the frontier
+        spec_slack = num_speculations * max(tree_width, 1)
+        max_cache_len = prompt_bucket + max_steps + spec_slack + 2
         if prompt_bucket % 256 == 0:
             # round the KV buffer to the flash-prefill kernel's block size so
             # long-prompt prefills dispatch to it (ops/attention.py)
@@ -1033,6 +1225,7 @@ class Engine:
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
                     kv_quant=kv_quant, draft_exit_prob=draft_exit_prob,
                     pld_ngram=pld, hybrid=(strategy == "hybrid"),
+                    tree_width=tree_width,
                 )
 
         elif strategy == "autoregressive":
@@ -1074,8 +1267,20 @@ class Engine:
             eos = eos + tuple(int(x) for x in gen_cfg.stop_token_ids)
         exit_layer = gen_cfg.exit_layer
         strategy = gen_cfg.generation_strategy
+        tree_width = int(gen_cfg.spec_tree_width or 0)
         if strategy == "self_speculative":
             assert exit_layer > 0 and gen_cfg.num_speculations > 0
+            if tree_width > 1:
+                # multi-candidate acceptance follows the verifier's argmax;
+                # a distribution-correct multi-draft rejection sampler is
+                # future work, so trees are greedy-only
+                assert not gen_cfg.sample, "spec_tree_width requires greedy"
+                assert not gen_cfg.no_repeat_ngram_size, \
+                    "spec_tree_width does not support no_repeat_ngram yet"
+                assert not gen_cfg.kv_quant, \
+                    "spec_tree_width does not support kv_quant yet"
+                assert not gen_cfg.draft_exit_prob, \
+                    "spec_tree_width excludes adaptive drafting"
         elif strategy == "prompt_lookup":
             assert gen_cfg.num_speculations > 0
             # the exit split is irrelevant to PLD math; any valid split works
@@ -1087,6 +1292,8 @@ class Engine:
             assert (gen_cfg.pld_ngram or 0) > 0
             assert not gen_cfg.draft_exit_prob, \
                 "hybrid and adaptive drafting are mutually exclusive"
+        if strategy != "self_speculative":
+            tree_width = 0  # trees only apply to early-exit drafting
         max_steps = gen_cfg.max_steps
         cap = gen_cfg.max_seq_len or self.cfg.max_position_embeddings
         if bucket + max_steps > cap:
@@ -1098,6 +1305,7 @@ class Engine:
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
             float(gen_cfg.draft_exit_prob or 0.0),
             int(gen_cfg.pld_ngram or 0),
+            tree_width,
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

@@ -99,6 +99,7 @@ def _one_layer(
     write_pos: jnp.ndarray,  # [] or [B] int32 (== past length for this layer)
     q_positions: jnp.ndarray,  # [B, T] absolute query positions
     past_scalar=None,  # scalar past when positions are shared+contiguous
+    tree_meta=None,  # multi-candidate chains (see ops/attention.gqa_attention)
 ):
     b, t, d = h.shape
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -120,6 +121,7 @@ def _one_layer(
     attn = gqa_attention(
         q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv,
         past_scalar=past_scalar, sliding_window=cfg.sliding_window,
+        tree_meta=tree_meta,
     )
     # fused residual-add + norm: h += attn_out and rms_norm(h) in one kernel
     # on TPU (ops/rmsnorm.py dispatch)
@@ -149,6 +151,9 @@ def run_layers(
     v: jnp.ndarray,
     past_len: jnp.ndarray,  # [] or [B] int32: past length for THIS layer group
     layer_offset: int = 0,  # static: group = layers [offset, offset + Lsub)
+    q_positions: Optional[jnp.ndarray] = None,  # override: [B, T] or [T]
+    write_pos: Optional[jnp.ndarray] = None,  # override: KV write slot(s)
+    tree_meta=None,  # multi-candidate chains (ops/attention.gqa_attention)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run a contiguous layer range via lax.scan; returns (h, k, v).
 
@@ -161,15 +166,24 @@ def run_layers(
     ``past_len`` may be per-batch-row ([B]) — each row then gets its own
     RoPE positions, attention frontier, and KV write offset (continuous
     batching; the reference is hard batch=1, eval.py:82).
+
+    ``q_positions`` / ``write_pos`` decouple logical positions from cache
+    slots (multi-candidate speculation writes several same-position chain
+    tokens to distinct interleaved slots — see engine ``_tree_round``).
     """
     b, t, _ = h.shape
     n_sub = jax.tree.leaves(k)[0].shape[0]
     past_len = past_len.astype(jnp.int32)
-    # scalar past => positions are shared and contiguous; enables the flash
-    # prefill kernel (per-row pasts fall back to the masked paths)
-    past_scalar = past_len if past_len.ndim == 0 else None
-    q_positions = past_len[..., None] + jnp.arange(t, dtype=jnp.int32)
+    if q_positions is None:
+        # scalar past => positions are shared and contiguous; enables the
+        # flash prefill kernel (per-row pasts fall back to the masked paths)
+        past_scalar = past_len if past_len.ndim == 0 else None
+        q_positions = past_len[..., None] + jnp.arange(t, dtype=jnp.int32)
+    else:
+        past_scalar = None
+        q_positions = q_positions.astype(jnp.int32)
     q_positions = jnp.broadcast_to(q_positions, (b, t))  # [B, T]
+    kv_write_pos = past_len if write_pos is None else write_pos
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(q_positions, inv_freq)  # [B, T, Dh]
     layer_idx = jnp.arange(layer_offset, layer_offset + n_sub, dtype=jnp.int32)
@@ -181,8 +195,8 @@ def run_layers(
             layers,
         )
         h, k_layer, v_layer = _one_layer(
-            cfg, lp, h, k_layer, v_layer, cos, sin, past_len, q_positions,
-            past_scalar=past_scalar,
+            cfg, lp, h, k_layer, v_layer, cos, sin, kv_write_pos, q_positions,
+            past_scalar=past_scalar, tree_meta=tree_meta,
         )
         return h, (k_layer, v_layer)
 

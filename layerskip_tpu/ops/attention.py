@@ -101,12 +101,23 @@ def gqa_attention(
     q_heads_per_kv: int,
     past_scalar=None,  # set when positions are past + arange(T), shared rows
     sliding_window=None,  # Mistral-family: keys older than this are masked
+    tree_meta=None,  # (q_chain [B,T], scratch_start scalar, fanout int):
+    # multi-candidate speculation — cache slots >= scratch_start hold
+    # ``fanout`` interleaved draft chains (slot = scratch + depth*fanout +
+    # chain); a query sees committed slots plus its OWN chain's ancestors
 ) -> jnp.ndarray:
     """Returns attention output [B, T, Hq, Dh] in q.dtype.
 
     ``q_positions`` may be per-batch-row ([B, T]) — rows of a batch decode at
     different sequence offsets (continuous batching), so each row gets its
     own visibility frontier.
+
+    ``tree_meta`` decouples a key's logical position from its cache slot in
+    the scratch region and adds one chain-visibility clause to the masking
+    rule: ``key_pos <= q_pos AND (key_chain == -1 OR key_chain == q_chain)``
+    (committed slots have chain -1). This is the whole of "tree attention"
+    on TPU — no mask tensors are materialized, and the computation stays on
+    the fused XLA masked-softmax path (the Pallas kernels are bypassed).
     """
     from layerskip_tpu.ops.kv_cache import QuantKV
     from layerskip_tpu.ops.paged_kv import PagedKV, PagedQuantKV
@@ -119,7 +130,9 @@ def gqa_attention(
     # straight into every kernel (Mistral no longer falls back to dense)
     _window = int(sliding_window) if sliding_window is not None else 0
     if isinstance(k_cache, PagedKV):
-        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+        if tree_meta is None and _use_pallas(
+            t, k_cache.max_pages * k_cache.page_size, dh
+        ):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention,
             )
@@ -133,7 +146,9 @@ def gqa_attention(
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)
     elif isinstance(k_cache, PagedQuantKV):
-        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+        if tree_meta is None and _use_pallas(
+            t, k_cache.max_pages * k_cache.page_size, dh
+        ):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention_q8,
             )
@@ -163,7 +178,7 @@ def gqa_attention(
     # 7B the XLA path also wins (130.2 vs 127.0 spec tok/s). Pallas pays
     # only where XLA cannot express the access pattern: paged KV (above)
     # and long prefill (below).
-    if past_scalar is not None and _use_flash_prefill(
+    if past_scalar is not None and tree_meta is None and _use_flash_prefill(
         q.shape[1], k_cache.shape[1], q.shape[3]
     ):
         from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
@@ -185,9 +200,30 @@ def gqa_attention(
     scores = scores * (1.0 / jnp.sqrt(dh).astype(jnp.float32))
 
     key_idx = jnp.arange(s, dtype=jnp.int32)
-    mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
-    if _window > 0:
-        mask &= key_idx[None, None, :] > (q_positions[:, :, None] - _window)
+    if tree_meta is not None:
+        q_chain, scratch_start, fanout = tree_meta
+        scratch_start = jnp.broadcast_to(
+            jnp.asarray(scratch_start, jnp.int32), (b,)
+        )  # per-row scratch region start (ragged prompts => per-row ctx)
+        rel = key_idx[None, :] - scratch_start[:, None]  # [B, S]
+        in_scr = rel >= 0
+        # slot = scratch + (depth-1)*fanout + chain  ->  logical position =
+        # scratch + depth - 1 (chains at one depth share a RoPE position)
+        key_pos = jnp.where(
+            in_scr, scratch_start[:, None] + rel // fanout, key_idx[None, :]
+        )
+        key_chain = jnp.where(in_scr, rel % fanout, -1)
+        q_chain = jnp.broadcast_to(q_chain.astype(jnp.int32), (b, t))
+        mask = (key_pos[:, None, :] <= q_positions[:, :, None]) & (
+            (key_chain[:, None, :] < 0)
+            | (key_chain[:, None, :] == q_chain[:, :, None])
+        )
+        if _window > 0:
+            mask &= key_pos[:, None, :] > (q_positions[:, :, None] - _window)
+    else:
+        mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
+        if _window > 0:
+            mask &= key_idx[None, None, :] > (q_positions[:, :, None] - _window)
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
     probs = jax.nn.softmax(scores, axis=-1)

@@ -54,7 +54,7 @@ def _cfg_key(cfg: GenerationConfig):
         cfg.num_speculations, cfg.sample, cfg.temperature, cfg.top_k,
         cfg.top_p, cfg.no_repeat_ngram_size, cfg.kv_quant,
         cfg.max_prompt_len, cfg.max_seq_len,
-        cfg.draft_exit_prob, cfg.pld_ngram,
+        cfg.draft_exit_prob, cfg.pld_ngram, cfg.spec_tree_width,
         tuple(cfg.stop_words or ()),
         tuple(cfg.stop_token_ids or ()),
     )

@@ -454,3 +454,124 @@ def test_hybrid_strategy_class_reports_acceptance():
     )
     assert res.acceptance_rate is not None
     assert 0.0 <= res.acceptance_rate <= 1.0
+
+
+# --- multi-candidate (tree) speculation (spec_tree_width > 1) ----------------
+
+
+def test_tree_greedy_equals_ar():
+    """k distinct top-k chains + verifier-argmax commits: greedy tree ==
+    greedy AR token-for-token on any prompt, any width."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    for prompt in ([3, 17, 52, 9], [42], [7, 11, 13, 7, 11, 13, 7, 11]):
+        ar = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=16, sample=False,
+                generation_strategy="autoregressive"), jax.random.PRNGKey(0)),
+            (), 16,
+        )
+        for k in (2, 4):
+            tr = postprocess_output(
+                eng.generate(prompt, GenerationConfig(
+                    max_steps=16, sample=False,
+                    generation_strategy="self_speculative",
+                    exit_layer=2, num_speculations=4, spec_tree_width=k),
+                    jax.random.PRNGKey(0)),
+                (), 16,
+            )
+            assert ar == tr, (prompt, k)
+
+
+def test_tree_accepts_at_least_linear():
+    """Chain 0 IS the linear greedy draft, so a round can only gain from
+    the extra candidates: total accepted drafts >= linear's."""
+    from layerskip_tpu.config import GenerationConfig
+
+    eng = _adaptive_engine()
+    base = dict(max_steps=24, sample=False,
+                generation_strategy="self_speculative",
+                exit_layer=2, num_speculations=4)
+    for prompt in ([3, 17, 52, 9], [9, 1, 9, 1, 9]):
+        lin = eng.generate(prompt, GenerationConfig(**base),
+                           jax.random.PRNGKey(0))
+        tree = eng.generate(prompt, GenerationConfig(
+            **base, spec_tree_width=4), jax.random.PRNGKey(0))
+        assert int(tree.matches) >= int(lin.matches), prompt
+
+
+def test_tree_batched_ragged_matches_solo():
+    """Per-row ctx drives per-row scratch regions and compaction: each
+    batched row equals its solo run (greedy)."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_batch, postprocess_output
+
+    eng = _adaptive_engine()
+    gen = GenerationConfig(
+        max_steps=14, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, spec_tree_width=3,
+    )
+    prompts = [[3, 17, 52], [5, 9, 11, 13, 2, 8], [250]]
+    batched = postprocess_batch(
+        eng.generate(prompts, gen, jax.random.PRNGKey(0)), (), 14
+    )
+    for p, got in zip(prompts, batched):
+        solo = postprocess_output(
+            eng.generate(p, gen, jax.random.PRNGKey(0)), (), 14
+        )
+        assert got == solo, p
+
+
+def test_tree_eos_and_max_steps():
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    # max_steps=1: the near-max_steps clamp must hold for trees too
+    ar = postprocess_output(
+        eng.generate([3, 5], GenerationConfig(
+            max_steps=1, sample=False, generation_strategy="autoregressive"),
+            jax.random.PRNGKey(0)),
+        (), 1,
+    )
+    tr = postprocess_output(
+        eng.generate([3, 5], GenerationConfig(
+            max_steps=1, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=3, spec_tree_width=2),
+            jax.random.PRNGKey(0)),
+        (), 1,
+    )
+    assert ar == tr and len(tr) == 1
+    # EOS: pick the greedy stream's 3rd token as EOS; both must stop there
+    full = postprocess_output(
+        eng.generate([3, 17, 52], GenerationConfig(
+            max_steps=10, sample=False, generation_strategy="autoregressive"),
+            jax.random.PRNGKey(0)),
+        (), 10,
+    )
+    eos = [full[2]]
+    ar_eos = postprocess_output(
+        eng.generate([3, 17, 52], GenerationConfig(
+            max_steps=10, sample=False, generation_strategy="autoregressive"),
+            jax.random.PRNGKey(0), eos), eos, 10,
+    )
+    tr_eos = postprocess_output(
+        eng.generate([3, 17, 52], GenerationConfig(
+            max_steps=10, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=3, spec_tree_width=3),
+            jax.random.PRNGKey(0), eos), eos, 10,
+    )
+    assert ar_eos == tr_eos
+
+
+def test_tree_rejects_sampling():
+    from layerskip_tpu.config import GenerationConfig
+
+    eng = _adaptive_engine()
+    with pytest.raises(AssertionError):
+        eng.generate([3, 5], GenerationConfig(
+            max_steps=4, sample=True, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=3, spec_tree_width=2),
+            jax.random.PRNGKey(0))
