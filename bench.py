@@ -332,6 +332,7 @@ def run_single(args) -> dict:
             }
         cands = [p for p in curve if p["tail_eps"] > 0] or curve
         head = min(cands, key=lambda p: abs(p["acceptance"] - target))
+        import jax as _jax
         if not args.curve:
             suffix = ""
         elif abs(head["acceptance"] - target) <= 0.05:
@@ -350,6 +351,7 @@ def run_single(args) -> dict:
             "acceptance": head["acceptance"],
             "tail_eps": head["tail_eps"],
             "spec_backed": True,
+            "backend": _jax.default_backend(),
         }
         if state["ceiling"] is not None:
             out["ceiling_speedup"] = state["ceiling"]["speedup"]
@@ -568,6 +570,25 @@ def _emit_best_and_exit(signum=None, frame=None):
     os._exit(1)
 
 
+def _tunnel_alive(timeout_s: float = 180.0) -> bool:
+    """Preflight: can a fresh process see the default backend at all?
+
+    The round-2 failure was a fast backend-init *error*, but a dead tunnel
+    can also HANG jax.devices() indefinitely — burning the whole wall
+    budget on the first size attempt. A bounded probe turns that into a
+    quick, retryable signal."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _run_child(args, cfg_name: str, sidecar: str, timeout_s: float):
     """One size attempt in a subprocess (OOM/hang isolation). Returns
     (rc, stdout_lines); rc=124 for a timeout."""
@@ -634,9 +655,23 @@ def main():
     def remaining() -> float:
         return (deadline - time.time()) if deadline else float("inf")
 
+    # dead-tunnel preflight: don't feed the wall budget to a backend
+    # that cannot even enumerate devices (probe + one retry ~= 7 min max)
+    tunnel_ok = True
+    if not args.platform:
+        tunnel_ok = _tunnel_alive()
+        if not tunnel_ok:
+            print("[bench] backend probe hung/failed; retrying once in 30s",
+                  file=sys.stderr)
+            time.sleep(30)
+            tunnel_ok = _tunnel_alive()
+        if not tunnel_ok:
+            print("[bench] backend unreachable; skipping TPU sizes",
+                  file=sys.stderr)
+
     order = {"7b": ["7b", "1b", "tiny"], "1b": ["1b", "tiny"],
              "moe-3b": ["moe-3b", "tiny"], "tiny": ["tiny"]}
-    for cfg_name in order[args.config]:
+    for cfg_name in order[args.config] if tunnel_ok else []:
         sidecar = os.path.join(_REPO, f".bench_partial_{cfg_name}.json")
         try:
             os.remove(sidecar)  # never report a stale run's numbers
@@ -645,7 +680,8 @@ def main():
         _SIDECARS.append((cfg_name, sidecar))
         init_retries = 1
         while True:
-            budget = min(args.attempt_timeout, remaining() - 45)
+            budget = min(args.attempt_timeout, remaining() - 45,
+                         max(remaining() * 0.6, 600.0))
             if budget < 90:
                 print("[bench] out of wall budget; emitting best-so-far",
                       file=sys.stderr)
@@ -672,6 +708,23 @@ def main():
             break
     if _best_sidecar_result() is not None:
         _emit_best_and_exit()
+    # Absolute last resort (tunnel down for the whole budget): a tiny-config
+    # CPU measurement is an honest-but-weak artifact (backend field says
+    # "cpu") and still beats an unparseable one (BENCH_r02 lesson).
+    if not args.platform and remaining() > 120:
+        print("[bench] TPU unreachable all run; measuring tiny on CPU",
+              file=sys.stderr)
+        args.platform = "cpu"
+        sidecar = os.path.join(_REPO, ".bench_partial_cpu_tiny.json")
+        _SIDECARS.append(("cpu-tiny", sidecar))
+        rc, out = _run_child(
+            args, "tiny", sidecar, min(600.0, remaining() - 30)
+        )
+        if rc == 0 and out:
+            print(out[-1])
+            return
+        if _best_sidecar_result() is not None:
+            _emit_best_and_exit()
     raise SystemExit("all bench configs failed")
 
 

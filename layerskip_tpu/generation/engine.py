@@ -1331,6 +1331,7 @@ class Engine:
         draft_exit_prob: float = 0.0,
         pld_ngram: int = 0,
         hybrid: bool = False,
+        tree_width: int = 0,
     ):
         """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
         batching.
@@ -1342,10 +1343,11 @@ class Engine:
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant, paged,
-               draft_exit_prob, pld_ngram, hybrid)
+               draft_exit_prob, pld_ngram, hybrid, tree_width)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
-        max_cache_len = 2 * prompt_bucket + max_steps + num_speculations + 2
+        max_cache_len = (2 * prompt_bucket + max_steps
+                         + num_speculations * max(tree_width, 1) + 2)
         cfg = self.cfg
         e, nl, w = exit_layer, cfg.num_hidden_layers, num_speculations
         out_size = max_steps + num_speculations + 1
@@ -1457,6 +1459,12 @@ class Engine:
             narrow_insert = None
 
         def round_fn(params, state):
+            if tree_width > 1:
+                return _tree_round(
+                    params, cfg, state,
+                    exit_layer=e, num_speculations=w, tree_width=tree_width,
+                    eos_ids=eos_ids,
+                )
             return _spec_round(
                 params, cfg, state,
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
@@ -1476,13 +1484,7 @@ class Engine:
 
             def body(c):
                 s, i = c
-                s2, _, _ = _spec_round(
-                    params, cfg, s,
-                    max_steps=max_steps, exit_layer=e, num_speculations=w,
-                    scfg=scfg, eos_ids=eos_ids, ngram=ngram,
-                    draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
-                    hybrid=hybrid,
-                )
+                s2, _, _ = round_fn(params, s)  # the raw fn (jitted separately)
                 return (s2, i + 1)
 
             s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -1526,12 +1528,21 @@ class Engine:
             if gen_cfg.generation_strategy in ("prompt_lookup", "hybrid")
             else 0
         )
+        tree_width = int(gen_cfg.spec_tree_width or 0)
+        if gen_cfg.generation_strategy != "self_speculative":
+            tree_width = 0
+        if tree_width > 1:
+            assert not gen_cfg.sample and not paged and not gen_cfg.kv_quant \
+                and not gen_cfg.no_repeat_ngram_size \
+                and not gen_cfg.draft_exit_prob, \
+                "tree speculation: greedy, contiguous bf16 KV only"
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
             paged, float(gen_cfg.draft_exit_prob or 0.0), pld,
             hybrid=(gen_cfg.generation_strategy == "hybrid"),
+            tree_width=tree_width,
         )
         return ContinuousSession(
             self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,
@@ -1553,12 +1564,15 @@ class Engine:
         draft_exit_prob: float = 0.0,
         pld_ngram: int = 0,
         hybrid: bool = False,
+        tree_width: int = 0,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
-               scfg, eos_ids, ngram, draft_exit_prob, pld_ngram, hybrid)
+               scfg, eos_ids, ngram, draft_exit_prob, pld_ngram, hybrid,
+               tree_width)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
-        max_cache_len = prompt_bucket + max_steps + num_speculations + 2
+        max_cache_len = (prompt_bucket + max_steps
+                         + num_speculations * max(tree_width, 1) + 2)
 
         def prefill(params, ids, true_len, rng):
             return _spec_prefill(
@@ -1569,6 +1583,13 @@ class Engine:
             )
 
         def round_fn(params, state):
+            if tree_width > 1:
+                return _tree_round(
+                    params, self.cfg, state,
+                    exit_layer=exit_layer,
+                    num_speculations=num_speculations,
+                    tree_width=tree_width, eos_ids=eos_ids,
+                )
             return _spec_round(
                 params, self.cfg, state,
                 max_steps=max_steps, exit_layer=exit_layer,
@@ -1614,6 +1635,11 @@ class Engine:
             eos = eos + tuple(int(x) for x in gen_cfg.stop_token_ids)
         assert gen_cfg.exit_layer > 0 and gen_cfg.num_speculations > 0
         w = gen_cfg.num_speculations
+        tree_width = int(gen_cfg.spec_tree_width or 0)
+        if gen_cfg.generation_strategy != "self_speculative":
+            tree_width = 0
+        if tree_width > 1:
+            assert not gen_cfg.sample, "spec_tree_width requires greedy"
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
@@ -1622,6 +1648,7 @@ class Engine:
             if gen_cfg.generation_strategy in ("prompt_lookup", "hybrid")
             else 0,
             hybrid=(gen_cfg.generation_strategy == "hybrid"),
+            tree_width=tree_width,
         )
         if rng is None:
             rng = jax.random.PRNGKey(0)

@@ -575,3 +575,35 @@ def test_tree_rejects_sampling():
             max_steps=4, sample=True, generation_strategy="self_speculative",
             exit_layer=2, num_speculations=3, spec_tree_width=2),
             jax.random.PRNGKey(0))
+
+
+def test_tree_stream_and_continuous_match_solo():
+    """Tree speculation through the stepped/streaming path and the
+    continuous-batching session equals the whole-generation path."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    gen = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, spec_tree_width=3,
+    )
+    prompt = [3, 17, 52, 9]
+    solo = postprocess_output(
+        eng.generate(prompt, gen, jax.random.PRNGKey(0)), (), 12
+    )
+    streamed = postprocess_output(
+        eng.stream_generate(prompt, gen, jax.random.PRNGKey(0)), (), 12
+    )
+    assert solo == streamed
+
+    sess = eng.continuous_session(gen, batch=2, prompt_bucket=16)
+    sess.insert([0], [prompt], seeds=[0])
+    got = None
+    for _ in range(40):
+        for row, toks, _ in sess.step():
+            if row == 0:
+                got = toks
+        if got is not None:
+            break
+    assert got == solo
