@@ -61,6 +61,27 @@ def _use_pallas_qmm(m: int) -> bool:
     )
 
 
+def _qdot(x2: jnp.ndarray, w: QuantTensor) -> jnp.ndarray:
+    """[M, K] @ int8 weights with the scale applied AFTER the contraction.
+
+    The per-output-channel scale is constant along K, so
+    ``x @ (q * scale)  ==  (x @ q) * scale`` exactly. The second form keeps
+    the dot's weight operand a pure int8->x.dtype convert — an elementwise
+    cast XLA reliably fuses into the operand read (int8 bytes stream from
+    HBM once) — instead of a convert+multiply whose fusion into the
+    contraction is at the compiler's mercy (the round-2 int8 decode path
+    measured ~61% of the bytes-halving roofline vs bf16's 81%; this
+    reformulation is the candidate fix). Numerics strictly improve: int8
+    magnitudes are exact in bf16, so nothing is rounded before the MXU, and
+    the scale lands on the fp32 accumulator.
+    """
+    dims = (((1,), (1,) if w.k_last else (0,)), ((), ()))
+    acc = jax.lax.dot_general(
+        x2, w.q.astype(x2.dtype), dims, preferred_element_type=jnp.float32
+    )
+    return (acc * w.scale).astype(x2.dtype)
+
+
 def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
     """x [..., K] @ w [K, N] -> [..., N]; w may be dense or QuantTensor."""
     if isinstance(w, QuantTensor):
@@ -74,7 +95,7 @@ def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
 
             out = quant_matmul(x2, w.q, w.scale)
         else:
-            out = x2 @ w.dequantize(x.dtype)
+            out = _qdot(x2, w)
         return out.reshape(*lead, -1)
     return x @ w
 
@@ -98,7 +119,7 @@ def apply_weight_t(x: jnp.ndarray, w) -> jnp.ndarray:
 
             out = quant_matmul_t(x2, w.q, w.scale)
         else:
-            out = x2 @ w.dequantize(x.dtype).T
+            out = _qdot(x2, w)
         return out.reshape(*lead, -1)
     return jax.lax.dot_general(
         x, w, (((x.ndim - 1,), (w.ndim - 1,)), ((), ())),

@@ -79,16 +79,26 @@ def route(
     return topv, topi, aux
 
 
-def _take_expert(w, e):
-    """Gather one expert's weight [D, F] from the stacked [E, D, F] (dense or
-    int8). Inside a scan, XLA fuses the gather into the following matmul —
-    the same roofline-bandwidth pattern as the per-layer weight gather in
-    models/llama.py::run_layers."""
+def _expert_mm(xt, w, e):
+    """``xt [1, D] @ w[e]`` where ``w`` is stacked [E, D, F] (dense or int8).
+
+    The gather stays adjacent to the matmul so XLA fuses the dynamic-slice
+    into the dot — the same roofline-bandwidth pattern as the per-layer
+    weight gather in models/llama.py::run_layers. For int8 the per-channel
+    scale is applied AFTER the contraction (see ops/linear.py::_qdot): the
+    dot's operand is then gather+convert only, and the int8 expert bytes
+    stream from HBM once."""
     if isinstance(w, QuantTensor):
         q = jax.lax.dynamic_index_in_dim(w.q, e, 0, keepdims=False)
         s = jax.lax.dynamic_index_in_dim(w.scale, e, 0, keepdims=False)
-        return QuantTensor(q=q, scale=s, k_last=w.k_last).dequantize()
-    return jax.lax.dynamic_index_in_dim(w, e, 0, keepdims=False)
+        acc = jax.lax.dot_general(
+            xt, q.astype(xt.dtype),
+            (((1,), (1,) if w.k_last else (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (acc * s).astype(xt.dtype)
+    we = jax.lax.dynamic_index_in_dim(w, e, 0, keepdims=False)
+    return xt @ we
 
 
 def _moe_few(x2, topv, topi, w_gate, w_up, w_down, k: int):
@@ -113,9 +123,9 @@ def _moe_few(x2, topv, topi, w_gate, w_up, w_down, k: int):
         t = j // k
         xt = x2[t:t + 1]  # [1, D], static index
         e = flat_e[j]
-        g = xt @ _take_expert(w_gate, e)
-        u = xt @ _take_expert(w_up, e)
-        y = (jax.nn.silu(g) * u) @ _take_expert(w_down, e)  # [1, D]
+        g = _expert_mm(xt, w_gate, e)
+        u = _expert_mm(xt, w_up, e)
+        y = _expert_mm(jax.nn.silu(g) * u, w_down, e)  # [1, D]
         out = out.at[t].add(flat_w[j] * y[0])
     return out
 

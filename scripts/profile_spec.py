@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--mode", default="spec", choices=["spec", "ar"])
     ap.add_argument("--max-steps", type=int, default=64)
     ap.add_argument("--spec", type=int, default=6)
+    ap.add_argument("--quant", action="store_true",
+                    help="int8 weight-only params (the VERDICT r2 #4 "
+                         "roofline-gap target)")
     ap.add_argument("--logdir", default="/tmp/lsk_trace")
     args = ap.parse_args()
 
@@ -33,7 +36,7 @@ def main():
     from layerskip_tpu.generation.engine import Engine, postprocess_output
 
     cfg = build_config(args.config)
-    params = make_params(cfg, 8)
+    params = make_params(cfg, 8, quant=args.quant)
     eng = Engine(params, cfg)
     prompt = list(range(5, 37))
     if args.mode == "spec":
