@@ -121,7 +121,8 @@ def build_config(name: str):
     return tiny_config(dtype=jnp.bfloat16)
 
 
-def make_param_builder(cfg, exit_layer: int, quant: bool = False):
+def make_param_builder(cfg, exit_layer: int, quant: bool = False,
+                       bits: int = 8):
     """Returns ``build(key, tail_eps) -> LlamaParams`` (jitted once).
 
     ``tail_eps`` is a *traced* scalar scaling the output projections
@@ -165,6 +166,37 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False):
                     acc, sample(i)[None], (i,) + (0,) * (len(shape) - 1)
                 )
             return jax.lax.fori_loop(0, shape[0], body, jnp.zeros(shape, dt))
+
+        if bits == 4:
+            # groupwise int4 (layerskip_tpu/quant.py semantics), built
+            # per-layer in-jit like the int8 path below
+            from layerskip_tpu.quant import quantize_tensor
+
+            kdim = shape[-1] if k_last else shape[-2]
+            g4 = min(128, kdim)
+            sshape4 = shape[:-2] + (
+                (shape[-2], kdim // g4) if k_last else (kdim // g4, shape[-1])
+            )
+
+            def bodyq4(i, acc):
+                q_acc, s_acc = acc
+                qt = quantize_tensor(
+                    sample(i).astype(jnp.float32), k_last=k_last, bits=4
+                )
+                return (
+                    jax.lax.dynamic_update_slice(
+                        q_acc, qt.q[None], (i,) + (0,) * (len(shape) - 1)
+                    ),
+                    jax.lax.dynamic_update_slice(
+                        s_acc, qt.scale[None], (i,) + (0,) * (len(shape) - 1)
+                    ),
+                )
+
+            q, s = jax.lax.fori_loop(
+                0, shape[0], bodyq4,
+                (jnp.zeros(shape, jnp.int4), jnp.zeros(sshape4, jnp.float32)),
+            )
+            return QuantTensor(q=q, scale=s, k_last=k_last, group=g4)
 
         axis = -1 if k_last else -2
         def bodyq(i, acc):
@@ -225,12 +257,13 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False):
     return jax.jit(build)
 
 
-def make_params(cfg, exit_layer: int, quant: bool = False, tail_eps: float = 0.0):
+def make_params(cfg, exit_layer: int, quant: bool = False,
+                tail_eps: float = 0.0, bits: int = 8):
     """Random weights; tail layers' output projections scaled by tail_eps
     (0 = identity tail, the acceptance~1 ceiling configuration)."""
     import jax
 
-    return make_param_builder(cfg, exit_layer, quant)(
+    return make_param_builder(cfg, exit_layer, quant, bits=bits)(
         jax.random.PRNGKey(0), tail_eps
     )
 
@@ -283,7 +316,8 @@ def run_single(args) -> dict:
 
     cfg = build_config(args.config)
     exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
-    builder = make_param_builder(cfg, exit_layer, quant=args.quant)
+    builder = make_param_builder(cfg, exit_layer, quant=args.quant,
+                                 bits=args.quant_bits)
     engine = Engine(builder(jax.random.PRNGKey(0), args.tail_eps), cfg)
     prompt = list(range(5, 5 + args.prompt_len))
 
@@ -309,7 +343,7 @@ def run_single(args) -> dict:
     )
     metric_base = (
         f"selfspec_speedup_vs_ar_{args.config}"
-        + ("_int8" if args.quant else "")
+        + (f"_int{args.quant_bits}" if args.quant else "")
         + (f"_tree{args.tree_width}" if args.tree_width > 1 else "")
         + f"_exit{exit_layer}_spec{args.spec}"
     )
@@ -326,7 +360,7 @@ def run_single(args) -> dict:
         if not curve:
             return {
                 "metric": f"ar_tokens_per_s_{args.config}"
-                          + ("_int8" if args.quant else ""),
+                          + (f"_int{args.quant_bits}" if args.quant else ""),
                 "value": round(ar_tps, 2), "unit": "tok/s",
                 "vs_baseline": 0.0, "partial": "ar_only",
             }
@@ -480,7 +514,10 @@ def parse_args(argv=None):
     ap.add_argument("--batch", type=int, default=1,
                     help="rows per generation (identical prompts)")
     ap.add_argument("--quant", action="store_true",
-                    help="int8 weight-only quantized model")
+                    help="weight-only quantized model (see --quant-bits)")
+    ap.add_argument("--quant-bits", type=int, default=8, choices=(8, 4),
+                    help="8: per-channel int8; 4: groupwise int4 (packed "
+                         "two per HBM byte — weight traffic halves again)")
     ap.add_argument("--single", action="store_true",
                     help="run only --config in-process (no fallback chain)")
     ap.add_argument("--attempt-timeout", type=float, default=5400.0,
@@ -605,6 +642,7 @@ def _run_child(args, cfg_name: str, sidecar: str, timeout_s: float):
         "--tail-eps", str(args.tail_eps),
         "--draft-exit-prob", str(args.draft_exit_prob),
         "--tree-width", str(args.tree_width),
+        "--quant-bits", str(args.quant_bits),
         "--sidecar", sidecar,
         "--deadline", str(child_deadline),
     ] + (["--sample"] if args.sample else []) + (

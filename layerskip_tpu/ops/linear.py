@@ -18,18 +18,26 @@ from flax import struct
 
 @struct.dataclass
 class QuantTensor:
-    """int8 weights + per-output-channel fp32 scales.
+    """Quantized weights + fp32 scales (int8 per-channel or int4 groupwise).
 
-    q: [..., K, N] int8 (or [..., N, K] when ``k_last``); scale: [..., N]
-    fp32. Lives as a pytree node inside LlamaParams, so layer
-    stacking/slicing/scan all work unchanged. ``k_last`` mirrors the dense
-    orientation split: attention input projections are stored [out, in]
-    (see apply_weight_t).
+    ``group == 0`` (int8, per-output-channel): q [..., K, N] int8 (or
+    [..., N, K] when ``k_last``), scale [..., N] fp32.
+
+    ``group == G > 0`` (int4, K-groupwise — per-channel int4 loses too much
+    signal, so scales live per (G-long contraction slice, output channel)):
+    q [..., K, N] int4, scale [..., K/G, N] (``k_last``: q [..., N, K],
+    scale [..., N, K/G]). XLA packs int4 two-per-byte in HBM, so decode
+    weight traffic halves again over int8.
+
+    Lives as a pytree node inside LlamaParams, so layer stacking/slicing/
+    scan all work unchanged. ``k_last`` mirrors the dense orientation split:
+    attention input projections are stored [out, in] (see apply_weight_t).
     """
 
     q: jnp.ndarray
     scale: jnp.ndarray
     k_last: bool = struct.field(pytree_node=False, default=False)
+    group: int = struct.field(pytree_node=False, default=0)
 
     @property
     def shape(self):
@@ -40,9 +48,21 @@ class QuantTensor:
         return self.q.ndim
 
     def __getitem__(self, idx) -> "QuantTensor":
-        return QuantTensor(q=self.q[idx], scale=self.scale[idx], k_last=self.k_last)
+        return QuantTensor(q=self.q[idx], scale=self.scale[idx],
+                           k_last=self.k_last, group=self.group)
 
     def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
+        if self.group:
+            g = self.group
+            qf = self.q.astype(jnp.float32)
+            if self.k_last:  # [..., N, K], scale [..., N, K/G]
+                *lead, n, k = qf.shape
+                wf = qf.reshape(*lead, n, k // g, g) * self.scale[..., None]
+                return wf.reshape(*lead, n, k).astype(dtype)
+            *lead, k, n = qf.shape
+            wf = (qf.reshape(*lead, k // g, g, n)
+                  * self.scale[..., :, None, :])
+            return wf.reshape(*lead, k, n).astype(dtype)
         if self.k_last:  # [..., N, K] * scale[..., N, 1]
             return (self.q.astype(jnp.float32) * self.scale[..., :, None]).astype(dtype)
         return (self.q.astype(jnp.float32) * self.scale[..., None, :]).astype(dtype)
@@ -76,6 +96,14 @@ def _qdot(x2: jnp.ndarray, w: QuantTensor) -> jnp.ndarray:
     the scale lands on the fp32 accumulator.
     """
     dims = (((1,), (1,) if w.k_last else (0,)), ((), ()))
+    if w.group:
+        # Groupwise (int4): the scale varies along K, so it cannot move past
+        # the contraction whole. Dequantize INTO the dot operand — convert +
+        # broadcast-multiply, an elementwise chain XLA fuses into the
+        # operand read, streaming the packed int4 bytes from HBM once.
+        # (A batched per-group einsum with post-scale is the alternative
+        # formulation; A/B it on-chip if this one misses roofline.)
+        return jax.lax.dot_general(x2, w.dequantize(x2.dtype), dims)
     acc = jax.lax.dot_general(
         x2, w.q.astype(x2.dtype), dims, preferred_element_type=jnp.float32
     )
@@ -90,7 +118,7 @@ def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
-        if _use_pallas_qmm(x2.shape[0]):
+        if w.group == 0 and _use_pallas_qmm(x2.shape[0]):
             from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul
 
             out = quant_matmul(x2, w.q, w.scale)
@@ -114,7 +142,7 @@ def apply_weight_t(x: jnp.ndarray, w) -> jnp.ndarray:
         lead = x.shape[:-1]
         k = x.shape[-1]
         x2 = x.reshape(-1, k)
-        if _use_pallas_qmm(x2.shape[0]):
+        if w.group == 0 and _use_pallas_qmm(x2.shape[0]):
             from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul_t
 
             out = quant_matmul_t(x2, w.q, w.scale)

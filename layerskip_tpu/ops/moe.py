@@ -89,14 +89,12 @@ def _expert_mm(xt, w, e):
     dot's operand is then gather+convert only, and the int8 expert bytes
     stream from HBM once."""
     if isinstance(w, QuantTensor):
+        from layerskip_tpu.ops.linear import _qdot
+
         q = jax.lax.dynamic_index_in_dim(w.q, e, 0, keepdims=False)
         s = jax.lax.dynamic_index_in_dim(w.scale, e, 0, keepdims=False)
-        acc = jax.lax.dot_general(
-            xt, q.astype(xt.dtype),
-            (((1,), (1,) if w.k_last else (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return (acc * s).astype(xt.dtype)
+        return _qdot(xt, QuantTensor(q=q, scale=s, k_last=w.k_last,
+                                     group=w.group))
     we = jax.lax.dynamic_index_in_dim(w, e, 0, keepdims=False)
     return xt @ we
 

@@ -22,23 +22,52 @@ from layerskip_tpu.models.llama import LayerParams, LlamaParams
 from layerskip_tpu.ops.linear import QuantTensor
 
 
-def quantize_tensor(w: jnp.ndarray, k_last: bool = False) -> QuantTensor:
-    """Symmetric per-output-channel int8.
+def quantize_tensor(
+    w: jnp.ndarray, k_last: bool = False, bits: int = 8, group: int = 0
+) -> QuantTensor:
+    """Symmetric int8 (per-output-channel) or int4 (K-groupwise).
 
     ``k_last=False``: w is [..., K, N] (contraction axis -2);
     ``k_last=True``:  w is [..., N, K] (HF orientation — wq/wk/wv).
     Works on single and stacked [L, ...] weights alike.
+
+    ``bits=4`` quantizes to jnp.int4 (XLA packs two per HBM byte) with one
+    fp32 scale per (``group``-long K slice, output channel) — per-channel
+    int4 loses too much signal at 15 levels. ``group`` defaults to 128 and
+    clamps to K for small test models; K must divide by it.
     """
+    assert bits in (8, 4)
     wf = w.astype(jnp.float32)
-    if k_last:
-        amax = jnp.max(jnp.abs(wf), axis=-1)  # [..., N]
+    if bits == 8:
+        assert group == 0, "int8 is per-output-channel; group applies to int4"
+        if k_last:
+            amax = jnp.max(jnp.abs(wf), axis=-1)  # [..., N]
+            scale = jnp.maximum(amax / 127.0, 1e-8)
+            q = jnp.clip(jnp.round(wf / scale[..., :, None]), -127, 127).astype(jnp.int8)
+            return QuantTensor(q=q, scale=scale, k_last=True)
+        amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., N]
         scale = jnp.maximum(amax / 127.0, 1e-8)
-        q = jnp.clip(jnp.round(wf / scale[..., :, None]), -127, 127).astype(jnp.int8)
-        return QuantTensor(q=q, scale=scale, k_last=True)
-    amax = jnp.max(jnp.abs(wf), axis=-2)  # [..., N]
-    scale = jnp.maximum(amax / 127.0, 1e-8)
-    q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
-    return QuantTensor(q=q, scale=scale)
+        q = jnp.clip(jnp.round(wf / scale[..., None, :]), -127, 127).astype(jnp.int8)
+        return QuantTensor(q=q, scale=scale)
+    k = wf.shape[-1] if k_last else wf.shape[-2]
+    g = min(group or 128, k)
+    assert k % g == 0, f"K={k} not divisible by group={g}"
+    if k_last:  # [..., N, K] -> groups [..., N, K/G, G]
+        *lead, n, _ = wf.shape
+        wg = wf.reshape(*lead, n, k // g, g)
+        scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-1) / 7.0, 1e-8)
+        q = jnp.clip(jnp.round(wg / scale[..., None]), -7, 7)
+        return QuantTensor(
+            q=q.reshape(*lead, n, k).astype(jnp.int4), scale=scale,
+            k_last=True, group=g,
+        )
+    *lead, _, n = wf.shape
+    wg = wf.reshape(*lead, k // g, g, n)  # groups along K
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / scale[..., :, None, :]), -7, 7)
+    return QuantTensor(
+        q=q.reshape(*lead, k, n).astype(jnp.int4), scale=scale, group=g,
+    )
 
 
 _QUANT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
@@ -46,21 +75,24 @@ _K_LAST_FIELDS = ("wq", "wk", "wv")  # stored [out, in] — see models/llama.py
 
 
 def quantize_llama_params(
-    params: LlamaParams, quantize_lm_head: bool = False
+    params: LlamaParams, quantize_lm_head: bool = False,
+    bits: int = 8, group: int = 0,
 ) -> LlamaParams:
     """Quantize the seven per-layer matmul weights (norms/embeddings stay
     bf16; the shared LM head only if ``quantize_lm_head`` — keeping it
-    full-precision preserves greedy argmax parity at the exits)."""
+    full-precision preserves greedy argmax parity at the exits).
+    ``bits=4`` selects groupwise int4 (see quantize_tensor)."""
     layer_kw = {}
     for f in LayerParams.__dataclass_fields__:
         w = getattr(params.layers, f)
         layer_kw[f] = (
-            quantize_tensor(w, k_last=f in _K_LAST_FIELDS)
+            quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=bits,
+                            group=group)
             if f in _QUANT_FIELDS else w
         )
     lm_head = params.lm_head
     if quantize_lm_head and lm_head is not None:
-        lm_head = quantize_tensor(lm_head)
+        lm_head = quantize_tensor(lm_head, bits=bits, group=group)
     return LlamaParams(
         embed=params.embed,
         layers=LayerParams(**layer_kw),
@@ -70,8 +102,14 @@ def quantize_llama_params(
 
 
 def quantized_bytes(params: LlamaParams) -> int:
-    """Total parameter bytes (for memory/bandwidth accounting)."""
+    """Total parameter bytes (for memory/bandwidth accounting).
+
+    int4 counts half a byte per element (XLA packs two per HBM byte;
+    ml_dtypes reports itemsize=1 for the host-side container)."""
     total = 0
     for leaf in jax.tree.leaves(params):
-        total += leaf.size * leaf.dtype.itemsize
+        if leaf.dtype == jnp.int4:
+            total += (leaf.size + 1) // 2
+        else:
+            total += leaf.size * leaf.dtype.itemsize
     return total

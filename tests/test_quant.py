@@ -121,3 +121,90 @@ def test_quant_kv_write_and_dequant():
     deq = np.asarray(buf.dequantize(jnp.float32))
     np.testing.assert_allclose(deq[:, 2:5], np.asarray(block), atol=0.03, rtol=0.02)
     assert (deq[:, :2] == 0).all() and (deq[:, 5:] == 0).all()
+
+
+# ---- int4 groupwise (net-new; no reference counterpart — TPU packs int4
+# two per HBM byte, halving decode weight traffic again over int8) ----
+
+def test_quantize_tensor_int4_shapes_and_error():
+    rng = np.random.default_rng(5)
+    w = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
+    qt = quantize_tensor(w, bits=4, group=16)
+    assert qt.q.dtype == jnp.int4 and qt.group == 16
+    assert qt.q.shape == (64, 48) and qt.scale.shape == (4, 48)
+    err = np.abs(np.asarray(qt.dequantize(jnp.float32) - w))
+    # max error bounded by half an int4 step of the group amax
+    assert err.max() < np.abs(np.asarray(w)).max() / 7.0
+
+    wt = jnp.asarray(rng.standard_normal((48, 64)), jnp.float32)  # [N, K]
+    qtt = quantize_tensor(wt, k_last=True, bits=4, group=16)
+    assert qtt.q.shape == (48, 64) and qtt.scale.shape == (48, 4)
+    errt = np.abs(np.asarray(qtt.dequantize(jnp.float32) - wt))
+    assert errt.max() < np.abs(np.asarray(wt)).max() / 7.0
+
+    # group clamps to K for small models
+    small = quantize_tensor(jnp.ones((8, 8)), bits=4, group=128)
+    assert small.group == 8 and small.scale.shape == (1, 8)
+
+
+def test_apply_weight_int4_matches_dequant_matmul():
+    from layerskip_tpu.ops.linear import apply_weight_t
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((5, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((32, 48)), jnp.float32)
+    qt = quantize_tensor(w, bits=4, group=8)
+    got = apply_weight(x, qt)
+    want = x @ qt.dequantize(jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-3, rtol=1e-3)
+    # dense-vs-quant closeness: int4 noise accumulates over K random-sign
+    # terms — bound the relative output error, not per element
+    dense = np.asarray(apply_weight(x, w))
+    assert np.abs(np.asarray(got) - dense).max() / np.abs(dense).max() < 0.2
+
+    wt = jnp.asarray(rng.standard_normal((48, 32)), jnp.float32)  # [N, K]
+    qtt = quantize_tensor(wt, k_last=True, bits=4, group=8)
+    got_t = apply_weight_t(x, qtt)
+    want_t = x @ qtt.dequantize(jnp.float32).T
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_int4_forward_close_and_greedy_spec_equals_ar(model):
+    params, cfg = model
+    qparams = quantize_llama_params(params, bits=4, group=16)
+    assert qparams.layers.wq.q.dtype == jnp.int4
+    ids = jnp.asarray([[3, 17, 52, 9, 30]], jnp.int32)
+    cache = init_kv_cache(cfg, batch=1, max_len=16)
+    fp = llama.forward(params, cfg, ids, cache, jnp.int32(0))
+    q = llama.forward(qparams, cfg, ids, cache, jnp.int32(0))
+    fp_l, q_l = np.asarray(fp.logits), np.asarray(q.logits)
+    assert np.abs(fp_l - q_l).max() / np.abs(fp_l).max() < 0.2
+
+    eng = Engine(qparams, cfg)
+    prompt = [3, 17, 52, 9]
+    ar = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=16, sample=False, generation_strategy="autoregressive")),
+        (), 16,
+    )
+    spec = postprocess_output(
+        eng.generate(prompt, GenerationConfig(
+            max_steps=16, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=4)),
+        (), 16,
+    )
+    assert ar == spec
+
+
+def test_quantized_bytes_int4_halves_int8():
+    cfg = tiny_config(num_hidden_layers=2, hidden_size=64, vocab_size=64)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    from layerskip_tpu.quant import quantized_bytes
+
+    b8 = quantized_bytes(quantize_llama_params(params))
+    b4 = quantize_llama_params(params, bits=4, group=16)
+    # matmul weights dominate even at tiny size; int4 total must be well
+    # below int8 (embeddings/norms stay bf16 in both)
+    assert quantized_bytes(b4) < b8
