@@ -1091,6 +1091,48 @@ def _spec_insert_rows(
     )
 
 
+def _chunk_prefill_rows(
+    params: LlamaParams,
+    cfg: ModelConfig,
+    s: _SpecState,
+    row_mask: jnp.ndarray,  # [B] bool: rows being chunk-prefilled
+    chunk_ids: jnp.ndarray,  # [B, C] one C-token slice of the prompt
+    off: jnp.ndarray,  # scalar int32: chunk start position
+    *,
+    exit_layer: int,
+    prompt_bucket: int,
+) -> _SpecState:
+    """KV-only prefill of ONE prompt chunk into selected rows (net-new;
+    Sarathi-style chunked prefill for continuous batching — the reference
+    is batch=1 and prefills whole prompts).
+
+    Writes the masked rows' KV at positions [off, off+C); frozen rows pass
+    through the trash zone exactly as in ``_spec_insert_rows``. No sampling
+    or counter updates happen here. The inserted row's ``ctx`` is PARKED at
+    the trash start for the duration of the chunked insert: decode rounds
+    interleaved between chunks run every row (done rows included) and write
+    W+1 KV slots at each row's ctx — without parking, those writes would
+    land inside the half-built prompt region of a row whose previous
+    request ended there. ``_spec_insert_rows`` with a 1-token suffix window
+    (prefix_len = true_len - 1) finalizes: samples the first token, sets
+    the real ctx/prompt_len/counters, and un-parks the row.
+    """
+    b = chunk_ids.shape[0]
+    max_len = jax.tree.leaves(s.early)[0].shape[2]
+    park = jnp.int32(max_len - prompt_bucket)
+    past = jnp.where(row_mask, jnp.asarray(off, jnp.int32), park)
+    res = llama.forward_split(
+        params, cfg, chunk_ids, s.early, s.full, past, exit_layer,
+        last_pos=jnp.zeros((b,), jnp.int32),  # logits discarded; project
+        # one position so the [B, C, V] tensor is never materialized
+    )
+    return s.replace(
+        early=res.early_cache,
+        full=res.full_cache,
+        ctx=jnp.where(row_mask, park, s.ctx),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Compiled-engine facade
 # ---------------------------------------------------------------------------
@@ -1458,6 +1500,41 @@ class Engine:
             park_fn = None
             narrow_insert = None
 
+            chunk_cache = {}
+
+            def chunk_insert(chunk_c: int):
+                """Compiled one-chunk prefill pass (one cached compile per
+                distinct chunk width — serving should pick ONE width)."""
+                fn = chunk_cache.get(chunk_c)
+                if fn is None:
+                    def fn_raw(params, state, row_mask, chunk_ids, off):
+                        return _chunk_prefill_rows(
+                            params, cfg, state, row_mask, chunk_ids, off,
+                            exit_layer=e, prompt_bucket=prompt_bucket,
+                        )
+
+                    fn = jax.jit(fn_raw, donate_argnums=(1,))
+                    chunk_cache[chunk_c] = fn
+                return fn
+
+            def finalize_raw(params, state, row_mask, ids, true_len, seeds,
+                             steps, last_tok):
+                # 1-token suffix window at prefix_len = true_len - 1: the
+                # chunk passes already wrote every prompt position's KV;
+                # this recomputes only the last position (a decode-sized
+                # step) to get the first-token logits + full bookkeeping
+                return _spec_insert_rows(
+                    params, cfg, state, row_mask, ids, true_len, seeds,
+                    steps, None, jnp.maximum(true_len - 1, 0), last_tok,
+                    max_steps=max_steps, exit_layer=e, num_speculations=w,
+                    scfg=scfg, eos_ids=eos_ids, ngram=ngram,
+                )
+
+            finalize_insert = jax.jit(finalize_raw, donate_argnums=(1,))
+        if paged:
+            chunk_insert = None
+            finalize_insert = None
+
         def round_fn(params, state):
             if tree_width > 1:
                 return _tree_round(
@@ -1497,6 +1574,8 @@ class Engine:
             jax.jit(multi_round_fn, donate_argnums=(1,)),
             jax.jit(park_fn, donate_argnums=(0,)) if park_fn else None,
             narrow_insert,
+            chunk_insert,
+            finalize_insert,
         )
         self._stepped_cache[key] = fns
         return fns
@@ -1687,7 +1766,8 @@ class ContinuousSession:
 
         self.engine = engine
         (self._blank, self._insert, self._round, self._multi_round,
-         self._park, self._narrow_insert) = fns
+         self._park, self._narrow_insert, self._chunk_insert,
+         self._finalize_insert) = fns
         self.gen_cfg = gen_cfg
         self.batch = batch
         self.prompt_bucket = prompt_bucket
@@ -1717,11 +1797,17 @@ class ContinuousSession:
         self._out_len = np.zeros(batch, np.int64)
         self._steps = np.full(batch, gen_cfg.max_steps, np.int64)
         self._done = np.ones(batch, bool)
+        # chunked-prefill staging (begin_chunked_insert): queued chunk
+        # passes + the finalize args, advanced one chunk per step()
+        self._chunk_queue = []
+        self._chunk_finalize = None
+        self._pending = np.zeros(batch, bool)  # slots mid-chunked-prefill
 
     def free_slots(self):
         import numpy as np
 
-        return [i for i in range(self.batch) if not self.active[i]]
+        return [i for i in range(self.batch)
+                if not self.active[i] and not self._pending[i]]
 
     def insert(self, rows, prompts, seeds=None, max_tokens=None) -> None:
         """Prefill ``prompts[k]`` into slot ``rows[k]`` (others untouched).
@@ -1838,6 +1924,96 @@ class ContinuousSession:
         self._steps[mask] = np.clip(steps_vec, 1, self.gen_cfg.max_steps)[mask]
         self._done[mask] = False
 
+    def begin_chunked_insert(self, rows, prompts, seeds=None,
+                             max_tokens=None, chunk_tokens: int = 256):
+        """Stage a CHUNKED prefill of ``prompts`` into ``rows`` (net-new;
+        Sarathi-style — no reference counterpart, the reference prefills
+        whole prompts at batch=1).
+
+        Each subsequent ``step()`` advances ONE ``chunk_tokens``-wide
+        prefill pass before running the decode round, so the in-flight
+        rows' inter-token latency is bounded by a chunk pass instead of a
+        full prompt pass. The staged rows are reserved (excluded from
+        ``free_slots``) and become active on the finalize step; committed
+        output is identical to a plain ``insert`` with the same seeds.
+        """
+        import numpy as np
+
+        assert not self.paged, "chunked insert: contiguous KV only"
+        assert not self._chunk_queue and self._chunk_finalize is None, \
+            "a chunked insert is already in flight"
+        assert rows and len(rows) == len(prompts)
+        assert self.gen_cfg.num_speculations + 1 <= self.prompt_bucket, \
+            "trash zone too small for parked-row round writes"
+        # a chunk wider than the prompt window is just a whole-prompt pass
+        # (and would overflow the trash zone, which is prompt_bucket wide)
+        c = min(int(chunk_tokens), self.prompt_bucket)
+        assert c > 0
+        mask = np.zeros(self.batch, bool)
+        ids = np.zeros((self.batch, self.prompt_bucket), np.int32)
+        lens = np.ones(self.batch, np.int32)
+        seed_vec = np.zeros(self.batch, np.int32)
+        steps_vec = np.full(self.batch, self.gen_cfg.max_steps, np.int32)
+        for k, (r, prompt) in enumerate(zip(rows, prompts)):
+            assert not self.active[r] and not self._pending[r]
+            toks = list(prompt)[-self.prompt_bucket:]
+            mask[r] = True
+            ids[r, : len(toks)] = toks
+            lens[r] = max(len(toks), 1)
+            if seeds is not None:
+                seed_vec[r] = int(seeds[k])
+            if max_tokens is not None and max_tokens[k]:
+                steps_vec[r] = int(max_tokens[k])
+        # chunks must cover [0, max true_len - 1); the finalize itself
+        # recomputes the last position from the already-written KV
+        covered = int(lens[mask].max())
+        n_chunks = max(-(-covered // c), 1)
+        mask_d = jnp.asarray(mask)
+        for i in range(n_chunks):
+            win = np.zeros((self.batch, c), np.int32)
+            src = ids[:, i * c: (i + 1) * c]
+            win[:, : src.shape[1]] = src
+            self._chunk_queue.append((mask_d, jnp.asarray(win),
+                                      jnp.int32(i * c)))
+        last_tok = np.take_along_axis(
+            ids, np.maximum(lens - 1, 0)[:, None], axis=1
+        ).astype(np.int32)
+        self._chunk_finalize = (
+            mask_d, jnp.asarray(ids), jnp.asarray(lens),
+            jnp.asarray(seed_vec), jnp.asarray(steps_vec),
+            jnp.asarray(last_tok), mask, np.clip(
+                steps_vec, 1, self.gen_cfg.max_steps),
+        )
+        self._pending |= mask
+
+    def _advance_chunked_insert(self) -> None:
+        """Run one queued chunk pass; finalize when the queue drains."""
+        import numpy as np
+
+        if self._chunk_queue:
+            mask_d, win, off = self._chunk_queue.pop(0)
+            self.state = self._chunk_insert(win.shape[1])(
+                self.engine.params, self.state, mask_d, win, off
+            )
+        if self._chunk_queue or self._chunk_finalize is None:
+            return
+        (mask_d, ids, lens, seed_vec, steps_vec, last_tok,
+         mask, clipped) = self._chunk_finalize
+        self._chunk_finalize = None
+        self.state = self._finalize_insert(
+            self.engine.params, self.state, mask_d, ids, lens,
+            seed_vec, steps_vec, last_tok,
+        )
+        self._pending &= ~mask
+        self.active |= mask
+        self._out_len[mask] = 1
+        self._steps[mask] = clipped[mask]
+        self._done[mask] = False
+
+    def has_pending_prefill(self) -> bool:
+        """True while a chunked insert is staged but not yet finalized."""
+        return bool(self._chunk_queue) or self._chunk_finalize is not None
+
     def min_rounds_bound(self) -> int:
         """Rounds no live row can finish within, judging by step budgets.
 
@@ -1861,6 +2037,12 @@ class ContinuousSession:
         [(row, tokens, acceptance), ...] for rows that finished."""
         import numpy as np
 
+        if self._chunk_queue or self._chunk_finalize is not None:
+            # one staged prefill chunk per step: in-flight rows' inter-token
+            # latency is bounded by a chunk pass, not the whole prompt
+            self._advance_chunked_insert()
+            if not (self.active & ~self._done).any():
+                return []  # nothing decoding yet; skip the round dispatch
         # always the same executable (k is traced): alternating between two
         # compiled programs forces buffer relayout/copies on every switch
         self.state = self._multi_round(

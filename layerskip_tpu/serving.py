@@ -191,10 +191,20 @@ class ContinuousBatchScheduler:
         paged_pool_pages: int = 0,  # >0: paged KV pool (ops/paged_kv.py)
         page_size: int = 256,
         prefix_cache: bool = False,  # paged only: share prompt-prefix KV
+        chunk_prefill_tokens: int = 0,  # >0: Sarathi-style chunked prefill
+        # (contiguous KV only) — new prompts prefill chunk-by-chunk between
+        # decode rounds, bounding in-flight rows' inter-token latency by a
+        # chunk pass instead of a whole prompt pass; admissions serialize
+        # at one chunked insert in flight at a time
     ):
         self.engine = engine
         self.gen_cfg = gen_cfg
         self.max_wave_rounds = max(int(max_wave_rounds), 1)
+        self.chunk_prefill_tokens = int(chunk_prefill_tokens)
+        if self.chunk_prefill_tokens:
+            assert not paged_pool_pages, \
+                "chunked prefill: contiguous KV only"
+
         self.session = engine.continuous_session(
             gen_cfg, batch_size, prompt_bucket, eos_ids,
             paged_pool_pages=paged_pool_pages, page_size=page_size,
@@ -254,8 +264,14 @@ class ContinuousBatchScheduler:
             self._slot_req[slot] = req
         if rows:
             try:
-                self.session.insert(rows, prompts, seeds=seeds,
-                                    max_tokens=budgets)
+                if self.chunk_prefill_tokens:
+                    self.session.begin_chunked_insert(
+                        rows, prompts, seeds=seeds, max_tokens=budgets,
+                        chunk_tokens=self.chunk_prefill_tokens,
+                    )
+                else:
+                    self.session.insert(rows, prompts, seeds=seeds,
+                                        max_tokens=budgets)
             except PagePoolExhausted as exc:
                 # reclaim finished slots' pages, then admit the longest
                 # FIFO prefix that fits — page allocation happens host-side
@@ -295,8 +311,11 @@ class ContinuousBatchScheduler:
 
     def _loop(self) -> None:
         while not self._stop.is_set():
-            self._fill_slots(block=not self.session.has_active())
-            if not self.session.has_active():
+            if not self.session.has_pending_prefill():
+                # one chunked insert in flight at a time (session invariant)
+                self._fill_slots(block=not self.session.has_active())
+            if not (self.session.has_active()
+                    or self.session.has_pending_prefill()):
                 continue
             # amortize per-round syncs whenever no waiting request could
             # join anyway (all slots busy, or nothing queued): dispatch one
@@ -309,7 +328,8 @@ class ContinuousBatchScheduler:
             # row mid-dispatch; max_wave_rounds caps how long such a row
             # waits for harvest.
             can_join = bool(self.session.free_slots()) and not self._queue.empty()
-            rounds = 1 if can_join else min(
+            rounds = 1 if can_join or self.session.has_pending_prefill() \
+                else min(
                 self.session.min_rounds_bound(), self.max_wave_rounds
             )
             try:
@@ -448,6 +468,9 @@ def main():
     ap.add_argument("--prefix-cache", action="store_true",
                     help="share prompt-prefix KV pages across requests "
                          "(requires --paged-pool-pages)")
+    ap.add_argument("--chunk-prefill-tokens", type=int, default=0,
+                    help="with --continuous (contiguous KV): prefill new "
+                         "prompts in N-token chunks between decode rounds")
     ap.add_argument("--generation_strategy", default="self_speculative")
     ap.add_argument("--exit_layer", type=int, default=8)
     ap.add_argument("--num_speculations", type=int, default=6)
@@ -470,6 +493,7 @@ def main():
             prompt_bucket=args.prompt_bucket,
             paged_pool_pages=args.paged_pool_pages, page_size=args.page_size,
             prefix_cache=args.prefix_cache,
+            chunk_prefill_tokens=args.chunk_prefill_tokens,
         ).start()
     else:
         sched = BatchScheduler(engine, batch_size=args.batch_size).start()

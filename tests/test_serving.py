@@ -456,3 +456,127 @@ def test_scheduler_splits_on_draft_exit_prob(engine):
         assert sched.stats["batches"] == 2
     finally:
         sched.stop()
+
+
+# ---- chunked prefill (net-new; Sarathi-style — reference prefills whole
+# prompts at batch=1) ----
+
+def test_chunked_insert_equals_plain_insert(engine):
+    """A chunked insert commits exactly the tokens a plain insert does."""
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompt = [3, 17, 52, 9, 30, 8, 61, 100, 2, 44, 7, 5, 9]  # 13 toks
+
+    def run(chunk):
+        sess = engine.continuous_session(gen, batch=2, prompt_bucket=16,
+                                         eos_ids=[127])
+        if chunk:
+            sess.begin_chunked_insert([0], [prompt], seeds=[4],
+                                      chunk_tokens=chunk)
+            assert sess.free_slots() == [1]  # pending slot is reserved
+        else:
+            sess.insert([0], [prompt], seeds=[4])
+        for _ in range(60):
+            for r, toks, _ in sess.step():
+                if r == 0:
+                    return toks
+        raise AssertionError("did not finish")
+
+    want = run(0)
+    assert run(4) == want  # multi-chunk
+    assert run(5) == want  # ragged final chunk
+    assert run(64) == want  # single chunk wider than the prompt
+
+
+def test_chunked_insert_sampling_matches_plain(engine):
+    """Per-request seed streams are invariant to chunked vs plain prefill."""
+    gen = GenerationConfig(
+        max_steps=8, sample=True, temperature=0.8, top_p=0.9,
+        generation_strategy="self_speculative", exit_layer=2,
+        num_speculations=3,
+    )
+    prompt = [3, 17, 52, 9, 30, 8, 61, 100]
+
+    def run(chunk):
+        sess = engine.continuous_session(gen, batch=2, prompt_bucket=16,
+                                         eos_ids=[127])
+        if chunk:
+            sess.begin_chunked_insert([1], [prompt], seeds=[11],
+                                      chunk_tokens=chunk)
+        else:
+            sess.insert([1], [prompt], seeds=[11])
+        for _ in range(60):
+            for r, toks, _ in sess.step():
+                if r == 1:
+                    return toks
+        raise AssertionError("did not finish")
+
+    assert run(3) == run(0)
+
+
+def test_chunked_insert_interleaves_with_decode(engine):
+    """In-flight rows keep decoding between prefill chunks, and every row's
+    output equals its solo run."""
+    import dataclasses as dc
+    import numpy as np
+
+    gen = GenerationConfig(
+        max_steps=14, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    p0 = [3, 17, 52]
+    p1 = [5, 9, 5, 9, 30, 8, 61, 100, 2, 44, 7, 5]
+    sess = engine.continuous_session(gen, batch=2, prompt_bucket=16,
+                                     eos_ids=[127])
+    sess.insert([0], [p0], seeds=[0])
+    sess.step()  # row 0 decodes alone for one round
+    before = int(sess._out_len[0])
+    sess.begin_chunked_insert([1], [p1], seeds=[0], chunk_tokens=4)
+    results = {}
+    progressed = False
+    for _ in range(80):
+        pending = bool(sess._chunk_queue)
+        for r, toks, _ in sess.step():
+            results[r] = toks
+        if pending and int(sess._out_len[0]) > before and 0 not in results:
+            progressed = True  # row 0 advanced during row 1's chunked prefill
+        if len(results) == 2:
+            break
+    assert len(results) == 2
+    assert progressed or 0 in results  # row 0 was never stalled to the end
+    for r, p in ((0, p0), (1, p1)):
+        want = postprocess_output(
+            engine.generate(p, gen, jax.random.PRNGKey(0), [127]), [127], 14
+        )
+        assert results[r] == want
+
+
+def test_continuous_scheduler_chunked_prefill(engine):
+    """Scheduler with chunk_prefill_tokens returns the same results as the
+    direct engine runs (and as the unchunked scheduler)."""
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompts = [[3, 17, 52, 9, 30, 8, 61, 100], [5, 9, 5, 9, 30],
+               [100, 2, 44], [7, 7, 7, 7, 7, 7, 7, 7, 7, 7]]
+    sched = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16, eos_ids=[127],
+        chunk_prefill_tokens=4,
+    ).start()
+    try:
+        futures = [sched.submit(p, seed=0) for p in prompts]
+        got = [f.result(timeout=300) for f in futures]
+    finally:
+        sched.stop()
+    want = [
+        postprocess_output(
+            engine.generate(p, gen, jax.random.PRNGKey(0), [127]), [127], 10
+        )
+        for p in prompts
+    ]
+    assert got == want
