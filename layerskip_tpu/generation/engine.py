@@ -419,7 +419,7 @@ def spec_generate(
             s, _, _ = _tree_round(
                 params, cfg, s,
                 exit_layer=e, num_speculations=w, tree_width=tree_width,
-                eos_ids=eos_ids,
+                scfg=scfg, eos_ids=eos_ids,
             )
         else:
             s, _, _ = _spec_round(
@@ -804,9 +804,10 @@ def _tree_round(
     exit_layer: int,
     num_speculations: int,
     tree_width: int,
+    scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
-    """One greedy multi-candidate draft+verify round (net-new; no reference
+    """One multi-candidate draft+verify round (net-new; no reference
     counterpart — SpecInfer/Medusa-style tree speculation, redesigned for
     TPU).
 
@@ -825,20 +826,48 @@ def _tree_round(
     chain's KV is compacted into the contiguous frontier afterwards — no
     mask tensors, no re-prefill, static shapes throughout.
 
-    Greedy only: drafts are argmax chains and commits follow the verifier's
-    argmax, so greedy tree == greedy AR token-for-token (at most one chain
-    can match the verifier at depth 1 — the candidates are distinct).
+    Greedy (``scfg.sample=False``): drafts are argmax chains and commits
+    follow the verifier's argmax, so greedy tree == greedy AR
+    token-for-token (at most one chain can match the verifier at depth 1 —
+    the top-k candidates are distinct).
+
+    Sampling (``scfg.sample=True``): the k depth-1 candidates are i.i.d.
+    draws from the draft distribution and chains extend by sampling with
+    per-chain streams; acceptance runs SpecInfer-style multi-round
+    rejection over the siblings (test candidates in order, shrinking the
+    target to ``norm(max(q - p, 0))`` after each rejection — the committed
+    branch token is exactly target-distributed), then standard pairwise
+    rejection along the accepted chain. Distribution-correctness is pinned
+    by the TV-distance tests in tests/test_sampling_equivalence.py.
     """
     b = s.next_tok.shape[0]
     e, w, kk = exit_layer, num_speculations, tree_width
+    v_size = cfg.vocab_size
     hist_len0 = s.prompt_len + s.out_len
     scratch = (s.ctx + 1).astype(jnp.int32)  # [B]
+
+    if scfg.sample:
+        k_cand, keys = _split_rows(s.rng)  # branch candidate draws
+        k_chain, keys = _split_rows(keys)  # chain extension draws
+        k_ubr, keys = _split_rows(keys)  # branch acceptance uniforms
+        k_uch, keys = _split_rows(keys)  # chain acceptance uniforms
+        k_extra, keys_next = _split_rows(keys)  # residual/bonus draw
+    else:
+        keys_next = s.rng
 
     # ---- draft phase: root pass, then W chain steps of width k ----
     # (scratch is empty at the root step, so the plain causal rule applies)
     r0 = llama.forward_early(params, cfg, s.next_tok, s.early, s.ctx, e)
     root_h = r0.hidden  # [B, 1, D]
-    _, top = jax.lax.top_k(r0.logits[:, -1], kk)  # [B, k] depth-1 candidates
+    if scfg.sample:
+        p0 = token_distribution(r0.logits[:, -1], scfg)  # [B, V]
+        cand_keys = jax.vmap(lambda kr: jax.random.split(kr, kk))(k_cand)
+        top = jax.vmap(
+            lambda ck: draw(p0, ck, scfg), in_axes=1, out_axes=1
+        )(cand_keys).astype(jnp.int32)  # [B, k] i.i.d. draws from p0
+    else:
+        _, top = jax.lax.top_k(r0.logits[:, -1], kk)  # [B, k] candidates
+        top = top.astype(jnp.int32)
     q_chain_d = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32)[None], (b, kk))
 
     def dstep(carry, i):
@@ -851,11 +880,20 @@ def _tree_round(
             tree_meta=(q_chain_d, scratch, kk),
         )
         logits = llama.lm_logits(params, cfg, h)  # [B, k, V]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (ke, ve, nxt), (tips, h)
+        if scfg.sample:
+            pd = token_distribution(logits, scfg)  # [B, k, V]
+            kk_i = jax.vmap(lambda kr: jax.random.fold_in(kr, i))(k_chain)
+            ck = jax.vmap(lambda kr: jax.random.split(kr, kk))(kk_i)
+            nxt = jax.vmap(
+                lambda kc, pc: draw(pc, kc, scfg), in_axes=1, out_axes=1
+            )(ck, pd).astype(jnp.int32)
+        else:
+            pd = jnp.zeros((b, kk, 0), jnp.float32)  # unused placeholder
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (ke, ve, nxt), (tips, h, pd)
 
-    (ke, ve, _), (toks_steps, h_steps) = jax.lax.scan(
-        dstep, (r0.cache.k, r0.cache.v, top.astype(jnp.int32)),
+    (ke, ve, _), (toks_steps, h_steps, pd_steps) = jax.lax.scan(
+        dstep, (r0.cache.k, r0.cache.v, top),
         jnp.arange(w, dtype=jnp.int32),
     )
     chain_toks = jnp.transpose(toks_steps, (1, 0, 2))  # [B, W, k]
@@ -880,23 +918,96 @@ def _tree_round(
     )
     vlogits = llama.lm_logits(params, cfg, full_h)  # [B, 1+W*k, V] fp32
 
-    # ---- acceptance: longest verifier-greedy chain prefix ----
-    g = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, 1+W*k]
-    g_root = g[:, 0]
-    g_nodes = g[:, 1:].reshape(b, w, kk)  # greedy continuation after (d, c)
-    ok = jnp.concatenate([
-        chain_toks[:, :1] == g_root[:, None, None],
-        chain_toks[:, 1:] == g_nodes[:, :-1],
-    ], axis=1)  # [B, W, k]
-    n_c = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)  # [B, k]
-    c_star = jnp.argmax(n_c, axis=1).astype(jnp.int32)  # [B]
     w_eff = jnp.clip(s.steps - s.out_len - 1, 0, w)  # near-max_steps clamp
-    n = jnp.minimum(jnp.max(n_c, axis=1), w_eff)  # [B]
-    # bonus: the verifier's token after the accepted prefix
-    bonus_idx = jnp.where(n > 0, 1 + (n - 1) * kk + c_star, 0)
-    extra_tok = jnp.take_along_axis(g, bonus_idx[:, None], axis=1)[:, 0]
+    if not scfg.sample:
+        # ---- acceptance (greedy): longest verifier-argmax chain prefix ----
+        g = jnp.argmax(vlogits, axis=-1).astype(jnp.int32)  # [B, 1+W*k]
+        g_root = g[:, 0]
+        g_nodes = g[:, 1:].reshape(b, w, kk)  # greedy continuation of (d, c)
+        ok = jnp.concatenate([
+            chain_toks[:, :1] == g_root[:, None, None],
+            chain_toks[:, 1:] == g_nodes[:, :-1],
+        ], axis=1)  # [B, W, k]
+        n_c = jnp.sum(
+            jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1
+        )  # [B, k]
+        c_star = jnp.argmax(n_c, axis=1).astype(jnp.int32)  # [B]
+        n = jnp.minimum(jnp.max(n_c, axis=1), w_eff)  # [B]
+        # bonus: the verifier's token after the accepted prefix
+        bonus_idx = jnp.where(n > 0, 1 + (n - 1) * kk + c_star, 0)
+        extra_tok = jnp.take_along_axis(g, bonus_idx[:, None], axis=1)[:, 0]
+    else:
+        # ---- acceptance (sampling): multi-round rejection at the branch,
+        # pairwise rejection along the accepted chain ----
+        q_all = token_distribution(vlogits, scfg)  # [B, 1+W*k, V] warped
+        q_root = q_all[:, 0]
+        q_nodes = q_all[:, 1:].reshape(b, w, kk, v_size)
+        p_chain = jnp.transpose(pd_steps, (1, 0, 2, 3))  # [B, W, k, V]
+        # SpecInfer multi-round rejection: candidates are i.i.d. ~ p0, so
+        # test them in order; each rejection shrinks the target to
+        # norm(max(q - p0, 0)); the first passing candidate's token is
+        # exactly target-distributed, as is the final-residual resample.
+        u_br = jax.vmap(lambda kr: jax.random.uniform(kr, (kk,)))(k_ubr)
+        qq = q_root
+        acc_c = jnp.full((b,), -1, jnp.int32)
+        for c in range(kk):  # k is small and static: unrolled
+            x_c = top[:, c:c + 1]
+            qx = jnp.take_along_axis(qq, x_c, axis=1)[:, 0]
+            px = jnp.take_along_axis(p0, x_c, axis=1)[:, 0]
+            ok_c = (u_br[:, c] * px <= qx) & (acc_c < 0)
+            acc_c = jnp.where(ok_c, c, acc_c)
+            resid = jnp.clip(qq - p0, 0.0, None)
+            resid = resid / jnp.maximum(
+                jnp.sum(resid, axis=-1, keepdims=True), 1e-30
+            )
+            qq = jnp.where((acc_c < 0)[:, None], resid, qq)
+        branch_resid = qq  # valid exactly where every candidate rejected
+        branch_ok = acc_c >= 0
+        c_star = jnp.maximum(acc_c, 0)
+        # winning chain's tokens/dists; token depth d+1 (d >= 1) was drawn
+        # from p_chain[d-1] and is verified against q_nodes[d-1]
+        toks_c = jnp.take_along_axis(
+            chain_toks, c_star[:, None, None], axis=2
+        )[..., 0]  # [B, W]
+        q_c = jnp.take_along_axis(
+            q_nodes, c_star[:, None, None, None], axis=2
+        )[:, :, 0]  # [B, W, V]
+        p_c = jnp.take_along_axis(
+            p_chain, c_star[:, None, None, None], axis=2
+        )[:, :, 0]  # [B, W, V]
+        u_ch = jax.vmap(lambda kr: jax.random.uniform(kr, (w,)))(k_uch)
+        xq = jnp.take_along_axis(
+            q_c[:, : w - 1], toks_c[:, 1:, None], axis=2
+        )[..., 0]  # [B, W-1]
+        xp = jnp.take_along_axis(
+            p_c[:, : w - 1], toks_c[:, 1:, None], axis=2
+        )[..., 0]
+        ok_full = jnp.concatenate(
+            [branch_ok[:, None], u_ch[:, : w - 1] * xp <= xq], axis=1
+        )  # [B, W]
+        n_acc = jnp.sum(jnp.cumprod(ok_full.astype(jnp.int32), axis=1), axis=1)
+        n = jnp.minimum(n_acc, w_eff)
+        # extra token: residual resample on a true rejection, bonus draw
+        # otherwise (incl. the near-max_steps clamp) — mirrors _spec_round
+        q_at = jnp.concatenate([q_root[:, None], q_c], axis=1)  # [B, W+1, V]
+        q_n = jnp.take_along_axis(q_at, n[:, None, None], axis=1)[:, 0]
+        p_at = jnp.concatenate([p0[:, None], p_c[:, : w - 1]], axis=1)
+        p_n = jnp.take_along_axis(
+            p_at, jnp.minimum(n, w - 1)[:, None, None], axis=1
+        )[:, 0]
+        pair_resid = jnp.clip(q_n - p_n, 0.0, None)
+        pair_resid = pair_resid / jnp.maximum(
+            jnp.sum(pair_resid, axis=-1, keepdims=True), 1e-30
+        )
+        true_reject = (n == n_acc) & (n_acc < w)
+        extra_dist = jnp.where(
+            true_reject[:, None],
+            jnp.where((n == 0)[:, None], branch_resid, pair_resid),
+            q_n,
+        )
+        extra_tok = draw(extra_dist, k_extra, scfg)
 
-    # ---- commit: winning chain prefix + bonus (mirrors _spec_round) ----
+    # ---- commit: winning chain prefix + extra (mirrors _spec_round) ----
     win_toks = jnp.take_along_axis(
         chain_toks, c_star[:, None, None], axis=2
     )[..., 0]  # [B, W]
@@ -947,7 +1058,7 @@ def _tree_round(
         out_len=out_len,
         steps=s.steps,
         done=done,
-        rng=s.rng,
+        rng=keys_next,
         matches=s.matches + jnp.minimum(n, drafted) * act32,
         drafts=s.drafts + drafted * act32,
     )
@@ -1313,10 +1424,8 @@ class Engine:
         if strategy == "self_speculative":
             assert exit_layer > 0 and gen_cfg.num_speculations > 0
             if tree_width > 1:
-                # multi-candidate acceptance follows the verifier's argmax;
-                # a distribution-correct multi-draft rejection sampler is
-                # future work, so trees are greedy-only
-                assert not gen_cfg.sample, "spec_tree_width requires greedy"
+                # greedy follows the verifier's argmax; sampling runs
+                # SpecInfer-style multi-round rejection (_tree_round)
                 assert not gen_cfg.no_repeat_ngram_size, \
                     "spec_tree_width does not support no_repeat_ngram yet"
                 assert not gen_cfg.kv_quant, \
@@ -1540,7 +1649,7 @@ class Engine:
                 return _tree_round(
                     params, cfg, state,
                     exit_layer=e, num_speculations=w, tree_width=tree_width,
-                    eos_ids=eos_ids,
+                    scfg=scfg, eos_ids=eos_ids,
                 )
             return _spec_round(
                 params, cfg, state,
@@ -1611,10 +1720,10 @@ class Engine:
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
         if tree_width > 1:
-            assert not gen_cfg.sample and not paged and not gen_cfg.kv_quant \
+            assert not paged and not gen_cfg.kv_quant \
                 and not gen_cfg.no_repeat_ngram_size \
                 and not gen_cfg.draft_exit_prob, \
-                "tree speculation: greedy, contiguous bf16 KV only"
+                "tree speculation: contiguous bf16 KV only"
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
@@ -1667,7 +1776,7 @@ class Engine:
                     params, self.cfg, state,
                     exit_layer=exit_layer,
                     num_speculations=num_speculations,
-                    tree_width=tree_width, eos_ids=eos_ids,
+                    tree_width=tree_width, scfg=scfg, eos_ids=eos_ids,
                 )
             return _spec_round(
                 params, self.cfg, state,
@@ -1717,8 +1826,6 @@ class Engine:
         tree_width = int(gen_cfg.spec_tree_width or 0)
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
-        if tree_width > 1:
-            assert not gen_cfg.sample, "spec_tree_width requires greedy"
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),

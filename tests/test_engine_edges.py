@@ -566,14 +566,36 @@ def test_tree_eos_and_max_steps():
     assert ar_eos == tr_eos
 
 
-def test_tree_rejects_sampling():
+def test_tree_sampling_seed_reproducible():
+    """Sampled tree speculation is a deterministic function of the seed
+    (distribution-correctness is proven in test_sampling_equivalence)."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    gen = GenerationConfig(
+        max_steps=10, sample=True, temperature=0.8, top_p=0.9,
+        generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, spec_tree_width=2)
+    a = postprocess_output(
+        eng.generate([3, 5], gen, jax.random.PRNGKey(7)), (), 10)
+    b = postprocess_output(
+        eng.generate([3, 5], gen, jax.random.PRNGKey(7)), (), 10)
+    c = postprocess_output(
+        eng.generate([3, 5], gen, jax.random.PRNGKey(8)), (), 10)
+    assert a == b
+    assert len(a) >= 1 and (a != c or len(a) <= 2)
+
+
+def test_tree_rejects_kv_quant():
     from layerskip_tpu.config import GenerationConfig
 
     eng = _adaptive_engine()
     with pytest.raises(AssertionError):
         eng.generate([3, 5], GenerationConfig(
-            max_steps=4, sample=True, generation_strategy="self_speculative",
-            exit_layer=2, num_speculations=3, spec_tree_width=2),
+            max_steps=4, sample=False, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=3, spec_tree_width=2,
+            kv_quant=True),
             jax.random.PRNGKey(0))
 
 

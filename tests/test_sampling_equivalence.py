@@ -59,7 +59,7 @@ def _tv(p, q):
 
 
 def _check_equivalence(engine, scfg_kwargs, max_steps, exit_layer=2, spec=4,
-                       strategy="self_speculative"):
+                       strategy="self_speculative", **gen_kwargs):
     """spec-vs-AR TV must be within noise of the AR-vs-AR null."""
     v = engine.cfg.vocab_size
     positions = [0, max_steps // 2, max_steps - 1]
@@ -69,7 +69,7 @@ def _check_equivalence(engine, scfg_kwargs, max_steps, exit_layer=2, spec=4,
     )
     sp_cfg = GenerationConfig(
         generation_strategy=strategy, exit_layer=exit_layer,
-        num_speculations=spec, pld_ngram=2, **common
+        num_speculations=spec, pld_ngram=2, **common, **gen_kwargs
     )
     ar1 = _marginals(engine, ar_cfg, 0, positions, v)
     ar2 = _marginals(engine, ar_cfg, 1, positions, v)
@@ -129,4 +129,33 @@ def test_pld_sampling_matches_ar_distribution(engine):
     _check_equivalence(
         engine, dict(temperature=0.9, top_k=0, top_p=1.0), max_steps=12,
         strategy="prompt_lookup",
+    )
+
+
+def test_tree_sampling_matches_ar_distribution(engine):
+    """Multi-candidate (tree) speculative SAMPLING: the branch position runs
+    SpecInfer-style multi-round rejection over k i.i.d. draft candidates
+    (engine.py::_tree_round) — committed tokens must still be
+    AR-distributed at every position."""
+    _check_equivalence(
+        engine, dict(temperature=0.9, top_k=0, top_p=1.0), max_steps=12,
+        spec_tree_width=3,
+    )
+
+
+def test_tree_sampling_matches_ar_with_warpers(engine):
+    """Tree sampling under top-k/top-p warping (candidates and targets both
+    drawn from the warped distributions)."""
+    _check_equivalence(
+        engine, dict(temperature=0.7, top_k=20, top_p=0.9), max_steps=12,
+        spec_tree_width=2,
+    )
+
+
+def test_tree_sampling_clamp_branch(engine):
+    """Tree sampling with max_steps barely above W (w_eff clamp => bonus
+    draws instead of true rejections at the tail)."""
+    _check_equivalence(
+        engine, dict(temperature=0.9, top_k=0, top_p=0.95), max_steps=6,
+        spec_tree_width=3,
     )
