@@ -1,0 +1,127 @@
+"""Serial runner for every measurement queued on TPU-tunnel recovery.
+
+The axon tunnel has been down since round-2 end; this script exists so ONE
+command captures everything the moment it comes back (run it under a
+generous `timeout`; it is safe to re-run — each item lands as a JSON line
+in .onchip_queue_results.jsonl and completed items are skipped).
+
+Priority order (highest first):
+  1. headline  — bench.py 7B speedup-vs-acceptance curve (the number the
+                 project is judged on; BENCH artifact insurance)
+  2. gate      — scripts/kernel_gate.py compiled-kernel numerics
+  3. int8      — 7B int8 AR after the post-contraction-scale reformulation
+                 (ops/linear.py::_qdot; VERDICT r2 #4 target: >= ~90 tok/s)
+  4. int4      — 7B int4 AR (groupwise int4; ideal ~2x int8's bytes saving)
+  5. tree      — 7B tree-width sweep at mid acceptance (does multi-candidate
+                 rescue low-acceptance rounds end-to-end?)
+
+Each item runs in a subprocess with its own timeout so a hung tunnel call
+cannot wedge the queue. TPU jobs are strictly serial (two concurrent TPU
+processes contend and OOM each other — see .claude/skills/verify).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS = os.path.join(REPO, ".onchip_queue_results.jsonl")
+
+ITEMS = [
+    # (name, argv, timeout_s)
+    ("headline_7b_curve",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--curve",
+      "--deadline", "0"],
+     7200.0),
+    ("kernel_gate",
+     [sys.executable, "scripts/kernel_gate.py"],
+     3600.0),
+    ("int8_ar_7b",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--quant", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    ("int4_ar_7b",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--quant", "--quant-bits", "4", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    ("tree3_7b_mid_acceptance",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--tree-width", "3", "--tail-eps", "0.6", "--max-steps", "256",
+      "--repeats", "2"],
+     5400.0),
+]
+
+
+def done_names():
+    names = set()
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            for line in f:
+                try:
+                    d = json.loads(line)
+                    if d.get("ok"):
+                        names.add(d["name"])
+                except Exception:
+                    pass
+    return names
+
+
+def tunnel_alive(timeout_s=180.0) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0 and b"ok" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    if not tunnel_alive():
+        print("[queue] tunnel dead (bounded probe failed); nothing to do")
+        raise SystemExit(3)
+    skip = done_names()
+    for name, argv, tmo in ITEMS:
+        if name in skip:
+            print(f"[queue] {name}: already captured, skipping")
+            continue
+        print(f"[queue] {name}: running (timeout {tmo:.0f}s)")
+        t0 = time.time()
+        try:
+            r = subprocess.run(
+                argv, cwd=REPO, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, timeout=tmo,
+            )
+            out = r.stdout.decode(errors="replace")
+            # the bench/gate contract: last stdout line is one JSON object
+            parsed = None
+            for line in reversed(out.strip().splitlines()):
+                try:
+                    parsed = json.loads(line)
+                    break
+                except Exception:
+                    continue
+            rec = {"name": name, "ok": r.returncode == 0 and parsed is not None,
+                   "rc": r.returncode, "elapsed_s": round(time.time() - t0, 1),
+                   "result": parsed}
+            if not rec["ok"]:
+                rec["tail"] = out[-2000:]
+        except subprocess.TimeoutExpired:
+            rec = {"name": name, "ok": False, "rc": 124,
+                   "elapsed_s": round(time.time() - t0, 1), "result": None}
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(f"[queue] {name}: ok={rec['ok']} rc={rec['rc']} "
+              f"({rec['elapsed_s']}s)")
+        if not rec["ok"] and not tunnel_alive():
+            print("[queue] tunnel died mid-queue; stopping")
+            raise SystemExit(3)
+    print(f"[queue] done; results in {RESULTS}")
+
+
+if __name__ == "__main__":
+    main()
