@@ -1,0 +1,125 @@
+"""Chunked-prefill latency benchmark: worst in-flight stall during admission.
+
+Measures the maximum inter-token gap of a "victim" stream that is decoding
+while a LONG prompt is admitted into the other slot — plain whole-prompt
+insert vs chunked prefill (ContinuousSession.begin_chunked_insert). The
+chunked stall should be bounded by one chunk pass; the plain stall is the
+whole prompt pass.
+
+Usage: python scripts/bench_chunked.py [--config 1b] [--prompt-bucket 1024]
+       [--chunk 128] [--long-prompt 1024] [--max-steps 96]
+stdout: one JSON line; stderr: progress.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def run_once(engine, gen_cfg, bucket, long_prompt, chunk, warm):
+    """Returns (victim max inter-commit gap seconds, victim tokens)."""
+    import numpy as np
+
+    sess = engine.continuous_session(gen_cfg, batch=2, prompt_bucket=bucket)
+    sess.insert([0], [[5, 9, 13, 17]], seeds=[0])
+    # let the victim get going (and compile the round program)
+    for _ in range(3):
+        sess.step()
+    if chunk:
+        sess.begin_chunked_insert([1], [long_prompt], seeds=[1],
+                                  chunk_tokens=chunk)
+    gaps, last = [], time.perf_counter()
+    prev_len = int(sess._out_len[0])
+    inserted = bool(chunk)
+    done = set()
+    for _ in range(600):
+        if not inserted:
+            # plain insert happens inline before the next round — exactly
+            # the stall a production scheduler would impose
+            sess.insert([1], [long_prompt], seeds=[1])
+            inserted = True
+        for r, toks, _ in sess.step():
+            done.add(r)
+        now = time.perf_counter()
+        cur = int(sess._out_len[0])
+        if cur > prev_len and 0 not in done:
+            gaps.append((now - last) / max(cur - prev_len, 1))
+            prev_len = cur
+            last = now
+        elif 0 in done:
+            break
+        if len(done) == 2:
+            break
+    if warm:
+        print(f"[chunked] chunk={chunk}: victim gaps ms "
+              f"{[round(g * 1e3, 1) for g in gaps[:12]]}", file=sys.stderr)
+    return (max(gaps) if gaps else 0.0), done
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="1b")
+    ap.add_argument("--prompt-bucket", type=int, default=1024)
+    ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument("--long-prompt", type=int, default=1024)
+    ap.add_argument("--max-steps", type=int, default=96)
+    ap.add_argument("--exit-layer", type=int, default=8)
+    ap.add_argument("--spec", type=int, default=6)
+    ap.add_argument("--platform", default="")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    from bench import build_config, make_params
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import Engine
+
+    cfg = build_config(args.config)
+    exit_layer = min(args.exit_layer, max(cfg.num_hidden_layers // 2, 1))
+    params = make_params(cfg, exit_layer)
+    engine = Engine(params, cfg)
+    gen_cfg = GenerationConfig(
+        generation_strategy="self_speculative", exit_layer=exit_layer,
+        num_speculations=args.spec, max_steps=args.max_steps, sample=False,
+    )
+    long_prompt = [7 + (i % 97) for i in range(args.long_prompt)]
+
+    results = {}
+    for chunk in (0, args.chunk):
+        # cold run compiles, warm run measures
+        run_once(engine, gen_cfg, args.prompt_bucket, long_prompt, chunk,
+                 warm=False)
+        stall, done = run_once(engine, gen_cfg, args.prompt_bucket,
+                               long_prompt, chunk, warm=True)
+        key = "chunked" if chunk else "plain"
+        results[f"stall_ms_{key}"] = round(stall * 1e3, 2)
+        print(f"[chunked] {key}: worst victim inter-token gap "
+              f"{stall * 1e3:.1f} ms (finished rows: {sorted(done)})",
+              file=sys.stderr)
+    out = {
+        "metric": f"admission_stall_ms_{args.config}",
+        "value": results["stall_ms_chunked"],
+        "unit": "ms",
+        "vs_baseline": (
+            round(results["stall_ms_plain"] / results["stall_ms_chunked"], 3)
+            if results["stall_ms_chunked"] else 0.0
+        ),
+        **results,
+        "chunk_tokens": args.chunk,
+        "long_prompt": args.long_prompt,
+        "backend": jax.default_backend(),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -51,6 +51,11 @@ ITEMS = [
       "--tree-width", "3", "--tail-eps", "0.6", "--max-steps", "256",
       "--repeats", "2"],
      5400.0),
+    ("chunked_admission_stall_1b",
+     [sys.executable, "scripts/bench_chunked.py", "--config", "1b",
+      "--prompt-bucket", "1024", "--chunk", "128", "--long-prompt", "1024",
+      "--max-steps", "96"],
+     3600.0),
 ]
 
 
