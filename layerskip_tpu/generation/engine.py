@@ -777,19 +777,23 @@ def _spec_round(
 def _tree_compact(buf: jnp.ndarray, start: jnp.ndarray, idx: jnp.ndarray):
     """Gather the winning chain's KV slots and write them contiguously.
 
-    ``buf`` [L, B, S, H, Dh]; ``start`` [B] destination offset; ``idx``
-    [B, W] absolute source slots. Touches only W slots per layer (a
-    whole-cache gather would cost O(S) HBM traffic per round)."""
-    lsub, b, _s, h_, d_ = buf.shape
+    ``buf`` [L, B, S, *rest] (bf16 KV [L, B, S, H, Dh]; int8 QuantKV values
+    share the shape and its per-slot scales are [L, B, S, H]); ``start``
+    [B] destination offset; ``idx`` [B, W] absolute source slots. Touches
+    only W slots per layer (a whole-cache gather would cost O(S) HBM
+    traffic per round)."""
+    lsub, b = buf.shape[:2]
+    rest = buf.shape[3:]
     w = idx.shape[1]
-    ii = jnp.broadcast_to(
-        idx[None, :, :, None, None].astype(jnp.int32), (lsub, b, w, h_, d_)
-    )
-    block = jnp.take_along_axis(buf, ii, axis=2)  # [L, B, W, H, Dh]
+    ii = idx.astype(jnp.int32).reshape(1, b, w, *(1,) * len(rest))
+    ii = jnp.broadcast_to(ii, (lsub, b, w) + rest)
+    block = jnp.take_along_axis(buf, ii, axis=2)  # [L, B, W, *rest]
 
-    def row(bufb, newb, p):  # [L, S, H, Dh], [L, W, H, Dh], scalar
+    def row(bufb, newb, p):  # [L, S, *rest], [L, W, *rest], scalar
         zero = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_update_slice(bufb, newb, (zero, p, zero, zero))
+        return jax.lax.dynamic_update_slice(
+            bufb, newb, (zero, p) + (zero,) * len(rest)
+        )
 
     return jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(
         buf, block.astype(buf.dtype), start.astype(jnp.int32)
@@ -1032,12 +1036,12 @@ def _tree_round(
     src = scratch[:, None] + (
         jnp.arange(w, dtype=jnp.int32) * kk
     )[None, :] + c_star[:, None]  # [B, W] absolute source slots
-    early_after = KVCache(
-        k=_tree_compact(ke, scratch, src), v=_tree_compact(ve, scratch, src)
-    )
-    full_after = KVCache(
-        k=_tree_compact(kf, scratch, src), v=_tree_compact(vf, scratch, src)
-    )
+
+    def compact(group):  # raw arrays or QuantKV pytrees (values + scales)
+        return jax.tree.map(lambda a: _tree_compact(a, scratch, src), group)
+
+    early_after = KVCache(k=compact(ke), v=compact(ve))
+    full_after = KVCache(k=compact(kf), v=compact(vf))
 
     d_eos = _is_eos(win_toks, eos_ids)
     eos_cap = jnp.where(
@@ -1428,8 +1432,6 @@ class Engine:
                 # SpecInfer-style multi-round rejection (_tree_round)
                 assert not gen_cfg.no_repeat_ngram_size, \
                     "spec_tree_width does not support no_repeat_ngram yet"
-                assert not gen_cfg.kv_quant, \
-                    "spec_tree_width does not support kv_quant yet"
                 assert not gen_cfg.draft_exit_prob, \
                     "spec_tree_width excludes adaptive drafting"
         elif strategy == "prompt_lookup":
@@ -1720,10 +1722,9 @@ class Engine:
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
         if tree_width > 1:
-            assert not paged and not gen_cfg.kv_quant \
-                and not gen_cfg.no_repeat_ngram_size \
+            assert not paged and not gen_cfg.no_repeat_ngram_size \
                 and not gen_cfg.draft_exit_prob, \
-                "tree speculation: contiguous bf16 KV only"
+                "tree speculation: contiguous KV only"
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,

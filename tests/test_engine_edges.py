@@ -587,16 +587,24 @@ def test_tree_sampling_seed_reproducible():
     assert len(a) >= 1 and (a != c or len(a) <= 2)
 
 
-def test_tree_rejects_kv_quant():
+def test_tree_kv_quant_greedy_equals_ar():
+    """Tree speculation over the int8 KV cache: the scratch writes, tree
+    mask, and winning-chain compaction (values + per-slot scales) must
+    reproduce the kv_quant AR stream exactly."""
     from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
 
     eng = _adaptive_engine()
-    with pytest.raises(AssertionError):
-        eng.generate([3, 5], GenerationConfig(
-            max_steps=4, sample=False, generation_strategy="self_speculative",
-            exit_layer=2, num_speculations=3, spec_tree_width=2,
-            kv_quant=True),
-            jax.random.PRNGKey(0))
+    ar = postprocess_output(
+        eng.generate([3, 17, 52, 9], GenerationConfig(
+            max_steps=16, sample=False,
+            generation_strategy="autoregressive", kv_quant=True)), (), 16)
+    tr = postprocess_output(
+        eng.generate([3, 17, 52, 9], GenerationConfig(
+            max_steps=16, sample=False,
+            generation_strategy="self_speculative", exit_layer=2,
+            num_speculations=3, spec_tree_width=3, kv_quant=True)), (), 16)
+    assert ar == tr
 
 
 def test_tree_stream_and_continuous_match_solo():
