@@ -23,6 +23,7 @@ class Arguments:
     output_dir: str = "./logs"
     dp: int = 1  # data-parallel mesh axis (weights replicated)
     tp: int = 1  # tensor-parallel mesh axis (weights sharded)
+    quantize: str = "none"  # weight-only quantization: none | int8 | int4
 
 
 def handle_arg_string(arg: str) -> Any:

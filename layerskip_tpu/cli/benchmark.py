@@ -83,7 +83,7 @@ def benchmark(
 
 
 def main(args: Arguments, bench_args: BenchmarkArguments, gen_cfg: GenerationConfig):
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp, quantize=args.quantize)
     generator = LlamaGenerator(tokenizer, params, cfg)
     metric_result, _ = benchmark(generator, bench_args, gen_cfg, args.seed)
 

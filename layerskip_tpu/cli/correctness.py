@@ -25,7 +25,7 @@ log = logging.getLogger(__name__)
 
 
 def main(args: Arguments, bench_args: BenchmarkArguments, gen_cfg: GenerationConfig):
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp, quantize=args.quantize)
     generator = LlamaGenerator(tokenizer, params, cfg)
 
     spec_cfg = dataclasses.replace(

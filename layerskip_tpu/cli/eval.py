@@ -370,7 +370,7 @@ def run_local_mc(wrap: EvalHarnessLM, task_path: str,
 def main(args: Arguments, eval_args: EvalArguments, gen_cfg: GenerationConfig):
     tasks = [t for t in (eval_args.tasks or "").split(",") if t]
     local = [t for t in tasks if t.startswith("local:")]
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp, quantize=args.quantize)
     generator = LlamaGenerator(tokenizer, params, cfg)
     wrap = EvalHarnessLM(generator, gen_cfg, batch_size=eval_args.batch_size)
 

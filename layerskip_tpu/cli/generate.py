@@ -49,7 +49,7 @@ def _apply_chat_template(tokenizer, user_message: str) -> str:
 
 
 def main(args: Arguments, gen_args: GenerateArguments, gen_cfg: GenerationConfig):
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp, quantize=args.quantize)
     generator = LlamaGenerator(tokenizer, params, cfg)
 
     use_spec_stream = (

@@ -113,14 +113,30 @@ def maybe_shard(params: LlamaParams, dp: int = 1, tp: int = 1) -> LlamaParams:
     return shard_params(params, make_mesh(dp=dp, tp=tp))
 
 
+def _maybe_quantize(params: LlamaParams, quantize: str, dp: int, tp: int):
+    """Weight-only quantization at load time (``none`` | ``int8`` | ``int4``;
+    layerskip_tpu/quant.py). Single-device only from the CLI: the shard
+    specs describe the dense pytree, so quantize composes with dp/tp=1."""
+    if quantize in ("", "none", None):
+        return params
+    assert dp * tp <= 1, "--quantize requires dp=tp=1 (dense shard specs)"
+    from layerskip_tpu.quant import quantize_llama_params
+
+    bits = {"int8": 8, "int4": 4}[quantize]
+    return quantize_llama_params(params, bits=bits)
+
+
 def load_model_and_tokenizer(
-    model: str, dtype=jnp.bfloat16, seed: int = 0, dp: int = 1, tp: int = 1
+    model: str, dtype=jnp.bfloat16, seed: int = 0, dp: int = 1, tp: int = 1,
+    quantize: str = "none",
 ) -> Tuple[LlamaParams, ModelConfig, object]:
     """``model`` is a local HF checkpoint dir or ``random:<preset>``;
-    ``dp``/``tp`` > 1 shards the weights over the local device mesh."""
+    ``dp``/``tp`` > 1 shards the weights over the local device mesh;
+    ``quantize`` applies weight-only int8/int4 at load."""
     if model.startswith("random:"):
         cfg = _preset_config(model.split(":", 1)[1])
         params = init_params(jax.random.PRNGKey(seed), cfg)
+        params = _maybe_quantize(params, quantize, dp, tp)
         return maybe_shard(params, dp, tp), cfg, SimpleTokenizer(cfg.vocab_size)
 
     if not os.path.isdir(model):
@@ -131,6 +147,7 @@ def load_model_and_tokenizer(
         )
     cfg = ModelConfig.from_pretrained(model, dtype=dtype)
     params = load_params(model, cfg)
+    params = _maybe_quantize(params, quantize, dp, tp)
     try:
         from transformers import AutoTokenizer
 

@@ -45,7 +45,7 @@ def sweep(
     sweep_args: SweepArguments,
     gen_cfg: GenerationConfig,
 ):
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp)
+    params, cfg, tokenizer = load_model_and_tokenizer(args.model, seed=args.seed, dp=args.dp, tp=args.tp, quantize=args.quantize)
     generator = LlamaGenerator(tokenizer, params, cfg)
 
     os.makedirs(args.output_dir, exist_ok=True)

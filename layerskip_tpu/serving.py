@@ -468,6 +468,9 @@ def main():
     ap.add_argument("--prefix-cache", action="store_true",
                     help="share prompt-prefix KV pages across requests "
                          "(requires --paged-pool-pages)")
+    ap.add_argument("--quantize", default="none",
+                    choices=("none", "int8", "int4"),
+                    help="weight-only quantization at load")
     ap.add_argument("--chunk-prefill-tokens", type=int, default=0,
                     help="with --continuous (contiguous KV): prefill new "
                          "prompts in N-token chunks between decode rounds")
@@ -478,7 +481,8 @@ def main():
     ap.add_argument("--sample", type=lambda s: s.lower() == "true", default=True)
     args = ap.parse_args()
 
-    params, cfg, tokenizer = load_model_and_tokenizer(args.model)
+    params, cfg, tokenizer = load_model_and_tokenizer(
+        args.model, quantize=args.quantize)
     engine = Engine(params, cfg)
     default_cfg = GenerationConfig(
         generation_strategy=args.generation_strategy,

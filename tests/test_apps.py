@@ -433,3 +433,33 @@ def test_generator_reports_prompt_lookup_acceptance():
     )
     acc = res.generation_strategy_result.acceptance_rate
     assert acc is not None and 0.0 <= acc <= 1.0
+
+
+def test_cli_quantize_flag(tmp_path, capsys):
+    """--quantize int8/int4 loads a quantized engine through every CLI app's
+    shared loader and still satisfies greedy spec == AR."""
+    import jax
+
+    from layerskip_tpu.cli.loading import load_model_and_tokenizer
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.ops.linear import QuantTensor
+
+    for quant, bits in (("int8", 8), ("int4", 4)):
+        params, cfg, _ = load_model_and_tokenizer(
+            "random:tiny", seed=3, quantize=quant
+        )
+        assert isinstance(params.layers.wq, QuantTensor)
+        if bits == 4:
+            import jax.numpy as jnp
+
+            assert params.layers.wq.q.dtype == jnp.int4
+        eng = Engine(params, cfg)
+        ar = postprocess_output(eng.generate([3, 5, 9], GenerationConfig(
+            max_steps=8, sample=False,
+            generation_strategy="autoregressive")), (), 8)
+        sp = postprocess_output(eng.generate([3, 5, 9], GenerationConfig(
+            max_steps=8, sample=False,
+            generation_strategy="self_speculative", exit_layer=2,
+            num_speculations=3)), (), 8)
+        assert ar == sp and len(ar) == 8
