@@ -293,3 +293,59 @@ def test_train_cli_with_checkpoint_resume(tmp_path):
         (), 6,
     )
     assert len(toks) == 6
+
+
+def test_sharded_tree_generate_matches(cfg, params):
+    """Tree speculation under a TP=8 mesh == unsharded (the interleaved
+    scratch slots, tree mask, and winning-chain compaction must all be
+    GSPMD-safe)."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+
+    gen_cfg = GenerationConfig(
+        max_steps=12, exit_layer=2, num_speculations=3, spec_tree_width=3,
+        generation_strategy="self_speculative", sample=False,
+    )
+    prompt = [3, 17, 52, 9, 30]
+    ref = postprocess_output(
+        Engine(params, cfg).generate(prompt, gen_cfg, jax.random.PRNGKey(0)),
+        (), 12,
+    )
+    mesh = make_mesh(dp=1, tp=8, devices=jax.devices())
+    got = postprocess_output(
+        Engine(shard_params(params, mesh), cfg).generate(
+            prompt, gen_cfg, jax.random.PRNGKey(0)), (), 12,
+    )
+    assert got == ref
+
+
+def test_sharded_continuous_session_matches(cfg, params):
+    """Continuous batching (insert/step + chunked insert) over a TP=8
+    sharded engine returns the same streams as the unsharded engine —
+    the serving x parallelism intersection."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+
+    gen_cfg = GenerationConfig(
+        max_steps=10, exit_layer=2, num_speculations=3,
+        generation_strategy="self_speculative", sample=False,
+    )
+    p0, p1 = [3, 17, 52], [5, 9, 30, 8, 61, 100, 2]
+    eng = Engine(params, cfg)
+    want = {
+        0: postprocess_output(
+            eng.generate(p0, gen_cfg, jax.random.PRNGKey(0), [99]), [99], 10),
+        1: postprocess_output(
+            eng.generate(p1, gen_cfg, jax.random.PRNGKey(0), [99]), [99], 10),
+    }
+    mesh = make_mesh(dp=1, tp=8, devices=jax.devices())
+    eng_sh = Engine(shard_params(params, mesh), cfg)
+    sess = eng_sh.continuous_session(gen_cfg, batch=2, prompt_bucket=16,
+                                     eos_ids=[99])
+    sess.insert([0], [p0], seeds=[0])
+    sess.begin_chunked_insert([1], [p1], seeds=[0], chunk_tokens=4)
+    got = {}
+    for _ in range(60):
+        for r, toks, _ in sess.step():
+            got[r] = toks
+        if len(got) == 2:
+            break
+    assert got == want
