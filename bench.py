@@ -363,10 +363,10 @@ def run_single(args) -> dict:
                           + (f"_int{args.quant_bits}" if args.quant else ""),
                 "value": round(ar_tps, 2), "unit": "tok/s",
                 "vs_baseline": 0.0, "partial": "ar_only",
+                "backend": jax.default_backend(),
             }
         cands = [p for p in curve if p["tail_eps"] > 0] or curve
         head = min(cands, key=lambda p: abs(p["acceptance"] - target))
-        import jax as _jax
         if not args.curve:
             suffix = ""
         elif abs(head["acceptance"] - target) <= 0.05:
@@ -385,7 +385,7 @@ def run_single(args) -> dict:
             "acceptance": head["acceptance"],
             "tail_eps": head["tail_eps"],
             "spec_backed": True,
-            "backend": _jax.default_backend(),
+            "backend": jax.default_backend(),
         }
         if state["ceiling"] is not None:
             out["ceiling_speedup"] = state["ceiling"]["speedup"]
@@ -748,8 +748,12 @@ def main():
         _emit_best_and_exit()
     # Absolute last resort (tunnel down for the whole budget): a tiny-config
     # CPU measurement is an honest-but-weak artifact (backend field says
-    # "cpu") and still beats an unparseable one (BENCH_r02 lesson).
-    if not args.platform and remaining() > 120:
+    # "cpu") and still beats an unparseable one (BENCH_r02 lesson). Gated on
+    # the tunnel actually being unreachable — if the backend is alive and
+    # every size still failed, that's a code regression which must surface
+    # as a failure, not be masked by a green CPU line.
+    if not args.platform and remaining() > 120 and (
+            not tunnel_ok or not _tunnel_alive(90.0)):
         print("[bench] TPU unreachable all run; measuring tiny on CPU",
               file=sys.stderr)
         args.platform = "cpu"

@@ -1827,6 +1827,13 @@ class Engine:
         tree_width = int(gen_cfg.spec_tree_width or 0)
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
+        if tree_width > 1:
+            # same contract as Engine.generate: _tree_round has no ngram
+            # banning or adaptive drafting — fail loudly, never silently
+            assert not gen_cfg.no_repeat_ngram_size, \
+                "spec_tree_width does not support no_repeat_ngram yet"
+            assert not gen_cfg.draft_exit_prob, \
+                "spec_tree_width excludes adaptive drafting"
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
@@ -2051,7 +2058,14 @@ class ContinuousSession:
         assert not self._chunk_queue and self._chunk_finalize is None, \
             "a chunked insert is already in flight"
         assert rows and len(rows) == len(prompts)
-        assert self.gen_cfg.num_speculations + 1 <= self.prompt_bucket, \
+        # parked rows keep participating in rounds: a tree round writes
+        # 1 + W*k KV slots at the park position (draft scratch + verify),
+        # a linear round W+1 — all must fit inside the prompt_bucket-wide
+        # trash zone
+        round_width = 1 + self.gen_cfg.num_speculations * max(
+            int(self.gen_cfg.spec_tree_width or 0), 1
+        )
+        assert round_width <= self.prompt_bucket, \
             "trash zone too small for parked-row round writes"
         # a chunk wider than the prompt window is just a whole-prompt pass
         # (and would overflow the trash zone, which is prompt_bucket wide)

@@ -74,15 +74,10 @@ def done_names():
 
 
 def tunnel_alive(timeout_s=180.0) -> bool:
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices(); print('ok')"],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
-            timeout=timeout_s,
-        )
-        return r.returncode == 0 and b"ok" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    sys.path.insert(0, REPO)
+    from bench import _tunnel_alive  # one probe implementation, no drift
+
+    return _tunnel_alive(timeout_s)
 
 
 def main():
