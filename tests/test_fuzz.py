@@ -47,3 +47,74 @@ def test_fuzz_greedy_equivalence():
         if ar != sp:
             mismatches.append((trial, e, w, prompt, ar, sp))
     assert not mismatches, mismatches[:2]
+
+
+def test_fuzz_greedy_equivalence_tree_and_quant():
+    """Random (weights, prompt, exit, W, k) draws through tree speculation,
+    with int8-KV and int4-weight variants mixed in — greedy tree == greedy
+    AR must hold for every combination."""
+    cfg = tiny_config(num_hidden_layers=4, hidden_size=64, vocab_size=128)
+    rng = np.random.default_rng(321)
+    mismatches = []
+    for trial in range(8):
+        params = init_params(jax.random.PRNGKey(2000 + trial), cfg)
+        if trial % 3 == 2:  # int4 weights every third trial
+            from layerskip_tpu.quant import quantize_llama_params
+
+            params = quantize_llama_params(params, bits=4, group=16)
+        eng = Engine(params, cfg)
+        prompt = rng.integers(0, cfg.vocab_size, size=rng.integers(2, 24)).tolist()
+        e = int(rng.integers(1, cfg.num_hidden_layers))
+        w = int(rng.integers(1, 5))
+        k = int(rng.integers(2, 5))
+        kvq = bool(trial % 2)  # int8 KV on odd trials
+        ar = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=14, sample=False, kv_quant=kvq,
+                generation_strategy="autoregressive")),
+            (), 14,
+        )
+        tr = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=14, sample=False, kv_quant=kvq,
+                generation_strategy="self_speculative",
+                exit_layer=e, num_speculations=w, spec_tree_width=k)),
+            (), 14,
+        )
+        if ar != tr:
+            mismatches.append((trial, e, w, k, kvq, prompt, ar, tr))
+    assert not mismatches, mismatches[:2]
+
+
+def test_fuzz_chunked_insert_equivalence():
+    """Random prompts/chunk widths: chunked continuous inserts must commit
+    exactly the plain-insert streams (greedy), with a second live row
+    decoding throughout."""
+    cfg = tiny_config(num_hidden_layers=4, hidden_size=64, vocab_size=128)
+    params = init_params(jax.random.PRNGKey(31), cfg)
+    eng = Engine(params, cfg)
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    rng = np.random.default_rng(77)
+    sess = eng.continuous_session(gen, batch=2, prompt_bucket=16,
+                                  eos_ids=[127])
+    for trial in range(6):
+        prompt = rng.integers(0, 126, size=rng.integers(2, 15)).tolist()
+        chunk = int(rng.integers(2, 9))
+        want = postprocess_output(
+            eng.generate(prompt, gen, jax.random.PRNGKey(0), [127]),
+            [127], 10,
+        )
+        row = trial % 2
+        sess.begin_chunked_insert([row], [prompt], seeds=[0],
+                                  chunk_tokens=chunk)
+        got = None
+        for _ in range(60):
+            for r, toks, _ in sess.step():
+                if r == row:
+                    got = toks
+            if got is not None:
+                break
+        assert got == want, (trial, chunk, prompt, got, want)
