@@ -419,7 +419,7 @@ def spec_generate(
             s, _, _ = _tree_round(
                 params, cfg, s,
                 exit_layer=e, num_speculations=w, tree_width=tree_width,
-                scfg=scfg, eos_ids=eos_ids,
+                scfg=scfg, eos_ids=eos_ids, ngram=ngram,
             )
         else:
             s, _, _ = _spec_round(
@@ -810,6 +810,7 @@ def _tree_round(
     tree_width: int,
     scfg: SamplingConfig,
     eos_ids: Tuple[int, ...],
+    ngram: int = 0,
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One multi-candidate draft+verify round (net-new; no reference
     counterpart — SpecInfer/Medusa-style tree speculation, redesigned for
@@ -863,19 +864,35 @@ def _tree_round(
     # (scratch is empty at the root step, so the plain causal rule applies)
     r0 = llama.forward_early(params, cfg, s.next_tok, s.early, s.ctx, e)
     root_h = r0.hidden  # [B, 1, D]
+    root_logits = r0.logits[:, -1]
+    if ngram > 0:
+        root_logits = apply_ban(
+            root_logits,
+            no_repeat_ngram_banned(s.hist, hist_len0, ngram, v_size),
+        )
     if scfg.sample:
-        p0 = token_distribution(r0.logits[:, -1], scfg)  # [B, V]
+        p0 = token_distribution(root_logits, scfg)  # [B, V]
         cand_keys = jax.vmap(lambda kr: jax.random.split(kr, kk))(k_cand)
         top = jax.vmap(
             lambda ck: draw(p0, ck, scfg), in_axes=1, out_axes=1
         )(cand_keys).astype(jnp.int32)  # [B, k] i.i.d. draws from p0
     else:
-        _, top = jax.lax.top_k(r0.logits[:, -1], kk)  # [B, k] candidates
+        _, top = jax.lax.top_k(root_logits, kk)  # [B, k] candidates
         top = top.astype(jnp.int32)
     q_chain_d = jnp.broadcast_to(jnp.arange(kk, dtype=jnp.int32)[None], (b, kk))
 
+    # per-chain committed+draft history, for ngram bans along each chain
+    # (each chain's prefix differs from depth 1 on)
+    if ngram > 0:
+        hist_tree0 = jax.vmap(
+            lambda t_c: _row_update(s.hist, t_c[:, None], hist_len0),
+            in_axes=1, out_axes=1,
+        )(top)  # [B, k, L]
+    else:
+        hist_tree0 = jnp.zeros((b, kk, 1), jnp.int32)  # untouched dummy
+
     def dstep(carry, i):
-        ke, ve, tips = carry  # tips [B, k]: the depth-(i+1) tokens
+        ke, ve, tips, hist_tree = carry  # tips [B, k]: depth-(i+1) tokens
         h = llama.embed_tokens(params, tips, cfg)
         h, ke, ve = llama.run_layers(
             cfg, params.layers, h, ke, ve, s.ctx, layer_offset=0,
@@ -884,6 +901,14 @@ def _tree_round(
             tree_meta=(q_chain_d, scratch, kk),
         )
         logits = llama.lm_logits(params, cfg, h)  # [B, k, V]
+        if ngram > 0:
+            banned = jax.vmap(
+                lambda hc: no_repeat_ngram_banned(
+                    hc, hist_len0 + 1 + i, ngram, v_size
+                ),
+                in_axes=1, out_axes=1,
+            )(hist_tree)  # [B, k, V]
+            logits = apply_ban(logits, banned)
         if scfg.sample:
             pd = token_distribution(logits, scfg)  # [B, k, V]
             kk_i = jax.vmap(lambda kr: jax.random.fold_in(kr, i))(k_chain)
@@ -894,10 +919,17 @@ def _tree_round(
         else:
             pd = jnp.zeros((b, kk, 0), jnp.float32)  # unused placeholder
             nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return (ke, ve, nxt), (tips, h, pd)
+        if ngram > 0:
+            hist_tree = jax.vmap(
+                lambda hc, t_c: _row_update(
+                    hc, t_c[:, None], hist_len0 + 1 + i
+                ),
+                in_axes=(1, 1), out_axes=1,
+            )(hist_tree, nxt)
+        return (ke, ve, nxt, hist_tree), (tips, h, pd)
 
-    (ke, ve, _), (toks_steps, h_steps, pd_steps) = jax.lax.scan(
-        dstep, (r0.cache.k, r0.cache.v, top),
+    (ke, ve, _, hist_tree), (toks_steps, h_steps, pd_steps) = jax.lax.scan(
+        dstep, (r0.cache.k, r0.cache.v, top, hist_tree0),
         jnp.arange(w, dtype=jnp.int32),
     )
     chain_toks = jnp.transpose(toks_steps, (1, 0, 2))  # [B, W, k]
@@ -921,6 +953,24 @@ def _tree_round(
                    scratch, kk),
     )
     vlogits = llama.lm_logits(params, cfg, full_h)  # [B, 1+W*k, V] fp32
+    if ngram > 0:
+        # verifier bans mirror the drafts': the root position uses the
+        # committed history; node (d, c) uses chain c's prefix of length
+        # hist_len0 + d + 1 — identical prefixes to what AR-with-bans
+        # would see along the accepted chain, so greedy tree == greedy AR
+        # holds under bans too
+        root_ban = no_repeat_ngram_banned(s.hist, hist_len0, ngram, v_size)
+        lens = hist_len0[:, None] + 1 + jnp.arange(w, dtype=jnp.int32)[None]
+        node_ban = jax.vmap(  # over depth
+            lambda ln: jax.vmap(  # over chain
+                lambda hc: no_repeat_ngram_banned(hc, ln, ngram, v_size),
+                in_axes=1, out_axes=1,
+            )(hist_tree),
+            in_axes=1, out_axes=1,
+        )(lens)  # [B, W, k, V]
+        vlogits = apply_ban(vlogits, jnp.concatenate(
+            [root_ban[:, None], node_ban.reshape(b, w * kk, v_size)], axis=1
+        ))
 
     w_eff = jnp.clip(s.steps - s.out_len - 1, 0, w)  # near-max_steps clamp
     if not scfg.sample:
@@ -1430,8 +1480,6 @@ class Engine:
             if tree_width > 1:
                 # greedy follows the verifier's argmax; sampling runs
                 # SpecInfer-style multi-round rejection (_tree_round)
-                assert not gen_cfg.no_repeat_ngram_size, \
-                    "spec_tree_width does not support no_repeat_ngram yet"
                 assert not gen_cfg.draft_exit_prob, \
                     "spec_tree_width excludes adaptive drafting"
         elif strategy == "prompt_lookup":
@@ -1651,7 +1699,7 @@ class Engine:
                 return _tree_round(
                     params, cfg, state,
                     exit_layer=e, num_speculations=w, tree_width=tree_width,
-                    scfg=scfg, eos_ids=eos_ids,
+                    scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 )
             return _spec_round(
                 params, cfg, state,
@@ -1722,8 +1770,7 @@ class Engine:
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
         if tree_width > 1:
-            assert not paged and not gen_cfg.no_repeat_ngram_size \
-                and not gen_cfg.draft_exit_prob, \
+            assert not paged and not gen_cfg.draft_exit_prob, \
                 "tree speculation: contiguous KV only"
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
@@ -1778,6 +1825,7 @@ class Engine:
                     exit_layer=exit_layer,
                     num_speculations=num_speculations,
                     tree_width=tree_width, scfg=scfg, eos_ids=eos_ids,
+                    ngram=ngram,
                 )
             return _spec_round(
                 params, self.cfg, state,
@@ -1828,10 +1876,8 @@ class Engine:
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
         if tree_width > 1:
-            # same contract as Engine.generate: _tree_round has no ngram
-            # banning or adaptive drafting — fail loudly, never silently
-            assert not gen_cfg.no_repeat_ngram_size, \
-                "spec_tree_width does not support no_repeat_ngram yet"
+            # same contract as Engine.generate: _tree_round has no
+            # adaptive drafting — fail loudly, never silently
             assert not gen_cfg.draft_exit_prob, \
                 "spec_tree_width excludes adaptive drafting"
         prefill, round_fn = self._compiled_stepped(

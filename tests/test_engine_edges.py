@@ -637,3 +637,40 @@ def test_tree_stream_and_continuous_match_solo():
         if got is not None:
             break
     assert got == solo
+
+
+def test_tree_ngram_equals_ar_ngram():
+    """Tree speculation under no_repeat_ngram: per-chain draft bans +
+    per-node verifier bans reproduce the banned AR stream exactly, through
+    both the whole-generation and streaming paths."""
+    from layerskip_tpu.config import GenerationConfig
+    from layerskip_tpu.generation.engine import postprocess_output
+
+    eng = _adaptive_engine()
+    for n in (1, 2, 3):
+        ar = postprocess_output(
+            eng.generate([3, 17, 52, 9], GenerationConfig(
+                max_steps=18, sample=False, no_repeat_ngram_size=n,
+                generation_strategy="autoregressive")), (), 18)
+        gen = GenerationConfig(
+            max_steps=18, sample=False, no_repeat_ngram_size=n,
+            generation_strategy="self_speculative", exit_layer=2,
+            num_speculations=3, spec_tree_width=3)
+        tr = postprocess_output(
+            eng.generate([3, 17, 52, 9], gen), (), 18)
+        st = postprocess_output(
+            eng.stream_generate([3, 17, 52, 9], gen), (), 18)
+        assert ar == tr == st, (n, ar, tr, st)
+    # sampled tree + ngram runs and never repeats a banned 1-gram
+    import jax as _jax
+
+    out = postprocess_output(
+        eng.generate([3, 17, 52, 9], GenerationConfig(
+            max_steps=18, sample=True, temperature=0.9,
+            no_repeat_ngram_size=1, generation_strategy="self_speculative",
+            exit_layer=2, num_speculations=3, spec_tree_width=2),
+            _jax.random.PRNGKey(3)), (), 18)
+    seen = set([3, 17, 52, 9])
+    for t in out:
+        assert t not in seen, (t, out)
+        seen.add(t)
