@@ -39,6 +39,57 @@ class _Request:
     future: Future
     rng_seed: int = 0
     max_tokens: int = 0  # 0 => the scheduler's compiled max_steps
+    t_submit: float = 0.0  # scheduler-assigned, for latency stats
+    t_start: float = 0.0  # when the request entered a device batch
+
+
+class _LatencyRecorder:
+    """Ring buffer of per-request latencies -> percentile summary.
+
+    Production observability the reference lacks entirely: queue wait
+    (submit -> first device dispatch), serve time (dispatch -> done), and
+    per-committed-token time. Host-side only — never touches the device
+    path."""
+
+    def __init__(self, window: int = 512):
+        import collections
+
+        self._buf = collections.deque(maxlen=window)
+        self._lock = threading.Lock()
+
+    def record(self, req: "_Request", n_tokens: int) -> None:
+        now = time.time()
+        if not req.t_submit:
+            return
+        start = req.t_start or req.t_submit
+        with self._lock:
+            self._buf.append(
+                (start - req.t_submit, now - start, max(int(n_tokens), 1))
+            )
+
+    def summary(self) -> dict:
+        with self._lock:
+            rows = list(self._buf)
+        if not rows:
+            return {"window": 0}
+
+        def pct(vals, q):
+            vals = sorted(vals)
+            i = min(int(q * (len(vals) - 1) + 0.5), len(vals) - 1)
+            return round(vals[i] * 1e3, 2)  # ms
+
+        queue_s = [r[0] for r in rows]
+        serve_s = [r[1] for r in rows]
+        per_tok = [r[1] / r[2] for r in rows]
+        return {
+            "window": len(rows),
+            "queue_ms": {q: pct(queue_s, p)
+                         for q, p in (("p50", .5), ("p95", .95), ("p99", .99))},
+            "serve_ms": {q: pct(serve_s, p)
+                         for q, p in (("p50", .5), ("p95", .95), ("p99", .99))},
+            "per_token_ms": {q: pct(per_tok, p)
+                             for q, p in (("p50", .5), ("p95", .95), ("p99", .99))},
+        }
 
 
 def _cfg_key(cfg: GenerationConfig):
@@ -83,6 +134,7 @@ class BatchScheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"batches": 0, "requests": 0, "padded_rows": 0}
+        self.latency = _LatencyRecorder()
 
     # -- client API --
 
@@ -91,7 +143,8 @@ class BatchScheduler:
     ) -> Future:
         """Returns a Future resolving to the generated token list."""
         fut: Future = Future()
-        self._queue.put(_Request(list(prompt_ids), gen_cfg, fut, rng_seed))
+        self._queue.put(_Request(list(prompt_ids), gen_cfg, fut, rng_seed,
+                                 t_submit=time.time()))
         return fut
 
     def generate(self, prompt_ids, gen_cfg, rng_seed: int = 0, timeout=None):
@@ -146,6 +199,8 @@ class BatchScheduler:
                         req.future.set_exception(exc)
 
     def _run_batch(self, batch: List[_Request]) -> None:
+        for req in batch:
+            req.t_start = time.time()
         gen_cfg = batch[0].gen_cfg
         prompts = [r.prompt_ids for r in batch]
         pad_rows = self.batch_size - len(prompts)
@@ -166,6 +221,7 @@ class BatchScheduler:
         rows = postprocess_batch(out, eos, gen_cfg.max_steps)
         for req, row in zip(batch, rows):
             req.future.set_result(row)
+            self.latency.record(req, len(row))
         self.stats["batches"] += 1
         self.stats["requests"] += len(batch)
         self.stats["padded_rows"] += pad_rows
@@ -216,13 +272,15 @@ class ContinuousBatchScheduler:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self.stats = {"rounds": 0, "requests": 0, "completed": 0}
+        self.latency = _LatencyRecorder()
 
     def submit(
         self, prompt_ids: List[int], seed: int = 0, max_tokens: int = 0
     ) -> Future:
         fut: Future = Future()
         self._queue.put(
-            _Request(list(prompt_ids), self.gen_cfg, fut, seed, max_tokens)
+            _Request(list(prompt_ids), self.gen_cfg, fut, seed, max_tokens,
+                     t_submit=time.time())
         )
         self.stats["requests"] += 1
         return fut
@@ -261,6 +319,7 @@ class ContinuousBatchScheduler:
             seeds.append(req.rng_seed)
             budgets.append(req.max_tokens)
             reqs.append(req)
+            req.t_start = time.time()
             self._slot_req[slot] = req
         if rows:
             try:
@@ -345,6 +404,7 @@ class ContinuousBatchScheduler:
                 req = self._slot_req.pop(row, None)
                 if req is not None and not req.future.done():
                     req.future.set_result(tokens)
+                    self.latency.record(req, len(tokens))
                     self.stats["completed"] += 1
 
 
@@ -384,6 +444,7 @@ def serve(
                     executable_evictions=(
                         eng._exec_cache.evictions + eng._stepped_cache.evictions
                     ),
+                    latency=scheduler.latency.summary(),
                 )
                 self._json(200, {"ok": True, "stats": stats})
             else:

@@ -580,3 +580,37 @@ def test_continuous_scheduler_chunked_prefill(engine):
         for p in prompts
     ]
     assert got == want
+
+
+def test_latency_stats_recorded(engine):
+    """Both schedulers record per-request latency percentiles (queue wait,
+    serve time, per-token ms) and expose them via /healthz's stats dict."""
+    from layerskip_tpu.serving import ContinuousBatchScheduler
+
+    gen = GenerationConfig(
+        max_steps=8, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    sched = BatchScheduler(engine, batch_size=2, eos_ids=[127]).start()
+    try:
+        futs = [sched.submit([3, 17, 52], gen) for _ in range(3)]
+        for f in futs:
+            f.result(timeout=300)
+    finally:
+        sched.stop()
+    s = sched.latency.summary()
+    assert s["window"] == 3
+    for k in ("queue_ms", "serve_ms", "per_token_ms"):
+        assert s[k]["p50"] >= 0 and s[k]["p99"] >= s[k]["p50"]
+
+    cont = ContinuousBatchScheduler(
+        engine, gen, batch_size=2, prompt_bucket=16, eos_ids=[127],
+    ).start()
+    try:
+        futs = [cont.submit([5, 9, 30], seed=i) for i in range(3)]
+        for f in futs:
+            f.result(timeout=300)
+    finally:
+        cont.stop()
+    s2 = cont.latency.summary()
+    assert s2["window"] == 3 and s2["per_token_ms"]["p50"] > 0
