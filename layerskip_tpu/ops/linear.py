@@ -104,6 +104,12 @@ def _qdot(x2: jnp.ndarray, w: QuantTensor) -> jnp.ndarray:
         # (A batched per-group einsum with post-scale is the alternative
         # formulation; A/B it on-chip if this one misses roofline.)
         return jax.lax.dot_general(x2, w.dequantize(x2.dtype), dims)
+    if os.environ.get("LAYERSKIP_INT8_PRESCALE") == "1":
+        # A/B escape hatch (trace-time static): the pre-round-2 formulation
+        # that multiplied the scale into the dot operand — flip this flag
+        # on-chip to quantify the post-contraction-scale win without a
+        # git revert (scripts/onchip_queue.py int8 items).
+        return jax.lax.dot_general(x2, w.dequantize(x2.dtype), dims)
     acc = jax.lax.dot_general(
         x2, w.q.astype(x2.dtype), dims, preferred_element_type=jnp.float32
     )

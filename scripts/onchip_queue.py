@@ -42,6 +42,10 @@ ITEMS = [
      [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
       "--quant", "--max-steps", "256", "--repeats", "2"],
      5400.0),
+    ("int8_ar_7b_prescale_ab",  # pre-round-3 formulation, for the delta
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--quant", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
     ("int4_ar_7b",
      [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
       "--quant", "--quant-bits", "4", "--max-steps", "256", "--repeats", "2"],
@@ -91,10 +95,13 @@ def main():
             continue
         print(f"[queue] {name}: running (timeout {tmo:.0f}s)")
         t0 = time.time()
+        env = dict(os.environ)
+        if name.endswith("_prescale_ab"):
+            env["LAYERSKIP_INT8_PRESCALE"] = "1"
         try:
             r = subprocess.run(
                 argv, cwd=REPO, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, timeout=tmo,
+                stderr=subprocess.STDOUT, timeout=tmo, env=env,
             )
             out = r.stdout.decode(errors="replace")
             # the bench/gate contract: last stdout line is one JSON object
