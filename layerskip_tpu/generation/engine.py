@@ -1087,7 +1087,13 @@ def _tree_round(
         jnp.arange(w, dtype=jnp.int32) * kk
     )[None, :] + c_star[:, None]  # [B, W] absolute source slots
 
-    def compact(group):  # raw arrays or QuantKV pytrees (values + scales)
+    def compact(group):
+        # contiguous: raw arrays or QuantKV pytrees (values + scales);
+        # paged: a W-slot gather+scatter through the page table
+        from layerskip_tpu.ops.paged_kv import PagedKV, PagedQuantKV
+
+        if isinstance(group, (PagedKV, PagedQuantKV)):
+            return group.tree_compact(scratch, src)
         return jax.tree.map(lambda a: _tree_compact(a, scratch, src), group)
 
     early_after = KVCache(k=compact(ke), v=compact(ve))
@@ -1556,7 +1562,8 @@ class Engine:
             from layerskip_tpu.ops.paged_kv import init_paged_group
 
             pool_pages, page_size = paged
-            capacity = prompt_bucket + max_steps + num_speculations + 2
+            capacity = (prompt_bucket + max_steps
+                        + num_speculations * max(tree_width, 1) + 2)
 
             def _mk_paged(nlayers):
                 return init_paged_group(
@@ -1770,8 +1777,8 @@ class Engine:
         if gen_cfg.generation_strategy != "self_speculative":
             tree_width = 0
         if tree_width > 1:
-            assert not paged and not gen_cfg.draft_exit_prob, \
-                "tree speculation: contiguous KV only"
+            assert not gen_cfg.draft_exit_prob, \
+                "tree speculation excludes adaptive drafting"
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
@@ -1941,8 +1948,10 @@ class ContinuousSession:
             )
 
             pool_pages, page_size = paged
-            capacity = (prompt_bucket + gen_cfg.max_steps
-                        + gen_cfg.num_speculations + 2)
+            spec_slack = gen_cfg.num_speculations * max(
+                int(gen_cfg.spec_tree_width or 0), 1
+            )
+            capacity = prompt_bucket + gen_cfg.max_steps + spec_slack + 2
             _, _, self._max_pages = paged_geometry(
                 capacity, page_size, prompt_bucket
             )
@@ -2007,7 +2016,9 @@ class ContinuousSession:
             from layerskip_tpu.ops.paged_kv import PagePoolExhausted
 
             pool_pages, page_size = self.paged
-            w = self.gen_cfg.num_speculations
+            w = self.gen_cfg.num_speculations * max(
+                int(self.gen_cfg.spec_tree_width or 0), 1
+            )
             clipped = np.clip(steps_vec, 1, self.gen_cfg.max_steps)
             prefix_vec = np.zeros(self.batch, np.int32)
             prompts_by_row = {

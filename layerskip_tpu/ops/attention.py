@@ -116,8 +116,9 @@ def gqa_attention(
     the scratch region and adds one chain-visibility clause to the masking
     rule: ``key_pos <= q_pos AND (key_chain == -1 OR key_chain == q_chain)``
     (committed slots have chain -1). This is the whole of "tree attention"
-    on TPU — no mask tensors are materialized, and the computation stays on
-    the fused XLA masked-softmax path (the Pallas kernels are bypassed).
+    on TPU — no mask tensors are materialized. The dense XLA masked-softmax
+    path and the paged Pallas kernels both carry the clause (the kernels
+    recover a key's (position, chain) from its slot index in-kernel).
     """
     from layerskip_tpu.ops.kv_cache import QuantKV
     from layerskip_tpu.ops.paged_kv import PagedKV, PagedQuantKV
@@ -129,10 +130,18 @@ def gqa_attention(
     # windowed visibility is one extra clause on the masking rule, carried
     # straight into every kernel (Mistral no longer falls back to dense)
     _window = int(sliding_window) if sliding_window is not None else 0
+    if tree_meta is not None:
+        # per-query chain ids / per-row scratch start for the paged kernels
+        # (they recover a key's (position, chain) from its slot in-kernel)
+        _tc, _ts, _tf = tree_meta
+        _tree_kw = dict(
+            tree_chain=jnp.broadcast_to(_tc.astype(jnp.int32), (b, t)),
+            tree_scratch=_ts, tree_fanout=int(_tf),
+        )
+    else:
+        _tree_kw = {}
     if isinstance(k_cache, PagedKV):
-        if tree_meta is None and _use_pallas(
-            t, k_cache.max_pages * k_cache.page_size, dh
-        ):
+        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention,
             )
@@ -140,15 +149,14 @@ def gqa_attention(
             return paged_decode_attention(
                 q, k_cache.pool, v_cache.pool, k_cache.table, q_positions,
                 q_heads_per_kv=q_heads_per_kv, sliding_window=_window,
+                **_tree_kw,
             )
         # XLA fallback (CPU tests / long-query): materialize the logical
         # per-slot view by gathering pages, then the dense masked path
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)
     elif isinstance(k_cache, PagedQuantKV):
-        if tree_meta is None and _use_pallas(
-            t, k_cache.max_pages * k_cache.page_size, dh
-        ):
+        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention_q8,
             )
@@ -157,6 +165,7 @@ def gqa_attention(
                 q, k_cache.pool, k_cache.scale, v_cache.pool, v_cache.scale,
                 k_cache.table, q_positions,
                 q_heads_per_kv=q_heads_per_kv, sliding_window=_window,
+                **_tree_kw,
             )
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)

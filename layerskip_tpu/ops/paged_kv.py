@@ -93,6 +93,29 @@ class PagedKV:
         return PagedKV(pool=pool, table=self.table,
                        capacity=self.capacity, trash_start=self.trash_start)
 
+    def tree_compact(self, start: jnp.ndarray, idx: jnp.ndarray
+                     ) -> "PagedKV":
+        """Move W arbitrary logical slots to ``start..start+W-1`` (tree
+        speculation's winning-chain compaction, engine.py::_tree_round) —
+        a W-slot gather + scatter through the page table, O(W) traffic.
+        Handles both the per-layer [P, ...] and stacked [L, P, ...] forms
+        (the destination overlaps the source only as the identity at
+        depth 0, and the gather completes before the scatter)."""
+        if self.pool.ndim == 5:  # stacked over layers
+            def per_layer(pool_l, table_l):
+                return PagedKV(
+                    pool=pool_l, table=table_l, capacity=self.capacity,
+                    trash_start=self.trash_start,
+                ).tree_compact(start, idx).pool
+
+            return self.replace(pool=jax.vmap(per_layer)(self.pool, self.table))
+        pg = self.page_size
+        idx = idx.astype(jnp.int32)
+        lp = jnp.minimum(idx // pg, self.max_pages - 1)
+        pidx = jnp.take_along_axis(self.table, lp, axis=1)  # [B, W]
+        block = self.pool[pidx, :, idx % pg]  # [B, W, Hkv, Dh]
+        return self.write(block, start)
+
     def gather_view(self, dtype=None) -> jnp.ndarray:
         """Materialize the logical [B, max_pages*page, Hkv, Dh] view (XLA
         fallback path / tests; the Pallas kernel reads pages in place)."""
@@ -150,6 +173,36 @@ class PagedQuantKV:
             scale.astype(self.scale.dtype), mode="drop"
         )
         return self.replace(pool=pool, scale=scales)
+
+    def tree_compact(self, start: jnp.ndarray, idx: jnp.ndarray
+                     ) -> "PagedQuantKV":
+        """PagedKV.tree_compact for the int8 pool: moves the raw int8
+        values AND their per-(token, head) scales (no requantization)."""
+        if self.pool.ndim == 5:  # stacked over layers
+            def per_layer(pool_l, scale_l, table_l):
+                out = PagedQuantKV(
+                    pool=pool_l, scale=scale_l, table=table_l,
+                    capacity=self.capacity, trash_start=self.trash_start,
+                ).tree_compact(start, idx)
+                return out.pool, out.scale
+
+            pool, scale = jax.vmap(per_layer)(self.pool, self.scale, self.table)
+            return self.replace(pool=pool, scale=scale)
+        pg = self.page_size
+        idx = idx.astype(jnp.int32)
+        w = idx.shape[1]
+        lp = jnp.minimum(idx // pg, self.max_pages - 1)
+        pidx = jnp.take_along_axis(self.table, lp, axis=1)
+        qblk = self.pool[pidx, :, idx % pg]  # [B, W, Hkv, Dh] int8
+        sblk = self.scale[pidx, :, idx % pg]  # [B, W, Hkv]
+        pos = (start.astype(jnp.int32).reshape(-1, 1)
+               + jnp.arange(w, dtype=jnp.int32)[None])
+        lp2 = jnp.minimum(pos // pg, self.max_pages - 1)
+        pidx2 = jnp.take_along_axis(self.table, lp2, axis=1)
+        poff2 = pos % pg
+        pool = self.pool.at[pidx2, :, poff2].set(qblk, mode="drop")
+        scale = self.scale.at[pidx2, :, poff2].set(sblk, mode="drop")
+        return self.replace(pool=pool, scale=scale)
 
     def gather_view(self, dtype=None):
         """Dequantized logical [B, max_pages*page, Hkv, Dh] view (XLA

@@ -29,9 +29,47 @@ from jax.experimental.pallas import tpu as pltpu
 from layerskip_tpu.ops.pallas.decode_attention import NEG_INF, _online_block
 
 
+def _key_coords(start, tg, page, fanout, scr):
+    """Logical key slot -> (RoPE/causal position, chain id) for tree slots.
+
+    Tree speculation stores chain tokens in interleaved slots past the
+    committed frontier: slot = scr + (depth-1)*fanout + chain, so chains at
+    one depth share a logical position (engine.py::_tree_round). Non-tree
+    (fanout <= 1): positions are the slot indices, chain = -1 (visible to
+    every query)."""
+    key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (tg, page), 1)
+    if fanout <= 1:
+        return key_idx, None
+    rel = key_idx - scr
+    in_scr = rel >= 0
+    key_pos = jnp.where(in_scr, scr + rel // fanout, key_idx)
+    key_chain = jnp.where(in_scr, rel % fanout, -1)
+    return key_pos, key_chain
+
+
+def _block_visible(start, page, fanout, scr, pos, window):
+    """Conservative block-level skip test (per-key masking is exact)."""
+    pos_max = jnp.max(pos)
+    if fanout > 1:
+        # the smallest mapped position in this block (tree slots compress:
+        # fanout slots share one position)
+        blk_min = jnp.where(
+            start >= scr, scr + (start - scr) // fanout, start
+        )
+    else:
+        blk_min = start
+    visible = blk_min <= pos_max
+    if window > 0:
+        pos_min = jnp.min(pos)
+        visible = jnp.logical_and(visible, start + page > pos_min - window + 1)
+    return visible
+
+
 def _paged_kernel(
     table_ref,  # [B, maxp] int32 scalar-prefetch (index_map only)
     pos_ref,  # [1, TG, 1] int32 per-q-row absolute positions
+    chain_ref,  # [1, TG, 1] int32 per-q-row chain ids (-1 outside trees)
+    scr_ref,  # [1, TG, 1] int32 per-row scratch start (tree slots region)
     q_ref,  # [1, 1, TG, Dh]
     k_ref,  # [1, 1, pg, Dh] — pool page table_ref[i, n], head j
     v_ref,  # [1, 1, pg, Dh]
@@ -43,6 +81,7 @@ def _paged_kernel(
     scale: float,
     page: int,
     window: int,
+    fanout: int,
 ):
     nb = pl.program_id(2)
     tg = q_ref.shape[2]
@@ -55,11 +94,8 @@ def _paged_kernel(
 
     pos = pos_ref[0]  # [TG, 1]
     start = nb * page  # logical key offset of this page
-    pos_max = jnp.max(pos)
-    visible = start <= pos_max
-    if window > 0:
-        pos_min = jnp.min(pos)
-        visible = jnp.logical_and(visible, start + page > pos_min - window + 1)
+    scr = scr_ref[0][0, 0]  # per-row scalar (replicated across TG)
+    visible = _block_visible(start, page, fanout, scr, pos, window)
 
     @pl.when(visible)
     def _compute():
@@ -73,10 +109,15 @@ def _paged_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [TG, pg]
-        key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (tg, page), 1)
-        mask = key_idx <= pos
+        key_pos, key_chain = _key_coords(start, tg, page, fanout, scr)
+        mask = key_pos <= pos
+        if fanout > 1:
+            qchain = chain_ref[0]  # [TG, 1]
+            mask = jnp.logical_and(
+                mask, jnp.logical_or(key_chain < 0, key_chain == qchain)
+            )
         if window > 0:
-            mask = jnp.logical_and(mask, key_idx > pos - window)
+            mask = jnp.logical_and(mask, key_pos > pos - window)
         scores = jnp.where(mask, scores, NEG_INF)
         _online_block(scores, v_ref[0, 0], m_scr, l_scr, acc_scr)
 
@@ -88,6 +129,8 @@ def _paged_kernel(
 def _paged_kernel_q8(
     table_ref,  # [B, maxp] int32 scalar-prefetch (index_map only)
     pos_ref,  # [1, TG, 1] int32
+    chain_ref,  # [1, TG, 1] int32 per-q-row chain ids (-1 outside trees)
+    scr_ref,  # [1, TG, 1] int32 per-row scratch start
     q_ref,  # [1, 1, TG, Dh]
     k_ref,  # [1, 1, pg, Dh] int8 — pool page table_ref[i, n], head j
     ks_ref,  # [1, 1, pg, 1] bf16 scales
@@ -101,6 +144,7 @@ def _paged_kernel_q8(
     scale: float,
     page: int,
     window: int,
+    fanout: int,
 ):
     """int8 paged variant: pages arrive quantized with per-(token, head)
     scales and are dequantized in VMEM (cf. decode_attention.py
@@ -116,11 +160,8 @@ def _paged_kernel_q8(
 
     pos = pos_ref[0]
     start = nb * page
-    pos_max = jnp.max(pos)
-    visible = start <= pos_max
-    if window > 0:
-        pos_min = jnp.min(pos)
-        visible = jnp.logical_and(visible, start + page > pos_min - window + 1)
+    scr = scr_ref[0][0, 0]
+    visible = _block_visible(start, page, fanout, scr, pos, window)
 
     @pl.when(visible)
     def _compute():
@@ -131,10 +172,15 @@ def _paged_kernel_q8(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
-        key_idx = start + jax.lax.broadcasted_iota(jnp.int32, (tg, page), 1)
-        mask = key_idx <= pos
+        key_pos, key_chain = _key_coords(start, tg, page, fanout, scr)
+        mask = key_pos <= pos
+        if fanout > 1:
+            qchain = chain_ref[0]
+            mask = jnp.logical_and(
+                mask, jnp.logical_or(key_chain < 0, key_chain == qchain)
+            )
         if window > 0:
-            mask = jnp.logical_and(mask, key_idx > pos - window)
+            mask = jnp.logical_and(mask, key_pos > pos - window)
         scores = jnp.where(mask, scores, NEG_INF)
         v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0].astype(jnp.float32)
         _online_block(scores, v, m_scr, l_scr, acc_scr)
@@ -144,8 +190,32 @@ def _paged_kernel_q8(
         o_ref[0, 0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
 
 
+
+
+def _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos):
+    """Per-q-row chain ids + per-row scratch starts, shaped like rowpos.
+
+    Non-tree callers pass None: chains become -1 (every key visible under
+    the plain causal rule) and scratch an unreachable sentinel."""
+    from layerskip_tpu.ops.pallas.decode_attention import _row_positions
+
+    if tree_chain is None:
+        chains = jnp.full_like(rowpos, -1)
+        scr = jnp.full_like(rowpos, jnp.iinfo(jnp.int32).max // 2)
+        return chains, scr
+    chains = _row_positions(tree_chain, b, t, g)
+    scr = _row_positions(
+        jnp.broadcast_to(
+            jnp.asarray(tree_scratch, jnp.int32).reshape(-1, 1), (b, t)
+        ),
+        b, t, g,
+    )
+    return chains, scr
+
+
 @functools.partial(
-    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window", "interpret")
+    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window",
+                              "tree_fanout", "interpret")
 )
 def paged_decode_attention_q8(
     q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
@@ -158,6 +228,9 @@ def paged_decode_attention_q8(
     *,
     q_heads_per_kv: int,
     sliding_window: int = 0,
+    tree_chain: jnp.ndarray = None,  # [B, T] per-query chain ids (tree)
+    tree_scratch: jnp.ndarray = None,  # [] or [B] scratch region start
+    tree_fanout: int = 0,  # chains per depth (static); 0 = no tree
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused short-query GQA attention over an int8 paged KV pool."""
@@ -178,11 +251,14 @@ def paged_decode_attention_q8(
     # decode_attention.py decode_attention_q8)
     ks = k_scale[..., None]
     vs = v_scale[..., None]
+    chains, scrs = _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hkv, maxp),
         in_specs=[
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, page, dh),
@@ -204,7 +280,7 @@ def paged_decode_attention_q8(
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel_q8, scale=1.0 / (dh ** 0.5), page=page,
-            window=int(sliding_window or 0),
+            window=int(sliding_window or 0), fanout=int(tree_fanout or 0),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, tg, dh), q.dtype),
@@ -214,7 +290,7 @@ def paged_decode_attention_q8(
             bytes_accessed=2 * b * maxp * page * hkv * dh,
             transcendentals=b * hkv * tg * maxp * page,
         ),
-    )(table, rowpos, q_rows, k_pool, ks, v_pool, vs)
+    )(table, rowpos, chains, scrs, q_rows, k_pool, ks, v_pool, vs)
 
     return (
         out.reshape(b, hkv, t, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, dh)
@@ -222,7 +298,8 @@ def paged_decode_attention_q8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window", "interpret")
+    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window",
+                              "tree_fanout", "interpret")
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
@@ -233,6 +310,9 @@ def paged_decode_attention(
     *,
     q_heads_per_kv: int,
     sliding_window: int = 0,
+    tree_chain: jnp.ndarray = None,  # [B, T] per-query chain ids (tree)
+    tree_scratch: jnp.ndarray = None,  # [] or [B] scratch region start
+    tree_fanout: int = 0,  # chains per depth (static); 0 = no tree
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused short-query GQA attention over a paged KV pool; [B, T, Hq, Dh]."""
@@ -249,11 +329,14 @@ def paged_decode_attention(
     )
     rowpos = _row_positions(q_positions, b, t, g)
     tg = t * g
+    chains, scrs = _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the page table
         grid=(b, hkv, maxp),
         in_specs=[
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, page, dh),
@@ -271,7 +354,7 @@ def paged_decode_attention(
     out = pl.pallas_call(
         functools.partial(
             _paged_kernel, scale=1.0 / (dh ** 0.5), page=page,
-            window=int(sliding_window or 0),
+            window=int(sliding_window or 0), fanout=int(tree_fanout or 0),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, tg, dh), q.dtype),
@@ -282,7 +365,7 @@ def paged_decode_attention(
             * k_pool.dtype.itemsize,
             transcendentals=b * hkv * tg * maxp * page,
         ),
-    )(table, rowpos, q_rows, k_pool, v_pool)
+    )(table, rowpos, chains, scrs, q_rows, k_pool, v_pool)
 
     return (
         out.reshape(b, hkv, t, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, dh)

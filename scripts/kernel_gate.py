@@ -134,6 +134,57 @@ def check_paged_q8(interpret: bool, t: int, g: int = 2) -> float:
     return _maxerr(got, want)
 
 
+def check_paged_tree(interpret: bool, quant: bool = False,
+                     w: int = 3, k: int = 3, g: int = 2) -> float:
+    """Tree-clause paged attention (verify-window shape) vs the dense XLA
+    tree-mask path on the gathered view."""
+    from layerskip_tpu.ops import attention as attn_mod
+    from layerskip_tpu.ops.pallas.paged_decode import (
+        paged_decode_attention, paged_decode_attention_q8,
+    )
+
+    b, hkv, dh, pg, cap = 2, 2, 128, 128, 256
+    rng = np.random.default_rng(11)
+    kv_k = _mk_paged(b, 6, pg, cap, hkv, dh, seed=7, quant=quant)
+    kv_v = _mk_paged(b, 6, pg, cap, hkv, dh, seed=7, quant=quant)
+    ctx = jnp.asarray([150, 90], jnp.int32)
+    scratch = ctx + 1
+    kv_k = kv_k.write(jnp.asarray(rng.standard_normal((b, 151, hkv, dh)),
+                                  jnp.float32), jnp.zeros((b,), jnp.int32))
+    kv_v = kv_v.write(jnp.asarray(rng.standard_normal((b, 151, hkv, dh)),
+                                  jnp.float32), jnp.zeros((b,), jnp.int32))
+    for d in range(w):
+        kv_k = kv_k.write(jnp.asarray(
+            rng.standard_normal((b, k, hkv, dh)), jnp.float32),
+            scratch + d * k)
+        kv_v = kv_v.write(jnp.asarray(
+            rng.standard_normal((b, k, hkv, dh)), jnp.float32),
+            scratch + d * k)
+    t = 1 + w * k
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    offs = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        1 + jnp.repeat(jnp.arange(w, dtype=jnp.int32), k)])
+    qpos = ctx[:, None] + offs[None, :]
+    q_chain = jnp.broadcast_to(jnp.concatenate([
+        -jnp.ones((1,), jnp.int32),
+        jnp.tile(jnp.arange(k, dtype=jnp.int32), w)])[None], (b, t))
+    if quant:
+        got = paged_decode_attention_q8(
+            q, kv_k.pool, kv_k.scale, kv_v.pool, kv_v.scale, kv_k.table,
+            qpos, q_heads_per_kv=g, tree_chain=q_chain,
+            tree_scratch=scratch, tree_fanout=k, interpret=interpret)
+    else:
+        got = paged_decode_attention(
+            q, kv_k.pool, kv_v.pool, kv_k.table, qpos,
+            q_heads_per_kv=g, tree_chain=q_chain, tree_scratch=scratch,
+            tree_fanout=k, interpret=interpret)
+    want = attn_mod.gqa_attention(
+        q, kv_k.gather_view(jnp.float32), kv_v.gather_view(jnp.float32),
+        qpos, q_heads_per_kv=g, tree_meta=(q_chain, scratch, k))
+    return _maxerr(got, want)
+
+
 def check_quant_matmul(interpret: bool) -> float:
     from layerskip_tpu.ops.pallas.quant_matmul import (
         quant_matmul, quantize_weights,
@@ -193,6 +244,10 @@ def main() -> int:
          lambda: check_paged_q8(args.interpret, t=1), 0.2),
         ("paged_decode_q8_t7",
          lambda: check_paged_q8(args.interpret, t=7), 0.2),
+        ("paged_decode_tree",
+         lambda: check_paged_tree(args.interpret), args.tol),
+        ("paged_decode_tree_q8",
+         lambda: check_paged_tree(args.interpret, quant=True), 0.2),
         ("quant_matmul", lambda: check_quant_matmul(args.interpret), 0.05),
         ("quant_matmul_t", lambda: check_quant_matmul_t(args.interpret), 0.05),
     ]

@@ -556,3 +556,71 @@ def test_prefix_cache_int8_pool_matches_cold():
                             jax.random.PRNGKey(0), engine.cfg.eos_token_ids),
             engine.cfg.eos_token_ids, 10)
         assert results[i] == want, i
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_kernel_tree_matches_dense(quant):
+    """Pallas paged kernels with the tree clause (interpret) == the dense
+    XLA tree-mask path on the gathered view — the serving-side attention
+    for multi-candidate speculation over paged KV."""
+    from layerskip_tpu.ops.pallas.paged_decode import (
+        paged_decode_attention, paged_decode_attention_q8,
+    )
+    from layerskip_tpu.ops.paged_kv import init_paged_group
+
+    b, hkv, g, dh, pg = 2, 2, 2, 128, 128
+    w, k = 3, 3  # depths x chains
+    cfg = tiny_config(num_key_value_heads=hkv, num_attention_heads=hkv * g,
+                      hidden_size=hkv * g * dh)
+    group = init_paged_group(
+        cfg, 1, b, pool_pages=8, page_size=pg, capacity=220,
+        prompt_bucket=16, quant=quant,
+    )
+    kv_k, kv_v = group.k, group.v  # [L=1, ...] leaves
+    kk = jax.tree.map(lambda x: x[0], kv_k)
+    vv = jax.tree.map(lambda x: x[0], kv_v)
+
+    rng = np.random.default_rng(9)
+    ctx = jnp.asarray([150, 90], jnp.int32)  # committed frontiers
+    scratch = ctx + 1
+    # committed prefix + next_tok slot
+    kk = kk.write(jnp.asarray(rng.standard_normal((b, 151, hkv, dh)),
+                              jnp.float32), jnp.zeros((b,), jnp.int32))
+    vv = vv.write(jnp.asarray(rng.standard_normal((b, 151, hkv, dh)),
+                              jnp.float32), jnp.zeros((b,), jnp.int32))
+    # tree scratch: w depth-blocks of k chain slots at scratch + d*k
+    for d in range(w):
+        kk = kk.write(jnp.asarray(rng.standard_normal((b, k, hkv, dh)),
+                                  jnp.float32), scratch + d * k)
+        vv = vv.write(jnp.asarray(rng.standard_normal((b, k, hkv, dh)),
+                                  jnp.float32), scratch + d * k)
+
+    # verify-shaped queries: root + w*k nodes
+    t = 1 + w * k
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    offs = jnp.concatenate([
+        jnp.zeros((1,), jnp.int32),
+        1 + jnp.repeat(jnp.arange(w, dtype=jnp.int32), k)])
+    qpos = ctx[:, None] + offs[None, :]
+    q_chain = jnp.broadcast_to(jnp.concatenate([
+        -jnp.ones((1,), jnp.int32),
+        jnp.tile(jnp.arange(k, dtype=jnp.int32), w)])[None], (b, t))
+
+    if quant:
+        got = paged_decode_attention_q8(
+            q, kk.pool, kk.scale, vv.pool, vv.scale, kk.table, qpos,
+            q_heads_per_kv=g, tree_chain=q_chain, tree_scratch=scratch,
+            tree_fanout=k, interpret=True,
+        )
+    else:
+        got = paged_decode_attention(
+            q, kk.pool, vv.pool, kk.table, qpos,
+            q_heads_per_kv=g, tree_chain=q_chain, tree_scratch=scratch,
+            tree_fanout=k, interpret=True,
+        )
+    want = attn_mod.gqa_attention(
+        q, kk.gather_view(jnp.float32), vv.gather_view(jnp.float32), qpos,
+        q_heads_per_kv=g, tree_meta=(q_chain, scratch, k),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=1e-4)

@@ -614,3 +614,38 @@ def test_latency_stats_recorded(engine):
         cont.stop()
     s2 = cont.latency.summary()
     assert s2["window"] == 3 and s2["per_token_ms"]["p50"] > 0
+
+
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_paged_tree_continuous_matches_ar(engine, kv_quant):
+    """Tree speculation over PAGED KV (bf16 and int8 pools): the continuous
+    session must emit exactly the greedy AR streams — scratch slots map
+    through page tables, the tree mask rides the paged kernels' slot->
+    (position, chain) recovery (XLA fallback on CPU), and the winning
+    chain compacts through the tables."""
+    gen = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, spec_tree_width=3,
+        kv_quant=kv_quant,
+    )
+    prompts = [[3, 17, 52, 9, 30], [5, 9, 30, 8]]
+    want = [
+        postprocess_output(
+            engine.generate(p, GenerationConfig(
+                max_steps=10, sample=False, kv_quant=kv_quant,
+                generation_strategy="autoregressive"),
+                jax.random.PRNGKey(0), [127]), [127], 10)
+        for p in prompts
+    ]
+    sess = engine.continuous_session(
+        gen, batch=2, prompt_bucket=16, eos_ids=[127],
+        paged_pool_pages=48, page_size=16,
+    )
+    sess.insert([0, 1], prompts, seeds=[0, 0])
+    got = {}
+    for _ in range(40):
+        for r, toks, _ in sess.step():
+            got[r] = toks
+        if len(got) == 2:
+            break
+    assert [got[0], got[1]] == want
