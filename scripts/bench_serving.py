@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--max-steps", type=int, default=128)
     ap.add_argument("--exit-layer", type=int, default=8)
     ap.add_argument("--spec", type=int, default=6)
+    ap.add_argument("--tree-width", type=int, default=0,
+                    help="multi-candidate speculation width (composes with "
+                         "--paged/--kv-quant; greedy)")
     ap.add_argument("--quant", action="store_true")
     ap.add_argument("--varied", action="store_true",
                     help="heterogeneous per-request token budgets (32..max)")
@@ -70,7 +73,7 @@ def main():
         max_steps=args.max_steps, sample=False,
         generation_strategy="self_speculative",
         exit_layer=exit_layer, num_speculations=args.spec,
-        kv_quant=args.kv_quant,
+        kv_quant=args.kv_quant, spec_tree_width=args.tree_width,
     )
     system = list(range(7, 7 + args.system_len))  # shared across requests
     prompts = [
@@ -103,7 +106,10 @@ def main():
         # paged KV: more slots, pool capped at the *same token capacity*
         # the static continuous scheduler reserved (batch x (2*pb+steps+W+2))
         # unless --paged-pool-tokens overrides it
-        static_tokens = args.batch * (2 * pb + args.max_steps + args.spec + 2)
+        spec_slack = args.spec * max(args.tree_width, 1)
+        static_tokens = args.batch * (
+            2 * pb + args.max_steps + spec_slack + 2
+        )
         pool_pages = (args.paged_pool_tokens
                       or static_tokens) // args.page_size
         slots = args.paged_slots or 2 * args.batch

@@ -649,3 +649,30 @@ def test_paged_tree_continuous_matches_ar(engine, kv_quant):
         if len(got) == 2:
             break
     assert [got[0], got[1]] == want
+
+
+def test_paged_tree_with_prefix_cache(engine):
+    """Tree speculation composes with prompt-prefix page sharing: a warm
+    stream (shared prefix pages) equals the cold stream exactly."""
+    gen = GenerationConfig(
+        max_steps=8, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3, spec_tree_width=2,
+    )
+    shared = [7] * 16  # one full page of shared prefix (page_size=16)
+    p = shared + [3, 17, 52]
+    sess = engine.continuous_session(
+        gen, batch=2, prompt_bucket=32, eos_ids=[127],
+        paged_pool_pages=64, page_size=16, prefix_cache=True,
+    )
+
+    def run(slot, seed):
+        sess.insert([slot], [p], seeds=[seed])
+        for _ in range(40):
+            for r, toks, _ in sess.step():
+                if r == slot:
+                    return toks
+        raise AssertionError("did not finish")
+
+    cold = run(0, 0)
+    warm = run(1, 0)  # prefix pages now shared from the cache
+    assert cold == warm
