@@ -55,6 +55,12 @@ ITEMS = [
       "--tree-width", "3", "--tail-eps", "0.6", "--max-steps", "256",
       "--repeats", "2"],
      5400.0),
+    ("paged_tree_serving_1b",
+     [sys.executable, "scripts/bench_serving.py", "--config", "1b",
+      "--batch", "4", "--requests", "16", "--max-steps", "128",
+      "--tree-width", "3", "--paged", "--kv-quant", "--skip-gather",
+      "--skip-static"],
+     3600.0),
     ("chunked_admission_stall_1b",
      [sys.executable, "scripts/bench_chunked.py", "--config", "1b",
       "--prompt-bucket", "1024", "--chunk", "128", "--long-prompt", "1024",
