@@ -356,7 +356,11 @@ def run_single(args) -> dict:
 
     def current_result(partial=True) -> dict:
         ar_tps = state["ar_tps"]
-        curve = sorted(state["curve"], key=lambda p: p["tail_eps"])
+        # dedupe by tail_eps keeping the LAST measurement: the headline
+        # re-measure runs the chosen eps again at full repeats, and the
+        # later (higher-repeat) point must win the closest-to-target pick
+        by_eps = {p["tail_eps"]: p for p in state["curve"]}
+        curve = sorted(by_eps.values(), key=lambda p: p["tail_eps"])
         if not curve:
             return {
                 "metric": f"ar_tokens_per_s_{args.config}"
@@ -481,8 +485,9 @@ def run_single(args) -> dict:
             lo = p
         if e > 30.0:
             break
-    for _ in range(5):
-        if hi is None or abs(lo["acceptance"] - target) <= 0.02:
+    for _ in range(8):
+        if hi is None or min(abs(lo["acceptance"] - target),
+                             abs(hi["acceptance"] - target)) <= 0.02:
             break
         if not time_for_another_point():
             break

@@ -195,7 +195,12 @@ def check_quant_matmul(interpret: bool) -> float:
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
     wq, scale = quantize_weights(w)
-    want = x @ (wq.astype(jnp.float32) * scale[None, :])
+    # precision='highest': the default MXU precision truncates fp32 operands
+    # to one bf16 pass, making the *reference* the imprecise side on-chip
+    # (the kernel accumulates fp32) — measured max_abs_err 0.109 vs the
+    # kernel on v5e with the default, 'highest' restores a clean oracle.
+    want = jnp.matmul(x, wq.astype(jnp.float32) * scale[None, :],
+                      precision="highest")
     got = quant_matmul(x, wq, scale, block_m=32, block_n=128, block_k=128,
                        interpret=interpret)
     return _maxerr(got, want)
@@ -210,7 +215,8 @@ def check_quant_matmul_t(interpret: bool) -> float:
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
     qt = quantize_tensor(w, k_last=True)
-    want = x @ jnp.transpose(qt.dequantize(jnp.float32))
+    want = jnp.matmul(x, jnp.transpose(qt.dequantize(jnp.float32)),
+                      precision="highest")  # see check_quant_matmul
     got = quant_matmul_t(x, qt.q, qt.scale, block_m=8, block_n=128,
                          block_k=128, interpret=interpret)
     return _maxerr(got, want)
