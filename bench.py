@@ -177,6 +177,12 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False,
             sshape4 = shape[:-2] + (
                 (shape[-2], kdim // g4) if k_last else (kdim // g4, shape[-1])
             )
+            # quantize_tensor emits nibble-PACKED uint8 (K axis halved) —
+            # S4 cannot cross jit boundaries on this backend (ops/linear.py)
+            qshape4 = (
+                shape[:-1] + (kdim // 2,) if k_last
+                else shape[:-2] + (kdim // 2, shape[-1])
+            )
 
             def bodyq4(i, acc):
                 q_acc, s_acc = acc
@@ -194,7 +200,7 @@ def make_param_builder(cfg, exit_layer: int, quant: bool = False,
 
             q, s = jax.lax.fori_loop(
                 0, shape[0], bodyq4,
-                (jnp.zeros(shape, jnp.int4), jnp.zeros(sshape4, jnp.float32)),
+                (jnp.zeros(qshape4, jnp.uint8), jnp.zeros(sshape4, jnp.float32)),
             )
             return QuantTensor(q=q, scale=s, k_last=k_last, group=g4)
 

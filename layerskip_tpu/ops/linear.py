@@ -16,6 +16,46 @@ import jax.numpy as jnp
 from flax import struct
 
 
+def pack_int4(q: jnp.ndarray, k_last: bool = False) -> jnp.ndarray:
+    """Pack int4 values (any int dtype, range [-8, 7]) two-per-byte along K.
+
+    S4 arrays cannot cross a jit boundary on the axon TPU backend: any
+    ``device_put``/relayout of an S4 argument re-enters jit and recurses
+    (RecursionError, measured on jax 0.9.0 / v5e — even eager device_put
+    fails). int4 weights therefore live as uint8 nibble pairs — identical
+    HBM bytes to XLA's native S4 packing — and are unpacked by
+    ``unpack_int4`` *inside* the consuming program, where the elementwise
+    shift/convert chain fuses into the matmul's operand read.
+
+    Byte ``b`` at packed K-index ``i`` holds element ``2i`` in its low
+    nibble and ``2i+1`` in its high nibble (two's complement).
+    """
+    axis = -1 if k_last else -2
+    k = q.shape[axis]
+    assert k % 2 == 0, f"int4 packing needs even K, got {k}"
+    qn = jnp.asarray(q, jnp.int32) & 0xF
+    lo = jax.lax.slice_in_dim(qn, 0, k, 2, axis=q.ndim + axis)
+    hi = jax.lax.slice_in_dim(qn, 1, k, 2, axis=q.ndim + axis)
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(p: jnp.ndarray, k_last: bool = False) -> jnp.ndarray:
+    """Inverse of ``pack_int4``: uint8 nibble pairs -> int8 values in [-8, 7].
+
+    int8 shifts: ``<< 4`` then ``>> 4`` sign-extends the low nibble
+    (shift_right on signed is arithmetic); ``>> 4`` alone extracts the high
+    nibble with sign. The interleave is a stack+reshape along K.
+    """
+    b = p.astype(jnp.int8)
+    lo = (b << 4) >> 4
+    hi = b >> 4
+    if k_last:  # [..., N, K/2] -> [..., N, K]
+        st = jnp.stack([lo, hi], axis=-1)
+        return st.reshape(*p.shape[:-1], p.shape[-1] * 2)
+    st = jnp.stack([lo, hi], axis=-2)  # [..., K/2, 2, N]
+    return st.reshape(*p.shape[:-2], p.shape[-2] * 2, p.shape[-1])
+
+
 @struct.dataclass
 class QuantTensor:
     """Quantized weights + fp32 scales (int8 per-channel or int4 groupwise).
@@ -25,9 +65,10 @@ class QuantTensor:
 
     ``group == G > 0`` (int4, K-groupwise — per-channel int4 loses too much
     signal, so scales live per (G-long contraction slice, output channel)):
-    q [..., K, N] int4, scale [..., K/G, N] (``k_last``: q [..., N, K],
-    scale [..., N, K/G]). XLA packs int4 two-per-byte in HBM, so decode
-    weight traffic halves again over int8.
+    q is nibble-PACKED uint8 [..., K/2, N] (``k_last``: [..., N, K/2]) —
+    see ``pack_int4`` for why not jnp.int4 — with scale [..., K/G, N]
+    (``k_last``: [..., N, K/G]). Decode weight traffic halves again over
+    int8.
 
     Lives as a pytree node inside LlamaParams, so layer stacking/slicing/
     scan all work unchanged. ``k_last`` mirrors the dense orientation split:
@@ -41,6 +82,12 @@ class QuantTensor:
 
     @property
     def shape(self):
+        """LOGICAL (dense-equivalent) shape — unpacked K for int4."""
+        if self.group:
+            ax = -1 if self.k_last else -2
+            s = list(self.q.shape)
+            s[ax] *= 2
+            return tuple(s)
         return self.q.shape
 
     @property
@@ -54,7 +101,7 @@ class QuantTensor:
     def dequantize(self, dtype=jnp.bfloat16) -> jnp.ndarray:
         if self.group:
             g = self.group
-            qf = self.q.astype(jnp.float32)
+            qf = unpack_int4(self.q, self.k_last).astype(jnp.float32)
             if self.k_last:  # [..., N, K], scale [..., N, K/G]
                 *lead, n, k = qf.shape
                 wf = qf.reshape(*lead, n, k // g, g) * self.scale[..., None]

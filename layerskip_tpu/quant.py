@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from layerskip_tpu.models.llama import LayerParams, LlamaParams
-from layerskip_tpu.ops.linear import QuantTensor
+from layerskip_tpu.ops.linear import QuantTensor, pack_int4
 
 
 def quantize_tensor(
@@ -31,10 +31,12 @@ def quantize_tensor(
     ``k_last=True``:  w is [..., N, K] (HF orientation — wq/wk/wv).
     Works on single and stacked [L, ...] weights alike.
 
-    ``bits=4`` quantizes to jnp.int4 (XLA packs two per HBM byte) with one
-    fp32 scale per (``group``-long K slice, output channel) — per-channel
-    int4 loses too much signal at 15 levels. ``group`` defaults to 128 and
-    clamps to K for small test models; K must divide by it.
+    ``bits=4`` quantizes to nibble-packed uint8 (two int4 per HBM byte —
+    see ops/linear.py::pack_int4 for why not jnp.int4: S4 arrays cannot
+    cross a jit boundary on the axon TPU backend) with one fp32 scale per
+    (``group``-long K slice, output channel) — per-channel int4 loses too
+    much signal at 15 levels. ``group`` defaults to 128 and clamps to K for
+    small test models; K must divide by it.
     """
     assert bits in (8, 4)
     wf = w.astype(jnp.float32)
@@ -58,15 +60,16 @@ def quantize_tensor(
         scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-1) / 7.0, 1e-8)
         q = jnp.clip(jnp.round(wg / scale[..., None]), -7, 7)
         return QuantTensor(
-            q=q.reshape(*lead, n, k).astype(jnp.int4), scale=scale,
-            k_last=True, group=g,
+            q=pack_int4(q.reshape(*lead, n, k).astype(jnp.int8), k_last=True),
+            scale=scale, k_last=True, group=g,
         )
     *lead, _, n = wf.shape
     wg = wf.reshape(*lead, k // g, g, n)  # groups along K
     scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
     q = jnp.clip(jnp.round(wg / scale[..., :, None, :]), -7, 7)
     return QuantTensor(
-        q=q.reshape(*lead, k, n).astype(jnp.int4), scale=scale, group=g,
+        q=pack_int4(q.reshape(*lead, k, n).astype(jnp.int8)), scale=scale,
+        group=g,
     )
 
 
@@ -104,8 +107,9 @@ def quantize_llama_params(
 def quantized_bytes(params: LlamaParams) -> int:
     """Total parameter bytes (for memory/bandwidth accounting).
 
-    int4 counts half a byte per element (XLA packs two per HBM byte;
-    ml_dtypes reports itemsize=1 for the host-side container)."""
+    int4 weights are stored nibble-packed in uint8 (two per byte), so the
+    plain size*itemsize sum is already exact; the jnp.int4 branch is kept
+    for any caller-constructed S4 leaves."""
     total = 0
     for leaf in jax.tree.leaves(params):
         if leaf.dtype == jnp.int4:

@@ -1,0 +1,154 @@
+"""On-chip A/B of int4 dequant-matmul formulations at decode shapes.
+
+The packed-uint8 int4 path (ops/linear.py::unpack_int4) was measured at
+4.36 tok/s for 7B AR decode — 11x slower than bf16 — because the nibble
+interleave (stack+reshape along K) is a data-movement op XLA cannot fuse
+into a dot operand: every step re-materializes the dequantized weights.
+
+Candidate fixes keep the dot operands pure elementwise chains over the
+packed bytes (shift -> convert -> scale), which fuse like the int8 path's
+convert does, and move all strided access onto the tiny activation:
+
+  splitk      out = x[:, 0::2] @ deq(lo) + x[:, 1::2] @ deq(hi)
+              (lo/hi = sign-extended nibble halves, groupwise scale folded
+              into the operand)
+  splitk_post same contraction but per-(G/2)-group batched dots with the
+              scale applied AFTER on the fp32 accumulator (the int8 trick;
+              intermediate [K/G, M, N] is tiny at decode M)
+
+Run serially on the chip:  timeout 3600 python scripts/profile_int4.py
+"""
+
+import argparse
+import functools
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--k", type=int, default=4096)
+    ap.add_argument("--n", type=int, default=11008)
+    ap.add_argument("--m", type=int, default=1)
+    ap.add_argument("--group", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", default="bf16,int8,int4_interleave,"
+                    "int4_splitk,int4_splitk_post")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    L, K, N, M, G = args.layers, args.k, args.n, args.m, args.group
+    g2 = G // 2
+
+    def run_variant(name):
+        key = jax.random.PRNGKey(0)
+
+        if name == "bf16":
+            build = jax.jit(lambda k: jax.random.normal(k, (L, K, N), jnp.bfloat16) * 0.02)
+            w = build(key)
+
+            def apply(h, wl):
+                return h @ wl
+        elif name == "int8":
+            def _b(k):
+                wf = jax.random.normal(k, (L, K, N), jnp.float32) * 0.02
+                s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2) / 127.0, 1e-8)
+                q = jnp.clip(jnp.round(wf / s[:, None, :]), -127, 127).astype(jnp.int8)
+                return q, s
+            w = jax.jit(_b)(key)
+
+            def apply(h, wl):
+                q, s = wl
+                acc = jax.lax.dot_general(h, q.astype(h.dtype),
+                                          (((1,), (0,)), ((), ())),
+                                          preferred_element_type=jnp.float32)
+                return (acc * s).astype(h.dtype)
+        else:  # int4 variants share the packed build
+            def _b(k):
+                wf = jax.random.normal(k, (L, K, N), jnp.float32) * 0.02
+                wg = wf.reshape(L, K // G, G, N)
+                s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
+                q = jnp.clip(jnp.round(wg / s[:, :, None, :]), -7, 7)
+                q = q.reshape(L, K, N).astype(jnp.int32) & 0xF
+                packed = (q[:, 0::2, :] | (q[:, 1::2, :] << 4)).astype(jnp.uint8)
+                return packed, s  # packed [L, K/2, N], s [L, K/G, N]
+            w = jax.jit(_b)(key)
+
+            if name == "int4_interleave":
+                def apply(h, wl):
+                    p, s = wl
+                    b = p.astype(jnp.int8)
+                    lo = (b << 4) >> 4
+                    hi = b >> 4
+                    q = jnp.stack([lo, hi], axis=-2).reshape(K, N)
+                    deq = (q.astype(jnp.float32).reshape(K // G, G, N)
+                           * s[:, None, :]).reshape(K, N).astype(h.dtype)
+                    return h @ deq
+            elif name == "int4_splitk":
+                def apply(h, wl):
+                    p, s = wl  # p [K/2, N], s [K/G, N]
+                    b = p.astype(jnp.int8)
+                    lo = ((b << 4) >> 4).astype(jnp.float32)
+                    hi = (b >> 4).astype(jnp.float32)
+                    k2 = K // 2
+                    dlo = (lo.reshape(k2 // g2, g2, N) * s[:, None, :]
+                           ).reshape(k2, N).astype(h.dtype)
+                    dhi = (hi.reshape(k2 // g2, g2, N) * s[:, None, :]
+                           ).reshape(k2, N).astype(h.dtype)
+                    return h[:, 0::2] @ dlo + h[:, 1::2] @ dhi
+            elif name == "int4_splitk_post":
+                def apply(h, wl):
+                    p, s = wl
+                    b = p.astype(jnp.int8)
+                    k2 = K // 2
+                    lo = ((b << 4) >> 4).reshape(k2 // g2, g2, N).astype(h.dtype)
+                    hi = (b >> 4).reshape(k2 // g2, g2, N).astype(h.dtype)
+                    xe = h[:, 0::2].reshape(M, k2 // g2, g2).transpose(1, 0, 2)
+                    xo = h[:, 1::2].reshape(M, k2 // g2, g2).transpose(1, 0, 2)
+                    dims = (((2,), (1,)), ((0,), (0,)))  # batch over groups
+                    acc = (jax.lax.dot_general(xe, lo, dims,
+                                               preferred_element_type=jnp.float32)
+                           + jax.lax.dot_general(xo, hi, dims,
+                                                 preferred_element_type=jnp.float32))
+                    return jnp.sum(acc * s[:, None, :], axis=0).astype(h.dtype)
+            else:
+                raise SystemExit(f"unknown variant {name}")
+
+        @jax.jit
+        def step(h):
+            def body(c, wl):
+                y = apply(c, wl)
+                return jnp.tanh(y[:, :K]) * 0.5 + c * 0.5, ()
+            if isinstance(w, tuple):
+                c, _ = jax.lax.scan(body, h, w)
+            else:
+                c, _ = jax.lax.scan(body, h, w)
+            return c
+
+        h = jnp.ones((M, K), jnp.bfloat16) * 0.01
+        np.asarray(step(h))  # compile + warm
+        t0 = time.time()
+        for _ in range(args.iters):
+            h = step(h)
+        np.asarray(h)
+        dt = (time.time() - t0) / args.iters
+        # ideal bytes/step read from HBM for the weights
+        wbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
+                     for x in jax.tree.leaves(w))
+        gbs = wbytes / dt / 1e9
+        print(f"[int4ab] {name:18s} {dt*1e3:8.2f} ms/step  "
+              f"{gbs:7.1f} GB/s effective (weights {wbytes/1e9:.2f} GB)",
+              flush=True)
+        del w
+        return dt
+
+    for v in args.variants.split(","):
+        run_variant(v.strip())
+
+
+if __name__ == "__main__":
+    main()

@@ -453,7 +453,7 @@ def test_cli_quantize_flag(tmp_path, capsys):
         if bits == 4:
             import jax.numpy as jnp
 
-            assert params.layers.wq.q.dtype == jnp.int4
+            assert params.layers.wq.q.dtype == jnp.uint8  # nibble-packed
         eng = Engine(params, cfg)
         ar = postprocess_output(eng.generate([3, 5, 9], GenerationConfig(
             max_steps=8, sample=False,

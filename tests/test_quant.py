@@ -130,21 +130,42 @@ def test_quantize_tensor_int4_shapes_and_error():
     rng = np.random.default_rng(5)
     w = jnp.asarray(rng.standard_normal((64, 48)), jnp.float32)
     qt = quantize_tensor(w, bits=4, group=16)
-    assert qt.q.dtype == jnp.int4 and qt.group == 16
-    assert qt.q.shape == (64, 48) and qt.scale.shape == (4, 48)
+    # nibble-packed uint8, two int4 per byte along K (S4 cannot cross a jit
+    # boundary on the axon backend — ops/linear.py::pack_int4)
+    assert qt.q.dtype == jnp.uint8 and qt.group == 16
+    assert qt.q.shape == (32, 48) and qt.scale.shape == (4, 48)
+    assert qt.shape == (64, 48)  # logical (dense-equivalent) shape
     err = np.abs(np.asarray(qt.dequantize(jnp.float32) - w))
     # max error bounded by half an int4 step of the group amax
     assert err.max() < np.abs(np.asarray(w)).max() / 7.0
 
     wt = jnp.asarray(rng.standard_normal((48, 64)), jnp.float32)  # [N, K]
     qtt = quantize_tensor(wt, k_last=True, bits=4, group=16)
-    assert qtt.q.shape == (48, 64) and qtt.scale.shape == (48, 4)
+    assert qtt.q.shape == (48, 32) and qtt.scale.shape == (48, 4)
+    assert qtt.shape == (48, 64)
     errt = np.abs(np.asarray(qtt.dequantize(jnp.float32) - wt))
     assert errt.max() < np.abs(np.asarray(wt)).max() / 7.0
 
     # group clamps to K for small models
     small = quantize_tensor(jnp.ones((8, 8)), bits=4, group=128)
     assert small.group == 8 and small.scale.shape == (1, 8)
+
+
+def test_pack_unpack_int4_roundtrip():
+    from layerskip_tpu.ops.linear import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(7)
+    vals = jnp.asarray(rng.integers(-7, 8, size=(3, 16, 5)), jnp.int8)
+    packed = pack_int4(vals)
+    assert packed.dtype == jnp.uint8 and packed.shape == (3, 8, 5)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)),
+                                  np.asarray(vals))
+
+    valt = jnp.asarray(rng.integers(-7, 8, size=(5, 16)), jnp.int8)
+    packt = pack_int4(valt, k_last=True)
+    assert packt.shape == (5, 8)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packt, k_last=True)),
+                                  np.asarray(valt))
 
 
 def test_apply_weight_int4_matches_dequant_matmul():
@@ -174,7 +195,7 @@ def test_apply_weight_int4_matches_dequant_matmul():
 def test_int4_forward_close_and_greedy_spec_equals_ar(model):
     params, cfg = model
     qparams = quantize_llama_params(params, bits=4, group=16)
-    assert qparams.layers.wq.q.dtype == jnp.int4
+    assert qparams.layers.wq.q.dtype == jnp.uint8
     ids = jnp.asarray([[3, 17, 52, 9, 30]], jnp.int32)
     cache = init_kv_cache(cfg, batch=1, max_len=16)
     fp = llama.forward(params, cfg, ids, cache, jnp.int32(0))
