@@ -55,6 +55,36 @@ ITEMS = [
       "--tree-width", "3", "--tail-eps", "0.6", "--max-steps", "256",
       "--repeats", "2"],
      5400.0),
+    # --- round-3 second wave (after the r3 on-chip capture of 2026-08-19) ---
+    # kernel_gate rerun: the quant-matmul oracle now runs precision='highest'
+    # (commit 3799c1c) — the first run failed on oracle truncation, not the
+    # kernel (max_abs_err 0.109 vs tol 0.05)
+    ("kernel_gate_v2",
+     [sys.executable, "scripts/kernel_gate.py"],
+     3600.0),
+    # int4 rerun after the nibble-packed uint8 representation (S4 cannot
+    # cross a jit boundary on this backend) + split-K dequant formulation
+    ("int4_ar_7b_v2",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--quant", "--quant-bits", "4", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    # tree redo at honest mid acceptance: the first run used tail_eps=0.6,
+    # which collapses acceptance to 0.003 (the curve maps 0.02->0.69,
+    # 0.04->0.44) — measure where multi-candidate drafting plausibly pays
+    ("tree3_7b_eps02",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--tree-width", "3", "--tail-eps", "0.02", "--max-steps", "256",
+      "--repeats", "2"],
+     5400.0),
+    ("tree3_7b_eps04",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--tree-width", "3", "--tail-eps", "0.04", "--max-steps", "256",
+      "--repeats", "2"],
+     5400.0),
+    ("linear_7b_eps04",  # linear-draft control for the tree A/B
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--tail-eps", "0.04", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
     ("paged_tree_serving_1b",
      [sys.executable, "scripts/bench_serving.py", "--config", "1b",
       "--batch", "4", "--requests", "16", "--max-steps", "128",
