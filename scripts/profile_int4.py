@@ -21,19 +21,31 @@ Run serially on the chip:  timeout 3600 python scripts/profile_int4.py
 
 import argparse
 import functools
+import os
 import time
 
 import numpy as np
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
+import sys  # noqa: E402
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--layers", type=int, default=32)
+    # 8 layers x 4096 x 11008 bf16 = 720 MB — far beyond VMEM, so the scan
+    # still streams weights from HBM every step (bandwidth-realistic), but
+    # the one-off param build stays ~50 s over the remote-execution tunnel
+    # (32 layers took >10 min per variant)
+    ap.add_argument("--layers", type=int, default=8)
     ap.add_argument("--k", type=int, default=4096)
     ap.add_argument("--n", type=int, default=11008)
     ap.add_argument("--m", type=int, default=1)
     ap.add_argument("--group", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", default="bf16,int8,int4_interleave,"
                     "int4_splitk,int4_splitk_post")
     args = ap.parse_args()
@@ -115,26 +127,71 @@ def main():
                            + jax.lax.dot_general(xo, hi, dims,
                                                  preferred_element_type=jnp.float32))
                     return jnp.sum(acc * s[:, None, :], axis=0).astype(h.dtype)
+            elif name == "int4_splitk_bf16":
+                # split-K with the dequant chain held in bf16 end to end
+                # (int4 magnitudes are exact in bf16; scales round to bf16,
+                # <0.4% relative) — halves the VPU fp32 traffic of the
+                # scale multiply if the unpack chain is compute-bound
+                def apply(h, wl):
+                    p, s = wl
+                    b = p.astype(jnp.int8)
+                    lo = ((b << 4) >> 4).astype(h.dtype)
+                    hi = (b >> 4).astype(h.dtype)
+                    k2 = K // 2
+                    sb = s.astype(h.dtype)
+                    dlo = (lo.reshape(k2 // g2, g2, N) * sb[:, None, :]
+                           ).reshape(k2, N)
+                    dhi = (hi.reshape(k2 // g2, g2, N) * sb[:, None, :]
+                           ).reshape(k2, N)
+                    return h[:, 0::2] @ dlo + h[:, 1::2] @ dhi
+            elif name == "int4_lib":
+                # the shipped path: ops/linear.py::_qdot split-K over a
+                # stacked QuantTensor sliced per scan step
+                from layerskip_tpu.ops.linear import QuantTensor, _qdot
+
+                def apply(h, wl):
+                    p, s = wl
+                    return _qdot(h, QuantTensor(q=p, scale=s, group=G))
             else:
                 raise SystemExit(f"unknown variant {name}")
 
-        @jax.jit
-        def step(h):
-            def body(c, wl):
-                y = apply(c, wl)
-                return jnp.tanh(y[:, :K]) * 0.5 + c * 0.5, ()
-            if isinstance(w, tuple):
-                c, _ = jax.lax.scan(body, h, w)
-            else:
-                c, _ = jax.lax.scan(body, h, w)
-            return c
+        # the whole repeat loop lives INSIDE one program: per-dispatch RTT
+        # through the remote-execution tunnel is ~6 ms — more than a full
+        # 8-layer bf16 step — so host-side repeat loops measure the tunnel,
+        # not the chip. One dispatch runs iters x L layer matmuls.
+        # weights are an ARGUMENT, never a closure: a closed-over device
+        # array is baked into the HLO as a literal constant, and the remote
+        # compile then ships the whole multi-GB weight blob over the tunnel
+        # (measured: L=32 bf16 "compile" burned >20 min and eventually broke
+        # the compile server's pipe)
+        @functools.partial(jax.jit, static_argnums=2)
+        def run(h, w, iters):
+            def outer(_, c):
+                def body(cc, wl):
+                    y = apply(cc, wl)
+                    return jnp.tanh(y[:, :K]) * 0.5 + cc * 0.5, ()
+                c2, _ = jax.lax.scan(body, c, w)
+                return c2
+            return jax.lax.fori_loop(0, iters, outer, h)
 
+        import sys
+        t_b = time.time()
+        np.asarray(jax.tree.leaves(w)[0][0, :1])  # force the build
+        print(f"[int4ab] {name}: build done {time.time()-t_b:.1f}s",
+              file=sys.stderr, flush=True)
         h = jnp.ones((M, K), jnp.bfloat16) * 0.01
-        np.asarray(step(h))  # compile + warm
+        t_c = time.time()
+        np.asarray(run(h, w, 1))  # compile + warm (iters=1 shares the cache
+        # key shape; static arg recompiles below — warm the big one too)
+        print(f"[int4ab] {name}: 1-iter compiled {time.time()-t_c:.1f}s",
+              file=sys.stderr, flush=True)
+        t_c = time.time()
+        np.asarray(run(h, w, args.iters))
+        print(f"[int4ab] {name}: {args.iters}-iter compiled "
+              f"{time.time()-t_c:.1f}s", file=sys.stderr, flush=True)
         t0 = time.time()
-        for _ in range(args.iters):
-            h = step(h)
-        np.asarray(h)
+        h2 = run(h, w, args.iters)
+        np.asarray(h2)
         dt = (time.time() - t0) / args.iters
         # ideal bytes/step read from HBM for the weights
         wbytes = sum(int(np.prod(x.shape)) * x.dtype.itemsize
