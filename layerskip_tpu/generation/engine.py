@@ -774,30 +774,47 @@ def _spec_round(
     return new_state, window, n
 
 
-def _tree_compact(buf: jnp.ndarray, start: jnp.ndarray, idx: jnp.ndarray):
-    """Gather the winning chain's KV slots and write them contiguously.
+def _tree_compact(
+    buf: jnp.ndarray,
+    start: jnp.ndarray,
+    first: jnp.ndarray,
+    stride: int,
+    w: int,
+):
+    """Move the winning chain's KV slots to the contiguous frontier.
 
     ``buf`` [L, B, S, *rest] (bf16 KV [L, B, S, H, Dh]; int8 QuantKV values
     share the shape and its per-slot scales are [L, B, S, H]); ``start``
-    [B] destination offset; ``idx`` [B, W] absolute source slots. Touches
-    only W slots per layer (a whole-cache gather would cost O(S) HBM
-    traffic per round)."""
+    [B] destination offset; source slots are the AFFINE sequence
+    ``first[b] + d*stride`` for d in [0, w) (= scratch + c_star + d*k —
+    chains are interleaved).
+
+    The affine structure is load-bearing for performance: a general
+    ``take_along_axis`` gather along the non-minor S axis lowered
+    pathologically on v5e — 32.3 ms per round for the four KV buffers
+    (vs 2.5 ms for this formulation), which single-handedly erased tree
+    speculation's acceptance win at 7B (ceiling 78.5 vs linear 129.7
+    tok/s). One contiguous dynamic_slice (span (w-1)*stride+1, inside the
+    W*k scratch slack the cache reserves) + a static strided slice + one
+    dynamic_update_slice per row are all fast-path Mosaic ops. Rows are
+    unrolled (batch is static and small); vmap would re-introduce the
+    gather/scatter lowering (measured 24.5 ms)."""
     lsub, b = buf.shape[:2]
     rest = buf.shape[3:]
-    w = idx.shape[1]
-    ii = idx.astype(jnp.int32).reshape(1, b, w, *(1,) * len(rest))
-    ii = jnp.broadcast_to(ii, (lsub, b, w) + rest)
-    block = jnp.take_along_axis(buf, ii, axis=2)  # [L, B, W, *rest]
-
-    def row(bufb, newb, p):  # [L, S, *rest], [L, W, *rest], scalar
-        zero = jnp.zeros((), jnp.int32)
-        return jax.lax.dynamic_update_slice(
-            bufb, newb, (zero, p) + (zero,) * len(rest)
+    span = (w - 1) * stride + 1
+    zero = jnp.zeros((), jnp.int32)
+    first = first.astype(jnp.int32)
+    start = start.astype(jnp.int32)
+    for r in range(b):
+        blk = jax.lax.dynamic_slice(
+            buf, (zero, jnp.int32(r), first[r]) + (zero,) * len(rest),
+            (lsub, 1, span) + rest,
         )
-
-    return jax.vmap(row, in_axes=(1, 1, 0), out_axes=1)(
-        buf, block.astype(buf.dtype), start.astype(jnp.int32)
-    )
+        blk = jax.lax.slice_in_dim(blk, 0, span, stride, axis=2)
+        buf = jax.lax.dynamic_update_slice(
+            buf, blk, (zero, jnp.int32(r), start[r]) + (zero,) * len(rest)
+        )
+    return buf
 
 
 def _tree_round(
@@ -1083,9 +1100,11 @@ def _tree_round(
     done = s.done | eos_hit | (out_len >= s.steps)
 
     # ---- compact the winning chain's KV into the contiguous frontier ----
+    # source slots are affine: scratch + c_star + d*kk (see _tree_compact)
+    first = scratch + c_star
     src = scratch[:, None] + (
         jnp.arange(w, dtype=jnp.int32) * kk
-    )[None, :] + c_star[:, None]  # [B, W] absolute source slots
+    )[None, :] + c_star[:, None]  # [B, W] absolute source slots (paged path)
 
     def compact(group):
         # contiguous: raw arrays or QuantKV pytrees (values + scales);
@@ -1094,7 +1113,9 @@ def _tree_round(
 
         if isinstance(group, (PagedKV, PagedQuantKV)):
             return group.tree_compact(scratch, src)
-        return jax.tree.map(lambda a: _tree_compact(a, scratch, src), group)
+        return jax.tree.map(
+            lambda a: _tree_compact(a, scratch, first, kk, w), group
+        )
 
     early_after = KVCache(k=compact(ke), v=compact(ve))
     full_after = KVCache(k=compact(kf), v=compact(vf))

@@ -28,21 +28,27 @@ def main():
     ap.add_argument("--quant", action="store_true",
                     help="int8 weight-only params (the VERDICT r2 #4 "
                          "roofline-gap target)")
+    ap.add_argument("--tree-width", type=int, default=0,
+                    help="profile multi-candidate (tree) speculation")
+    ap.add_argument("--tail-eps", type=float, default=0.0,
+                    help="acceptance dial (bench.py semantics)")
     ap.add_argument("--logdir", default="/tmp/lsk_trace")
     args = ap.parse_args()
 
-    from bench import build_config, make_params
+    from bench import build_config, make_param_builder
     from layerskip_tpu.config import GenerationConfig
     from layerskip_tpu.generation.engine import Engine, postprocess_output
 
     cfg = build_config(args.config)
-    params = make_params(cfg, 8, quant=args.quant)
+    params = make_param_builder(cfg, 8, quant=args.quant)(
+        jax.random.PRNGKey(0), args.tail_eps)
     eng = Engine(params, cfg)
     prompt = list(range(5, 37))
     if args.mode == "spec":
         gen_cfg = GenerationConfig(
             generation_strategy="self_speculative", exit_layer=8,
             num_speculations=args.spec, max_steps=args.max_steps, sample=False,
+            spec_tree_width=args.tree_width,
         )
     else:
         gen_cfg = GenerationConfig(
