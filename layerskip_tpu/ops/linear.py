@@ -28,12 +28,21 @@ def pack_int4(q: jnp.ndarray, k_last: bool = False) -> jnp.ndarray:
     shift/convert chain fuses into the matmul's operand read.
 
     Byte ``b`` at packed K-index ``i`` holds element ``2i`` in its low
-    nibble and ``2i+1`` in its high nibble (two's complement).
+    nibble and ``2i+1`` in its high nibble, OFFSET-BINARY (``u = q + 8``,
+    so stored nibbles are unsigned 0..15). Offset binary rather than two's
+    complement because the sign offset then factors out of a matmul as a
+    rank-1 term: ``x @ (u - 8) == x @ u - 8 * row_sums(x)`` — which is what
+    the Pallas "groupdot" kernel variant (ops/pallas/quant_matmul.py)
+    exploits to dot raw unsigned nibbles. (Same trick as AWQ-style
+    unsigned-with-zero-point storage.) The shipping "fused" variant decodes
+    with mask/shift/subtract-8 instead — groupdot lost the v5e A/B (see the
+    post-mortem in quant_matmul.py) — but the storage format serves both
+    and needs no sign-extension ops anywhere.
     """
     axis = -1 if k_last else -2
     k = q.shape[axis]
     assert k % 2 == 0, f"int4 packing needs even K, got {k}"
-    qn = jnp.asarray(q, jnp.int32) & 0xF
+    qn = (jnp.asarray(q, jnp.int32) + 8) & 0xF
     lo = jax.lax.slice_in_dim(qn, 0, k, 2, axis=q.ndim + axis)
     hi = jax.lax.slice_in_dim(qn, 1, k, 2, axis=q.ndim + axis)
     return (lo | (hi << 4)).astype(jnp.uint8)
@@ -42,13 +51,11 @@ def pack_int4(q: jnp.ndarray, k_last: bool = False) -> jnp.ndarray:
 def unpack_int4(p: jnp.ndarray, k_last: bool = False) -> jnp.ndarray:
     """Inverse of ``pack_int4``: uint8 nibble pairs -> int8 values in [-8, 7].
 
-    int8 shifts: ``<< 4`` then ``>> 4`` sign-extends the low nibble
-    (shift_right on signed is arithmetic); ``>> 4`` alone extracts the high
-    nibble with sign. The interleave is a stack+reshape along K.
+    Offset-binary decode: mask/shift the unsigned nibble (logical shift on
+    uint8), subtract 8. The interleave is a stack+reshape along K.
     """
-    b = p.astype(jnp.int8)
-    lo = (b << 4) >> 4
-    hi = b >> 4
+    lo = (p & 0xF).astype(jnp.int8) - 8
+    hi = (p >> 4).astype(jnp.int8) - 8
     if k_last:  # [..., N, K/2] -> [..., N, K]
         st = jnp.stack([lo, hi], axis=-1)
         return st.reshape(*p.shape[:-1], p.shape[-1] * 2)
@@ -128,6 +135,27 @@ def _use_pallas_qmm(m: int) -> bool:
     )
 
 
+_PALLAS_I4MM_MAX_M = 64  # int4 is the OPPOSITE regime of int8: XLA cannot
+# keep the groupwise dequant off the critical path at any M (split-K XLA
+# measures 1.71 ms at 7B-MLP shape vs the Pallas fused kernel's 1.36 ms —
+# in-kernel nibble unpack, packed bytes stream HBM->VMEM once), so the
+# Pallas kernel owns decode-sized M. Above this, prefill-sized M makes the
+# one-off XLA dequant materialization amortize and the whole-block MXU dot
+# win; the kernel also keeps all of M in one block, so huge M would blow
+# VMEM.
+
+
+def _use_pallas_i4mm(m: int, k: int, group: int) -> bool:
+    return (
+        jax.default_backend() == "tpu"
+        and m <= _PALLAS_I4MM_MAX_M
+        and group % 2 == 0
+        and (k // 2) % (group // 2) == 0
+        and os.environ.get("LAYERSKIP_TPU_DISABLE_PALLAS") != "1"
+        and os.environ.get("LAYERSKIP_INT4_XLA") != "1"  # A/B escape hatch
+    )
+
+
 def _qdot(x2: jnp.ndarray, w: QuantTensor) -> jnp.ndarray:
     """[M, K] @ int8 weights with the scale applied AFTER the contraction.
 
@@ -158,9 +186,9 @@ def _qdot(x2: jnp.ndarray, w: QuantTensor) -> jnp.ndarray:
         # [i*G/2, (i+1)*G/2).
         assert w.group % 2 == 0, "split-K int4 needs an even group size"
         g2 = w.group // 2
-        b = w.q.astype(jnp.int8)
-        lo = ((b << 4) >> 4).astype(jnp.float32)
-        hi = (b >> 4).astype(jnp.float32)
+        b = w.q  # uint8, offset-binary nibbles (see pack_int4)
+        lo = (b & 0xF).astype(jnp.float32) - 8.0
+        hi = (b >> 4).astype(jnp.float32) - 8.0
         s = w.scale
         if w.k_last:  # q [N, K/2], scale [N, K/G]
             n, k2 = b.shape
@@ -200,6 +228,10 @@ def apply_weight(x: jnp.ndarray, w) -> jnp.ndarray:
             from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul
 
             out = quant_matmul(x2, w.q, w.scale)
+        elif w.group and _use_pallas_i4mm(x2.shape[0], k, w.group):
+            from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+
+            out = int4_matmul(x2, w.q, w.scale, group=w.group)
         else:
             out = _qdot(x2, w)
         return out.reshape(*lead, -1)
@@ -224,6 +256,10 @@ def apply_weight_t(x: jnp.ndarray, w) -> jnp.ndarray:
             from layerskip_tpu.ops.pallas.quant_matmul import quant_matmul_t
 
             out = quant_matmul_t(x2, w.q, w.scale)
+        elif w.group and _use_pallas_i4mm(x2.shape[0], k, w.group):
+            from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul_t
+
+            out = int4_matmul_t(x2, w.q, w.scale, group=w.group)
         else:
             out = _qdot(x2, w)
         return out.reshape(*lead, -1)

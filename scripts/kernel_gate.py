@@ -222,6 +222,49 @@ def check_quant_matmul_t(interpret: bool) -> float:
     return _maxerr(got, want)
 
 
+def check_int4_matmul(interpret: bool, variant: str) -> float:
+    """In-kernel nibble-unpack dequant matmul vs dequantize oracle.
+
+    bf16 activations (the production dtype): the kernel's dequant chain
+    rounds scale products to bf16, so tolerance is int4-noise-scaled
+    rather than the fp32 5e-3 (int4 quantization error is +-scale/2
+    ~ 3% of weight magnitude; the extra bf16 rounding is ~0.4%)."""
+    from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+    from layerskip_tpu.quant import quantize_tensor
+
+    rng = np.random.default_rng(21)
+    m, k, n = 8, 1792, 768
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    qt = quantize_tensor(w, bits=4, group=128)
+    want = jnp.matmul(x.astype(jnp.float32), qt.dequantize(jnp.float32),
+                      precision="highest")
+    # kp=896 with the Mosaic-aligned bkp=512 -> ragged tail block (384)
+    got = int4_matmul(x, qt.q, qt.scale, group=qt.group,
+                      block_n=256, block_kp=512,
+                      interpret=interpret, variant=variant)
+    return _maxerr(got.astype(jnp.float32), want)
+
+
+def check_int4_matmul_t(interpret: bool, variant: str) -> float:
+    from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul_t
+    from layerskip_tpu.quant import quantize_tensor
+
+    rng = np.random.default_rng(23)
+    m, k, n = 7, 1024, 512
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    qt = quantize_tensor(w, k_last=True, bits=4, group=128)
+    want = jnp.matmul(x.astype(jnp.float32),
+                      jnp.transpose(qt.dequantize(jnp.float32)),
+                      precision="highest")
+    # block_kp=448 self-aligns to 384 -> ragged tail (kp=512 = 384 + 128)
+    got = int4_matmul_t(x, qt.q, qt.scale, group=qt.group,
+                        block_n=256, block_kp=448,
+                        interpret=interpret, variant=variant)
+    return _maxerr(got.astype(jnp.float32), want)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--interpret", action="store_true")
@@ -256,6 +299,16 @@ def main() -> int:
          lambda: check_paged_tree(args.interpret, quant=True), 0.2),
         ("quant_matmul", lambda: check_quant_matmul(args.interpret), 0.05),
         ("quant_matmul_t", lambda: check_quant_matmul_t(args.interpret), 0.05),
+        # int4: bf16 activations; tolerance covers bf16 rounding of the
+        # dequant products (values ~ sqrt(K) with unit-variance inputs)
+        ("int4_matmul_fused",
+         lambda: check_int4_matmul(args.interpret, "fused"), 1.5),
+        ("int4_matmul_bittrick",
+         lambda: check_int4_matmul(args.interpret, "bittrick"), 1.5),
+        ("int4_matmul_t_fused",
+         lambda: check_int4_matmul_t(args.interpret, "fused"), 1.5),
+        ("int4_matmul_t_bittrick",
+         lambda: check_int4_matmul_t(args.interpret, "bittrick"), 1.5),
     ]
     if args.long:
         checks.append((

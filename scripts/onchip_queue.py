@@ -95,7 +95,29 @@ ITEMS = [
      [sys.executable, "scripts/bench_chunked.py", "--config", "1b",
       "--prompt-bucket", "1024", "--chunk", "128", "--long-prompt", "1024",
       "--max-steps", "96"],
-     3600.0),
+     5400.0),
+    # --- round-4 third wave ---
+    # int4 e2e after the Pallas fused dequant-matmul kernel landed in the
+    # decode dispatch (ops/linear.py::_use_pallas_i4mm; per-op 1.36 ms vs
+    # XLA split-K 1.71 at 8x4096x11008 — prior e2e was 36.4 tok/s AR)
+    ("int4_ar_7b_v3",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--quant", "--quant-bits", "4", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    # int8 spec at the production operating point (acc ~0.8; the r3 int8
+    # spec number was at acc 0.97 — not the honest operating point)
+    ("int8_spec_7b_eps0124",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--quant", "--tail-eps", "0.0124", "--max-steps", "256",
+      "--repeats", "2"],
+     5400.0),
+    # adaptive drafting A/B at the headline operating point (r4 plan (c)):
+    # does confidence-gated draft exit beat fixed spec=6 at acc ~0.8?
+    ("adaptive_ab_7b_headline",
+     [sys.executable, "scripts/bench_adaptive.py", "--config", "7b",
+      "--eps", "0.0124", "--taus", "0.0", "0.4", "0.7",
+      "--max-steps", "256"],
+     5400.0),
 ]
 
 

@@ -48,6 +48,10 @@ def main():
     ap.add_argument("--iters", type=int, default=50)
     ap.add_argument("--variants", default="bf16,int8,int4_interleave,"
                     "int4_splitk,int4_splitk_post")
+    ap.add_argument("--blk-n", type=int, default=512,
+                    help="int4_pallas* block_n")
+    ap.add_argument("--blk-kp", type=int, default=512,
+                    help="int4_pallas* block_kp")
     args = ap.parse_args()
 
     import jax
@@ -85,7 +89,8 @@ def main():
                 wg = wf.reshape(L, K // G, G, N)
                 s = jnp.maximum(jnp.max(jnp.abs(wg), axis=-2) / 7.0, 1e-8)
                 q = jnp.clip(jnp.round(wg / s[:, :, None, :]), -7, 7)
-                q = q.reshape(L, K, N).astype(jnp.int32) & 0xF
+                # offset-binary nibbles (u = q + 8), matching pack_int4
+                q = (q.reshape(L, K, N).astype(jnp.int32) + 8) & 0xF
                 packed = (q[:, 0::2, :] | (q[:, 1::2, :] << 4)).astype(jnp.uint8)
                 return packed, s  # packed [L, K/2, N], s [L, K/G, N]
             w = jax.jit(_b)(key)
@@ -93,9 +98,8 @@ def main():
             if name == "int4_interleave":
                 def apply(h, wl):
                     p, s = wl
-                    b = p.astype(jnp.int8)
-                    lo = (b << 4) >> 4
-                    hi = b >> 4
+                    lo = (p & 0xF).astype(jnp.int8) - 8
+                    hi = (p >> 4).astype(jnp.int8) - 8
                     q = jnp.stack([lo, hi], axis=-2).reshape(K, N)
                     deq = (q.astype(jnp.float32).reshape(K // G, G, N)
                            * s[:, None, :]).reshape(K, N).astype(h.dtype)
@@ -103,9 +107,8 @@ def main():
             elif name == "int4_splitk":
                 def apply(h, wl):
                     p, s = wl  # p [K/2, N], s [K/G, N]
-                    b = p.astype(jnp.int8)
-                    lo = ((b << 4) >> 4).astype(jnp.float32)
-                    hi = (b >> 4).astype(jnp.float32)
+                    lo = (p & 0xF).astype(jnp.float32) - 8.0
+                    hi = (p >> 4).astype(jnp.float32) - 8.0
                     k2 = K // 2
                     dlo = (lo.reshape(k2 // g2, g2, N) * s[:, None, :]
                            ).reshape(k2, N).astype(h.dtype)
@@ -115,10 +118,11 @@ def main():
             elif name == "int4_splitk_post":
                 def apply(h, wl):
                     p, s = wl
-                    b = p.astype(jnp.int8)
                     k2 = K // 2
-                    lo = ((b << 4) >> 4).reshape(k2 // g2, g2, N).astype(h.dtype)
-                    hi = (b >> 4).reshape(k2 // g2, g2, N).astype(h.dtype)
+                    lo = ((p & 0xF).reshape(k2 // g2, g2, N).astype(h.dtype)
+                          - 8)
+                    hi = ((p >> 4).reshape(k2 // g2, g2, N).astype(h.dtype)
+                          - 8)
                     xe = h[:, 0::2].reshape(M, k2 // g2, g2).transpose(1, 0, 2)
                     xo = h[:, 1::2].reshape(M, k2 // g2, g2).transpose(1, 0, 2)
                     dims = (((2,), (1,)), ((0,), (0,)))  # batch over groups
@@ -134,9 +138,8 @@ def main():
                 # scale multiply if the unpack chain is compute-bound
                 def apply(h, wl):
                     p, s = wl
-                    b = p.astype(jnp.int8)
-                    lo = ((b << 4) >> 4).astype(h.dtype)
-                    hi = (b >> 4).astype(h.dtype)
+                    lo = (p & 0xF).astype(h.dtype) - 8
+                    hi = (p >> 4).astype(h.dtype) - 8
                     k2 = K // 2
                     sb = s.astype(h.dtype)
                     dlo = (lo.reshape(k2 // g2, g2, N) * sb[:, None, :]
@@ -144,6 +147,48 @@ def main():
                     dhi = (hi.reshape(k2 // g2, g2, N) * sb[:, None, :]
                            ).reshape(k2, N)
                     return h[:, 0::2] @ dlo + h[:, 1::2] @ dhi
+            elif name == "int4_pallas":
+                # ops/pallas/quant_matmul.py::int4_matmul — nibble unpack
+                # INSIDE the kernel: packed bytes stream HBM->VMEM once,
+                # VPU decodes + scales in VMEM, two sub-dots accumulate in
+                # fp32 scratch. Runs the shipping default variant (fused —
+                # won the v5e A/B; see the kernel-header post-mortem).
+                from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+
+                def apply(h, wl):
+                    p, s = wl
+                    return int4_matmul(h, p, s, group=G,
+                                       block_n=args.blk_n,
+                                       block_kp=args.blk_kp)
+            elif name == "int4_pallas_groupdot":
+                # A/B variant: scale + sign offset off the per-element path
+                # (unsigned-nibble sub-dots per scale group, rank-1 sign
+                # correction). Lost on v5e: 1.66 ms vs fused 1.36.
+                from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+
+                def apply(h, wl):
+                    p, s = wl
+                    return int4_matmul(h, p, s, group=G, variant="groupdot",
+                                       block_n=args.blk_n,
+                                       block_kp=args.blk_kp)
+            elif name == "int4_pallas_bittrick":
+                # fp-bit-trick decode (0x4300|u bitcast to bf16 == 128+u):
+                # ~5 vector ops/element vs fused's ~11
+                from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+
+                def apply(h, wl):
+                    p, s = wl
+                    return int4_matmul(h, p, s, group=G, variant="bittrick",
+                                       block_n=args.blk_n,
+                                       block_kp=args.blk_kp)
+            elif name == "int4_pallas_fused16":
+                from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+
+                def apply(h, wl):
+                    p, s = wl
+                    return int4_matmul(h, p, s, group=G, variant="fused16",
+                                       block_n=args.blk_n,
+                                       block_kp=args.blk_kp)
             elif name == "int4_lib":
                 # the shipped path: ops/linear.py::_qdot split-K over a
                 # stacked QuantTensor sliced per scan step

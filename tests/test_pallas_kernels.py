@@ -127,3 +127,75 @@ def test_flash_prefill_sliding_window():
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-5, rtol=2e-5)
 
+
+
+@pytest.mark.parametrize("variant", ["fused", "groupdot"])
+@pytest.mark.parametrize("m,k,n,bn,bkp,group", [
+    # wrappers self-align blocks to Mosaic tile rules (lane % 128 == 0,
+    # scale sublane % 8 == 0) — small groups keep multi-block K legal
+    (1, 512, 384, 128, 128, 16),   # multi-block N and K (align 128)
+    (8, 512, 384, 384, 256, 128),  # single cell (bkp == kp)
+    (7, 896, 256, 128, 128, 32),   # ragged Kp tail (448 = 3*128 + 64)
+])
+def test_int4_matmul_matches_dequant(m, k, n, bn, bkp, group, variant):
+    """In-kernel nibble unpack == QuantTensor.dequantize oracle.
+
+    The oracle matmul must run precision='highest': at the default MXU
+    precision fp32 operands truncate to one bf16 pass and the ORACLE
+    becomes the imprecise side (the kernel accumulates fp32) — the same
+    trap scripts/kernel_gate.py documents for quant_matmul.
+    """
+    from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+    from layerskip_tpu.quant import quantize_tensor
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    qt = quantize_tensor(w, bits=4, group=group)
+    want = np.asarray(jnp.matmul(x, qt.dequantize(jnp.float32),
+                                 precision="highest"))
+    got = np.asarray(int4_matmul(x, qt.q, qt.scale, group=qt.group,
+                                 block_n=bn, block_kp=bkp, interpret=True,
+                                 variant=variant))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+@pytest.mark.parametrize("variant", ["fused", "groupdot"])
+@pytest.mark.parametrize("m,k,n,bn,bkp,group", [
+    (1, 512, 384, 128, 128, 16),   # multi-block N and K
+    (8, 896, 320, 320, 128, 32),   # ragged Kp (448 = 3*128 + 64), bn = n
+])
+def test_int4_matmul_t_matches_dequant(m, k, n, bn, bkp, group, variant):
+    """Transposed ([out, in] packed) variant vs dequantize oracle."""
+    from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul_t
+    from layerskip_tpu.quant import quantize_tensor
+
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((n, k)), jnp.float32)
+    qt = quantize_tensor(w, k_last=True, bits=4, group=group)
+    want = np.asarray(jnp.matmul(
+        x, jnp.transpose(qt.dequantize(jnp.float32)), precision="highest"))
+    got = np.asarray(int4_matmul_t(x, qt.q, qt.scale, group=qt.group,
+                                   block_n=bn, block_kp=bkp, interpret=True,
+                                   variant=variant))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_int4_matmul_bf16_activation():
+    """Production dtype: bf16 activations, output rounds to bf16 only once."""
+    from layerskip_tpu.ops.pallas.quant_matmul import int4_matmul
+    from layerskip_tpu.quant import quantize_tensor
+
+    rng = np.random.default_rng(17)
+    m, k, n = 4, 512, 256
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    qt = quantize_tensor(w, bits=4, group=128)
+    want = np.asarray(jnp.matmul(x.astype(jnp.float32),
+                                 qt.dequantize(jnp.float32),
+                                 precision="highest"))
+    got = np.asarray(int4_matmul(x, qt.q, qt.scale, group=qt.group,
+                                 interpret=True)).astype(np.float32)
+    # bf16 output rounding (~0.4% relative) + bf16 dequant operand rounding
+    np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)
