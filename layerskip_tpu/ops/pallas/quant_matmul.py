@@ -252,14 +252,31 @@ def _align_bn(block_n: int, n: int) -> int:
     return bn if bn >= 128 else n
 
 
+def _pad_m(xe: jnp.ndarray, xo: jnp.ndarray, m: int):
+    """Zero-pad the activation rows up to one full 8-sublane tile.
+
+    Mosaic cannot compile the ragged-K masking at M < 8 ("Not implemented:
+    Sublane broadcast", hit on-chip at M=1 — the AR-decode case; M=7/8
+    compile fine). Padding M to the tile the hardware processes anyway is
+    free on the MXU, and the pad rows produce pad output rows the wrapper
+    slices off."""
+    if m >= 8:
+        return xe, xo, m
+    pad = jnp.zeros((8 - m, xe.shape[1]), xe.dtype)
+    return (jnp.concatenate([xe, pad]), jnp.concatenate([xo, pad]), 8)
+
+
 def _align_bkp(block_kp: int, kp: int, g2: int, scale_blocked: bool) -> int:
     """Largest legal packed-K block <= block_kp.
 
     Lane of the x/weight blocks needs bkp % 128 == 0; group alignment needs
     bkp % g2 == 0; and when the SCALE is K-blocked too (non-transposed
     kernel), its sublane needs bkp/g2 % 8 == 0, i.e. bkp % (8*g2) == 0.
-    A block spanning the whole dimension is legal regardless."""
-    bkp = min(block_kp, kp)
+    A block spanning the whole dimension is legal regardless. Capped at
+    2048: the fused variant materializes 2 * bkp * bn fp32 dequant blocks
+    in VMEM (bkp=5504 whole-K at bn=512 is ~22 MB — VMEM overflow, probed
+    on-chip; the bkp in {256..1024} sweep was perf-flat anyway)."""
+    bkp = min(block_kp, kp, 2048)
     if bkp >= kp:
         return kp
     align = math.lcm(8 * g2 if scale_blocked else g2, 128)
@@ -437,22 +454,23 @@ def int4_matmul(
     bkp = _align_bkp(block_kp, kp, g2, scale_blocked=True)
     k_blocks = pl.cdiv(kp, bkp)
     xe, xo = x[:, 0::2], x[:, 1::2]  # [M, Kp] each
+    xe, xo, mp = _pad_m(xe, xo, m)
     grid = (pl.cdiv(n, bn), k_blocks)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_i4mm_kernel, k_blocks=k_blocks, kp_total=kp,
                           g2=g2, variant=variant, interp=interpret),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
             pl.BlockSpec((bkp, bn), lambda j, kb: (kb, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((bkp // g2, bn), lambda j, kb: (kb, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda j, kb: (0, j),
+        out_specs=pl.BlockSpec((mp, bn), lambda j, kb: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((mp, bn), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
@@ -461,6 +479,7 @@ def int4_matmul(
             transcendentals=0,
         ),
     )(xe, xo, q_packed, scale)
+    return out[:m] if mp != m else out
 
 
 def _i4mm_t_kernel(
@@ -571,23 +590,24 @@ def int4_matmul_t(
     bkp = _align_bkp(block_kp, kp, g2, scale_blocked=False)
     k_blocks = pl.cdiv(kp, bkp)
     xe, xo = x[:, 0::2], x[:, 1::2]
+    xe, xo, mp = _pad_m(xe, xo, m)
     grid = (pl.cdiv(n, bn), k_blocks)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_i4mm_t_kernel, k_blocks=k_blocks, kp_total=kp,
                           g2=g2, variant=variant, interp=interpret),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
+            pl.BlockSpec((mp, bkp), lambda j, kb: (0, kb), memory_space=pltpu.VMEM),
             pl.BlockSpec((bn, bkp), lambda j, kb: (j, kb), memory_space=pltpu.VMEM),
             # full scale strip per N-block (lane = kpg = array dim: legal)
             pl.BlockSpec((bn, kpg), lambda j, kb: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda j, kb: (0, j),
+        out_specs=pl.BlockSpec((mp, bn), lambda j, kb: (0, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((mp, n), x.dtype),
+        scratch_shapes=[pltpu.VMEM((mp, bn), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
@@ -596,3 +616,4 @@ def int4_matmul_t(
             transcendentals=0,
         ),
     )(xe, xo, q_packed, scale)
+    return out[:m] if mp != m else out

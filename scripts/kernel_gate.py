@@ -233,7 +233,9 @@ def check_int4_matmul(interpret: bool, variant: str) -> float:
     from layerskip_tpu.quant import quantize_tensor
 
     rng = np.random.default_rng(21)
-    m, k, n = 8, 1792, 768
+    # M=1 is the AR-decode case AND the Mosaic trap (sublane-broadcast
+    # failure at M<8 + ragged K — the wrapper pads M to the 8-sublane tile)
+    m, k, n = 1, 1792, 768
     x = jnp.asarray(rng.standard_normal((m, k)), jnp.bfloat16)
     w = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
     qt = quantize_tensor(w, bits=4, group=128)
