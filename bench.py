@@ -344,13 +344,14 @@ def run_single(args) -> dict:
     sp_cfg = GenerationConfig(
         generation_strategy="self_speculative", exit_layer=exit_layer,
         num_speculations=args.spec, draft_exit_prob=args.draft_exit_prob,
-        spec_tree_width=args.tree_width,
+        spec_tree_width=args.tree_width, draft_quant=args.draft_quant,
         **common
     )
     metric_base = (
         f"selfspec_speedup_vs_ar_{args.config}"
         + (f"_int{args.quant_bits}" if args.quant else "")
         + (f"_tree{args.tree_width}" if args.tree_width > 1 else "")
+        + (f"_dq{args.draft_quant}" if args.draft_quant else "")
         + f"_exit{exit_layer}_spec{args.spec}"
     )
     target = TARGET_ACCEPTANCE
@@ -539,6 +540,9 @@ def parse_args(argv=None):
                     help="multi-candidate speculation: k draft chains "
                          "branching at each round's first token (greedy "
                          "only; 0 = linear drafting)")
+    ap.add_argument("--draft-quant", type=int, default=0, choices=(0, 8, 4),
+                    help="draft with an int8/int4 copy of the early layers; "
+                         "verify stays full bf16 (greedy output unchanged)")
     ap.add_argument("--draft-exit-prob", type=float, default=0.0,
                     help="confidence-adaptive drafting threshold (0 = "
                          "always draft the full window)")

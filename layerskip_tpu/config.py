@@ -214,3 +214,9 @@ class GenerationConfig:
     # and verify in ONE full-model pass — nearly free on a bandwidth-bound
     # TPU decode. 0/1 = linear drafting; self_speculative only.
     spec_tree_width: int = 0
+    # quantized drafter (net-new): draft the window with an int8 (8) or
+    # groupwise-int4 (4) copy of layers [0, exit_layer) while verifying
+    # through the full bf16 stack — greedy output stays bit-identical to
+    # bf16 AR (quant.quantize_draft_params). 0 = draft with base weights.
+    # self_speculative linear drafting only; no-op on quantized bases.
+    draft_quant: int = 0

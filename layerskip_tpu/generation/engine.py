@@ -396,12 +396,15 @@ def spec_generate(
     pld_ngram: int = 0,
     hybrid: bool = False,
     tree_width: int = 0,
+    draft_params: Optional[LlamaParams] = None,
 ) -> GenerateOutput:
     """Whole self-speculative generation as one XLA program.
 
     One loop iteration = one draft+verify round (reference
     ``single_step_speculation``, self_speculation_generator.py:102-229).
     """
+    assert draft_params is None or tree_width <= 1, \
+        "draft_params is not wired into tree speculation"
     e, w = exit_layer, num_speculations
     state = _spec_prefill(
         params, cfg, ids, true_len, rng,
@@ -427,7 +430,7 @@ def spec_generate(
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
-                hybrid=hybrid,
+                hybrid=hybrid, draft_params=draft_params,
             )
         return s
 
@@ -454,6 +457,7 @@ def _spec_round(
     draft_exit_prob: float = 0.0,
     pld_ngram: int = 0,
     hybrid: bool = False,
+    draft_params: Optional[LlamaParams] = None,
 ) -> Tuple[_SpecState, jnp.ndarray, jnp.ndarray]:
     """One draft+verify round (reference ``single_step_speculation``,
     self_speculation_generator.py:102-229). Returns
@@ -479,6 +483,9 @@ def _spec_round(
     and sampling stays distribution-correct. Verification runs the
     stitched window through ALL layers via ``forward_split`` (there is no
     draft/exit split to exploit)."""
+    assert draft_params is None or (
+        draft_exit_prob <= 0.0 and pld_ngram == 0 and not hybrid
+    ), "draft_params applies only to the static early-exit draft path"
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
     v_size = cfg.vocab_size
@@ -521,10 +528,28 @@ def _spec_round(
     def _model_draft_verify():
         """Early-exit draft scan + remainder verify, as one unit (the
         self-speculative hot path). Same return tuple as
-        ``_pld_draft_verify``."""
+        ``_pld_draft_verify``.
+
+        With ``draft_params`` (a quantized copy of the draft layer group,
+        quant.quantize_draft_params — net-new, no reference counterpart):
+        the draft scan reads the cheap weights, but the verify must NOT
+        reuse the draft's exit hiddens (they came through quantized
+        layers — feeding them to ``forward_remainder`` would verify
+        against a hybrid-precision model, silently changing outputs).
+        Instead the stitched window re-runs the FULL bf16 stack via
+        ``forward_split`` — exactly the prompt-lookup verify — so
+        committed tokens are judged by the exact base model: greedy
+        draft-quant spec == greedy bf16 AR, and the early KV for
+        committed positions is rewritten by the bf16 pass (draft-step KV
+        within the round is quantized-derived, which only nudges draft
+        quality, never correctness). The extra cost is E re-run layers in
+        the verify; the saving is W draft passes at ~bits/16 the weight
+        bytes — net positive whenever W >= ~2 at int8."""
+        dparams = params if draft_params is None else draft_params
+
         def dstep(carry, i):
             early, tok, rng, hist = carry
-            r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
+            r = llama.forward_early(dparams, cfg, tok, early, s.ctx + i, e)
             key, rng = _split_rows(rng)
             logits = ban(r.logits[:, -1], hist, hist_len0 + i)
             probs = token_distribution(logits, scfg)  # [B, V]
@@ -539,12 +564,20 @@ def _spec_round(
         )
         drafts = jnp.transpose(d_toks)  # [B, W]
         p_draft = jnp.transpose(d_probs, (1, 0, 2))  # [B, W, V]
-        exit_hidden = jnp.transpose(exit_h, (1, 0, 2))  # [B, W, D]
         w_dyn = jnp.full((b,), w, jnp.int32)  # every row drafts the full W
-        vres = llama.forward_remainder(
-            params, cfg, last_inp, exit_hidden, early, s.full,
-            draft_len=s.ctx + w, full_len=s.ctx, exit_layer=e,
-        )
+        if draft_params is not None:
+            # full-stack bf16 verify from s.early/s.full at s.ctx — the
+            # draft scan's quantized-derived early KV advance is discarded
+            window_ids = jnp.concatenate([s.next_tok, drafts], axis=1)
+            vres = llama.forward_split(
+                params, cfg, window_ids, s.early, s.full, s.ctx, e
+            )
+        else:
+            exit_hidden = jnp.transpose(exit_h, (1, 0, 2))  # [B, W, D]
+            vres = llama.forward_remainder(
+                params, cfg, last_inp, exit_hidden, early, s.full,
+                draft_len=s.ctx + w, full_len=s.ctx, exit_layer=e,
+            )
         return (drafts, p_draft, hist, w_dyn, rng,
                 vres.logits, vres.early_cache, vres.full_cache)
 
@@ -1384,6 +1417,10 @@ class Engine:
     def __init__(self, params: LlamaParams, cfg: ModelConfig,
                  mesh=None, kv_shard_axis: Optional[str] = None,
                  exec_cache_size: Optional[int] = None):
+        # quantized draft-layer-group copies, keyed (exit_layer, bits) —
+        # built once per engine (int8 at 7B E=8 holds ~1.6 GB of HBM).
+        # Declared before ``params`` (whose setter invalidates it).
+        self._draft_cache: dict = {}
         self.params = params
         self.cfg = cfg
         # sequence-sharded decode: shard the KV sequence dim over
@@ -1403,6 +1440,47 @@ class Engine:
             exec_cache_size = int(os.environ.get("LAYERSKIP_EXEC_CACHE", 64))
         self._exec_cache = _LRUCache(exec_cache_size)
         self._stepped_cache = _LRUCache(exec_cache_size)
+
+    @property
+    def params(self) -> LlamaParams:
+        return self._params
+
+    @params.setter
+    def params(self, value) -> None:
+        # swapping weights (bench.py tail_eps sweeps) must drop the
+        # quantized draft copies built from the OLD weights
+        self._params = value
+        self._draft_cache.clear()
+
+    def _resolve_draft_quant(self, gen_cfg, strategy: str,
+                             tree_width: int) -> int:
+        """Effective draft_quant bits for this request: only the linear
+        early-exit draft path drafts with a separate weight copy, and a
+        base model that is ALREADY quantized drafts cheaply as-is."""
+        draft_quant = int(getattr(gen_cfg, "draft_quant", 0) or 0)
+        if strategy != "self_speculative" or tree_width > 1:
+            return 0
+        if draft_quant:
+            from layerskip_tpu.ops.linear import QuantTensor
+
+            assert not gen_cfg.draft_exit_prob, \
+                "draft_quant excludes adaptive drafting"
+            if isinstance(self.params.layers.wq, QuantTensor):
+                return 0
+        return draft_quant
+
+    def _draft_params(self, exit_layer: int, bits: int):
+        """Quantized copy of layers [0, exit_layer) for cheap drafting
+        (GenerationConfig.draft_quant; see quant.quantize_draft_params)."""
+        key = (exit_layer, bits)
+        if key not in self._draft_cache:
+            from layerskip_tpu.quant import quantize_draft_params
+
+            group = 0 if bits == 8 else 128
+            self._draft_cache[key] = quantize_draft_params(
+                self.params, exit_layer, bits=bits, group=group
+            )
+        return self._draft_cache[key]
 
     def _trace_ctx(self):
         """Context active around compiled-fn calls: the mesh (for bare-
@@ -1434,10 +1512,11 @@ class Engine:
         draft_exit_prob: float = 0.0,
         pld_ngram: int = 0,
         tree_width: int = 0,
+        draft_quant: int = 0,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant,
-               draft_exit_prob, pld_ngram, tree_width)
+               draft_exit_prob, pld_ngram, tree_width, draft_quant)
         if key in self._exec_cache:
             return self._exec_cache[key]
         # tree speculation parks k interleaved chains past the frontier
@@ -1451,7 +1530,7 @@ class Engine:
         if strategy in ("self_speculative", "prompt_lookup", "hybrid"):
             pld = pld_ngram if strategy in ("prompt_lookup", "hybrid") else 0
 
-            def fn(params, ids, true_len, rng):
+            def fn(params, draft, ids, true_len, rng):
                 return spec_generate(
                     params, self.cfg, ids, true_len, rng,
                     max_steps=max_steps, exit_layer=exit_layer,
@@ -1459,12 +1538,13 @@ class Engine:
                     eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
                     kv_quant=kv_quant, draft_exit_prob=draft_exit_prob,
                     pld_ngram=pld, hybrid=(strategy == "hybrid"),
-                    tree_width=tree_width,
+                    tree_width=tree_width, draft_params=draft,
                 )
 
         elif strategy == "autoregressive":
 
-            def fn(params, ids, true_len, rng):
+            def fn(params, draft, ids, true_len, rng):
+                del draft  # AR has no draft pass
                 return ar_generate(
                     params, self.cfg, ids, true_len, rng,
                     max_steps=max_steps, exit_layer=exit_layer, scfg=scfg,
@@ -1527,6 +1607,7 @@ class Engine:
         if bucket + max_steps > cap:
             # keep positions inside the model's trained RoPE range
             max_steps = max(cap - bucket, 1)
+        draft_quant = self._resolve_draft_quant(gen_cfg, strategy, tree_width)
         fn = self._compiled(
             strategy, bucket, b, max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
@@ -1534,12 +1615,16 @@ class Engine:
             float(gen_cfg.draft_exit_prob or 0.0),
             int(gen_cfg.pld_ngram or 0),
             tree_width,
+            draft_quant,
         )
+        draft = (self._draft_params(exit_layer, draft_quant)
+                 if draft_quant else None)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         with self._trace_ctx():
             return fn(
-                self.params, jnp.asarray(padded), jnp.asarray(true_lens), rng
+                self.params, draft, jnp.asarray(padded),
+                jnp.asarray(true_lens), rng
             )
 
     # -- continuous batching mode -------------------------------------------
@@ -1560,6 +1645,7 @@ class Engine:
         pld_ngram: int = 0,
         hybrid: bool = False,
         tree_width: int = 0,
+        draft_quant: int = 0,
     ):
         """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
         batching.
@@ -1571,7 +1657,7 @@ class Engine:
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant, paged,
-               draft_exit_prob, pld_ngram, hybrid, tree_width)
+               draft_exit_prob, pld_ngram, hybrid, tree_width, draft_quant)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = (2 * prompt_bucket + max_steps
@@ -1722,7 +1808,7 @@ class Engine:
             chunk_insert = None
             finalize_insert = None
 
-        def round_fn(params, state):
+        def round_fn(params, draft, state):
             if tree_width > 1:
                 return _tree_round(
                     params, cfg, state,
@@ -1734,10 +1820,10 @@ class Engine:
                 max_steps=max_steps, exit_layer=e, num_speculations=w,
                 scfg=scfg, eos_ids=eos_ids, ngram=ngram,
                 draft_exit_prob=draft_exit_prob, pld_ngram=pld_ngram,
-                hybrid=hybrid,
+                hybrid=hybrid, draft_params=draft,
             )
 
-        def multi_round_fn(params, state, k):
+        def multi_round_fn(params, draft, state, k):
             """Up to ``k`` rounds in one dispatch (stops when all rows are
             done) — amortizes the per-round host sync when no new requests
             are waiting to join."""
@@ -1748,7 +1834,7 @@ class Engine:
 
             def body(c):
                 s, i = c
-                s2, _, _ = round_fn(params, s)  # the raw fn (jitted separately)
+                s2, _, _ = round_fn(params, draft, s)  # raw fn (jitted separately)
                 return (s2, i + 1)
 
             s, _ = jax.lax.while_loop(cond, body, (state, jnp.int32(0)))
@@ -1757,8 +1843,8 @@ class Engine:
         fns = (
             jax.jit(blank_state),
             jax.jit(insert_fn, donate_argnums=(1,)),
-            jax.jit(round_fn, donate_argnums=(1,)),
-            jax.jit(multi_round_fn, donate_argnums=(1,)),
+            jax.jit(round_fn, donate_argnums=(2,)),
+            jax.jit(multi_round_fn, donate_argnums=(2,)),
             jax.jit(park_fn, donate_argnums=(0,)) if park_fn else None,
             narrow_insert,
             chunk_insert,
@@ -1800,17 +1886,22 @@ class Engine:
         if tree_width > 1:
             assert not gen_cfg.draft_exit_prob, \
                 "tree speculation excludes adaptive drafting"
+        draft_quant = self._resolve_draft_quant(
+            gen_cfg, gen_cfg.generation_strategy, tree_width
+        )
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0), bool(gen_cfg.kv_quant),
             paged, float(gen_cfg.draft_exit_prob or 0.0), pld,
             hybrid=(gen_cfg.generation_strategy == "hybrid"),
-            tree_width=tree_width,
+            tree_width=tree_width, draft_quant=draft_quant,
         )
+        draft = (self._draft_params(gen_cfg.exit_layer, draft_quant)
+                 if draft_quant else None)
         return ContinuousSession(
             self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,
-            prefix_cache=prefix_cache,
+            prefix_cache=prefix_cache, draft=draft,
         )
 
     # -- stepped / streaming mode -------------------------------------------
@@ -1829,10 +1920,11 @@ class Engine:
         pld_ngram: int = 0,
         hybrid: bool = False,
         tree_width: int = 0,
+        draft_quant: int = 0,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
                scfg, eos_ids, ngram, draft_exit_prob, pld_ngram, hybrid,
-               tree_width)
+               tree_width, draft_quant)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = (prompt_bucket + max_steps
@@ -1846,7 +1938,7 @@ class Engine:
                 eos_ids=eos_ids, max_cache_len=max_cache_len, ngram=ngram,
             )
 
-        def round_fn(params, state):
+        def round_fn(params, draft, state):
             if tree_width > 1:
                 return _tree_round(
                     params, self.cfg, state,
@@ -1860,12 +1952,12 @@ class Engine:
                 max_steps=max_steps, exit_layer=exit_layer,
                 num_speculations=num_speculations, scfg=scfg, eos_ids=eos_ids,
                 ngram=ngram, draft_exit_prob=draft_exit_prob,
-                pld_ngram=pld_ngram, hybrid=hybrid,
+                pld_ngram=pld_ngram, hybrid=hybrid, draft_params=draft,
             )
 
         self._stepped_cache[key] = (
             jax.jit(prefill),
-            jax.jit(round_fn, donate_argnums=(1,)),
+            jax.jit(round_fn, donate_argnums=(2,)),
         )
         return self._stepped_cache[key]
 
@@ -1908,6 +2000,9 @@ class Engine:
             # adaptive drafting — fail loudly, never silently
             assert not gen_cfg.draft_exit_prob, \
                 "spec_tree_width excludes adaptive drafting"
+        draft_quant = self._resolve_draft_quant(
+            gen_cfg, gen_cfg.generation_strategy, tree_width
+        )
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
@@ -1916,8 +2011,10 @@ class Engine:
             if gen_cfg.generation_strategy in ("prompt_lookup", "hybrid")
             else 0,
             hybrid=(gen_cfg.generation_strategy == "hybrid"),
-            tree_width=tree_width,
+            tree_width=tree_width, draft_quant=draft_quant,
         )
+        draft = (self._draft_params(gen_cfg.exit_layer, draft_quant)
+                 if draft_quant else None)
         if rng is None:
             rng = jax.random.PRNGKey(0)
         state = prefill(
@@ -1927,7 +2024,7 @@ class Engine:
         if on_round is not None:
             on_round([], [first])
         while not bool(np.asarray(state.done).all()):
-            state, window, n = round_fn(self.params, state)
+            state, window, n = round_fn(self.params, draft, state)
             if on_round is not None:
                 win = np.asarray(window)[0].tolist()
                 n0 = int(np.asarray(n)[0])
@@ -1950,13 +2047,16 @@ class ContinuousSession:
     """
 
     def __init__(self, engine, fns, gen_cfg, batch, prompt_bucket, eos,
-                 paged=None, prefix_cache=False):
+                 paged=None, prefix_cache=False, draft=None):
         import numpy as np
 
         self.engine = engine
         (self._blank, self._insert, self._round, self._multi_round,
          self._park, self._narrow_insert, self._chunk_insert,
          self._finalize_insert) = fns
+        # quantized draft-layer weights (GenerationConfig.draft_quant);
+        # None = draft with the base params
+        self._draft = draft
         self.gen_cfg = gen_cfg
         self.batch = batch
         self.prompt_bucket = prompt_bucket
@@ -2246,7 +2346,7 @@ class ContinuousSession:
         # always the same executable (k is traced): alternating between two
         # compiled programs forces buffer relayout/copies on every switch
         self.state = self._multi_round(
-            self.engine.params, self.state, jnp.int32(max_rounds)
+            self.engine.params, self._draft, self.state, jnp.int32(max_rounds)
         )
         # one combined device->host sync for all per-round scalars
         done, out_len_d, steps_d = jax.device_get(

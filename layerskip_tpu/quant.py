@@ -15,6 +15,8 @@ elsewhere.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -102,6 +104,71 @@ def quantize_llama_params(
         final_norm=params.final_norm,
         lm_head=lm_head,
     )
+
+
+def quantize_draft_params(
+    params: LlamaParams, exit_layer: int, bits: int = 8, group: int = 0,
+) -> LlamaParams:
+    """Quantized copy of ONLY the draft layer group [0, exit_layer).
+
+    Self-speculative rounds spend most of their time in the W early-exit
+    draft passes (at acceptance ~0.8 and W=6: six E-layer draft steps per
+    one verify). Quantizing just that group ~halves draft-step weight
+    traffic for +E/L x bits/16 of the model's footprint (int8 at 7B E=8:
+    +1.6 GB), while the verify pass re-runs the SAME window through the
+    full bf16 stack (``forward_split``) — committed tokens are judged by
+    the exact bf16 model, so greedy output is bit-identical to bf16 AR
+    and sampling stays distribution-correct (rejection sampling is exact
+    for ANY draft distribution). No reference counterpart (the reference
+    drafts and verifies in one fp16 model, self_speculation_generator.py).
+
+    Embeddings and norms are SHARED with ``params`` (same device arrays,
+    zero extra HBM). The LM head is quantized too when untied: the drafter
+    reads it once per draft step (262 MB bf16 at 7B — ~13% of an int8
+    draft step), and it only shapes *proposals* — the verify pass applies
+    the base bf16 head, so committed tokens are untouched. Tied heads
+    (lm_head None -> embed.T) stay shared/unquantized.
+
+    Jitted so XLA fuses the fp32 cast/amax/round chain into the int8/uint8
+    output without materializing fp32 copies of the sliced stack (the
+    transient would be ~1.4 GB per MLP tensor at 7B E=8).
+    """
+    qlayers = _quantize_layer_slice(params.layers, exit_layer, bits, group)
+    lm_head = params.lm_head
+    if lm_head is not None and not isinstance(lm_head, QuantTensor):
+        lm_head = _quantize_head(lm_head, bits, group)
+    return LlamaParams(
+        embed=params.embed,
+        layers=qlayers,
+        final_norm=params.final_norm,
+        lm_head=lm_head,
+    )
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _quantize_head(w: jnp.ndarray, bits: int, group: int) -> QuantTensor:
+    return quantize_tensor(w, bits=bits, group=group)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _quantize_layer_slice(
+    layers: LayerParams, exit_layer: int, bits: int, group: int
+) -> LayerParams:
+    # slice INSIDE the jit: XLA fuses the [0:E] slice into the quant
+    # chain instead of materializing a bf16 copy of the group (3.2 GB
+    # at 7B E=8 — a transient OOM on a 16 GB v5e holding bf16 params).
+    # Module-level jit so repeated calls (bench tail_eps sweeps rebuild
+    # params and requantize) reuse one executable.
+    layers_slice = layers.slice(0, exit_layer)
+    kw = {}
+    for f in LayerParams.__dataclass_fields__:
+        w = getattr(layers_slice, f)
+        kw[f] = (
+            quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=bits,
+                            group=group)
+            if f in _QUANT_FIELDS else w
+        )
+    return LayerParams(**kw)
 
 
 def quantized_bytes(params: LlamaParams) -> int:

@@ -118,6 +118,19 @@ ITEMS = [
       "--eps", "0.0124", "--taus", "0.0", "0.4", "0.7",
       "--max-steps", "256"],
      5400.0),
+    # --- round-4 fourth wave: quantized drafter (draft int8, verify bf16;
+    # greedy output bit-identical to bf16 AR). Draft steps dominate round
+    # time at acc~0.8 (6 x E-layer passes per verify) — int8 drafts should
+    # cut them ~2x for an expected headline ~2.25x -> ~2.8x.
+    ("dq8_7b_eps0124",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--tail-eps", "0.0124", "--max-steps", "256",
+      "--repeats", "2"],
+     5400.0),
+    ("dq8_7b_ceiling",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
 ]
 
 
