@@ -345,6 +345,8 @@ def run_single(args) -> dict:
         generation_strategy="self_speculative", exit_layer=exit_layer,
         num_speculations=args.spec, draft_exit_prob=args.draft_exit_prob,
         spec_tree_width=args.tree_width, draft_quant=args.draft_quant,
+        draft_quant_head=bool(args.draft_quant_head),
+        draft_quant_mlp_only=bool(args.draft_quant_mlp),
         **common
     )
     metric_base = (
@@ -352,6 +354,8 @@ def run_single(args) -> dict:
         + (f"_int{args.quant_bits}" if args.quant else "")
         + (f"_tree{args.tree_width}" if args.tree_width > 1 else "")
         + (f"_dq{args.draft_quant}" if args.draft_quant else "")
+        + ("_qhead" if (args.draft_quant and args.draft_quant_head) else "")
+        + ("_mlponly" if (args.draft_quant and args.draft_quant_mlp) else "")
         + f"_exit{exit_layer}_spec{args.spec}"
     )
     target = TARGET_ACCEPTANCE
@@ -359,7 +363,7 @@ def run_single(args) -> dict:
     # -- incremental best-so-far publication (VERDICT r2 #1b): every measured
     # point updates the sidecar, so killing this process at any moment after
     # the first measurement still yields a valid headline line upstream.
-    state = {"ar_tps": 0.0, "curve": [], "ceiling": None}
+    state = {"ar_tps": 0.0, "curve": [], "ceiling": None, "dq_point": None}
 
     def current_result(partial=True) -> dict:
         ar_tps = state["ar_tps"]
@@ -401,6 +405,25 @@ def run_single(args) -> dict:
         if state["ceiling"] is not None:
             out["ceiling_speedup"] = state["ceiling"]["speedup"]
             out["ceiling_acceptance"] = state["ceiling"]["acceptance"]
+        # quantized-drafter headline (--headline-dq): same model, same task
+        # difficulty (the eps bisected to bf16-draft acceptance ~0.8), the
+        # drafter reads int8 copies of the early layers while the verify
+        # re-runs the full bf16 stack — greedy output is bit-identical to
+        # bf16 AR (layerskip_tpu/quant.py), so this is an engine
+        # optimization at the SAME operating point, not an easier task.
+        dq = state["dq_point"]
+        if dq is not None:
+            out["dq_point"] = dq
+            if dq["speedup"] > out["value"]:
+                out["bf16_draft_speedup"] = out["value"]
+                out["bf16_draft_acceptance"] = out["acceptance"]
+                out["metric"] = out["metric"] + f"_dq{dq['bits']}"
+                out["value"] = dq["speedup"]
+                out["vs_baseline"] = round(
+                    dq["speedup"] / REFERENCE_HEADLINE_SPEEDUP, 4
+                )
+                out["spec_tokens_per_s"] = dq["spec_tokens_per_s"]
+                out["acceptance"] = dq["acceptance"]
         if args.curve:
             out["curve"] = curve
         if partial:
@@ -510,6 +533,40 @@ def run_single(args) -> dict:
     if cands and args.repeats > 1 and time_for_another_point(args.repeats):
         best = min(cands, key=lambda p: abs(p["acceptance"] - target))
         spec_point(best["tail_eps"], args.repeats)
+
+    # ---- quantized-drafter point at the chosen operating eps (--headline-dq)
+    # A different compiled program (int8 draft weights + dequant matmuls in
+    # the draft scan), so budget for a cold compile; the sidecar already
+    # holds the bf16 headline, so dying here loses nothing.
+    if (args.headline_dq and not args.draft_quant and not args.quant
+            and cands and remaining() > 240.0):
+        import dataclasses as _dc
+
+        best = min(cands, key=lambda p: abs(p["acceptance"] - target))
+        dq_cfg = _dc.replace(
+            sp_cfg, draft_quant=args.headline_dq, draft_quant_head=False
+        )
+        try:
+            set_tail_eps(best["tail_eps"])
+            tps, out = timed_generate(
+                engine, prompt, dq_cfg, args.repeats, args.batch, warmup=True
+            )
+            acc = float(int(out.matches)) / max(int(out.drafts), 1)
+            state["dq_point"] = {
+                "bits": args.headline_dq,
+                "tail_eps": best["tail_eps"],
+                "acceptance": round(acc, 4),
+                "spec_tokens_per_s": round(tps, 2),
+                "speedup": round(tps / ar_tps, 4) if ar_tps > 0 else 0.0,
+            }
+            print(f"[bench]   dq{args.headline_dq} @ eps="
+                  f"{best['tail_eps']:.4f}: {tps:.2f} tok/s "
+                  f"acceptance={acc:.3f} "
+                  f"speedup={state['dq_point']['speedup']:.2f}x",
+                  file=sys.stderr)
+            publish()
+        except Exception as e:  # never lose the bf16 headline to the dq leg
+            print(f"[bench] dq headline point failed: {e!r}", file=sys.stderr)
     return current_result(partial=False)
 
 
@@ -543,6 +600,22 @@ def parse_args(argv=None):
     ap.add_argument("--draft-quant", type=int, default=0, choices=(0, 8, 4),
                     help="draft with an int8/int4 copy of the early layers; "
                          "verify stays full bf16 (greedy output unchanged)")
+    ap.add_argument("--draft-quant-mlp", type=int, default=0, choices=(0, 1),
+                    help="with --draft-quant: quantize only the MLP triple "
+                         "and keep attention bf16 (exact in-window draft "
+                         "KV; ~33%% more draft bandwidth than full-int8)")
+    ap.add_argument("--headline-dq", type=int, default=8, choices=(0, 8, 4),
+                    help="curve mode: also measure a quantized-drafter "
+                         "point at the bisected acc~0.8 eps and headline "
+                         "the faster of {bf16 drafts, int8 drafts} — "
+                         "greedy output is identical either way (verify "
+                         "is full bf16). 0 disables.")
+    ap.add_argument("--draft-quant-head", type=int, default=0,
+                    choices=(0, 1),
+                    help="with --draft-quant: 1 = also quantize the "
+                         "drafter's exit head; 0 (default) = share the "
+                         "base bf16 head (better acceptance, zero extra "
+                         "HBM)")
     ap.add_argument("--draft-exit-prob", type=float, default=0.0,
                     help="confidence-adaptive drafting threshold (0 = "
                          "always draft the full window)")
@@ -658,6 +731,10 @@ def _run_child(args, cfg_name: str, sidecar: str, timeout_s: float):
         "--draft-exit-prob", str(args.draft_exit_prob),
         "--tree-width", str(args.tree_width),
         "--quant-bits", str(args.quant_bits),
+        "--draft-quant", str(args.draft_quant),
+        "--draft-quant-head", str(int(args.draft_quant_head)),
+        "--draft-quant-mlp", str(int(args.draft_quant_mlp)),
+        "--headline-dq", str(args.headline_dq),
         "--sidecar", sidecar,
         "--deadline", str(child_deadline),
     ] + (["--sample"] if args.sample else []) + (

@@ -220,3 +220,18 @@ class GenerationConfig:
     # bf16 AR (quant.quantize_draft_params). 0 = draft with base weights.
     # self_speculative linear drafting only; no-op on quantized bases.
     draft_quant: int = 0
+    # with draft_quant: also quantize the drafter's exit/LM head (True) or
+    # share the base bf16 head (False). The 32k-channel head argmax is the
+    # most quantization-sensitive draft op — a bf16 head costs ~13% extra
+    # draft-step bandwidth but recovers most of the acceptance an int8
+    # draft loses (on-chip A/B in PROGRESS.md r4). Zero extra HBM when
+    # False (the head array is shared).
+    draft_quant_head: bool = False
+    # with draft_quant: quantize only the MLP triple (w_gate/w_up/w_down,
+    # ~2/3 of draft weight bytes) and keep attention bf16. Draft-step KV
+    # within a speculation window is then exact — the compounding
+    # attention error is what drives draft acceptance loss (on-chip:
+    # full-int8 drafts cost acceptance 0.98->0.73 at eps=0, and the exit
+    # head's precision does NOT matter — see PROGRESS.md r4). Costs ~33%
+    # more draft bandwidth than full-int8 drafts.
+    draft_quant_mlp_only: bool = False

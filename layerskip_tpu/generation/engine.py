@@ -1469,16 +1469,25 @@ class Engine:
                 return 0
         return draft_quant
 
-    def _draft_params(self, exit_layer: int, bits: int):
+    def _draft_params(self, exit_layer: int, bits: int, head: bool = False,
+                      mlp_only: bool = False):
         """Quantized copy of layers [0, exit_layer) for cheap drafting
-        (GenerationConfig.draft_quant; see quant.quantize_draft_params)."""
-        key = (exit_layer, bits)
+        (GenerationConfig.draft_quant; see quant.quantize_draft_params).
+        ``head`` additionally quantizes the drafter's exit head
+        (GenerationConfig.draft_quant_head); ``mlp_only`` keeps attention
+        bf16 and quantizes only the MLP triple
+        (GenerationConfig.draft_quant_mlp_only)."""
+        key = (exit_layer, bits, head, mlp_only)
         if key not in self._draft_cache:
-            from layerskip_tpu.quant import quantize_draft_params
+            from layerskip_tpu.quant import (
+                _MLP_FIELDS, _QUANT_FIELDS, quantize_draft_params,
+            )
 
             group = 0 if bits == 8 else 128
             self._draft_cache[key] = quantize_draft_params(
-                self.params, exit_layer, bits=bits, group=group
+                self.params, exit_layer, bits=bits, group=group,
+                quantize_head=head,
+                fields=_MLP_FIELDS if mlp_only else _QUANT_FIELDS,
             )
         return self._draft_cache[key]
 
@@ -1513,10 +1522,13 @@ class Engine:
         pld_ngram: int = 0,
         tree_width: int = 0,
         draft_quant: int = 0,
+        draft_quant_head: bool = False,
+        draft_quant_mlp: bool = False,
     ):
         key = (strategy, prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant,
-               draft_exit_prob, pld_ngram, tree_width, draft_quant)
+               draft_exit_prob, pld_ngram, tree_width, draft_quant,
+               draft_quant_head, draft_quant_mlp)
         if key in self._exec_cache:
             return self._exec_cache[key]
         # tree speculation parks k interleaved chains past the frontier
@@ -1608,6 +1620,8 @@ class Engine:
             # keep positions inside the model's trained RoPE range
             max_steps = max(cap - bucket, 1)
         draft_quant = self._resolve_draft_quant(gen_cfg, strategy, tree_width)
+        dq_head = bool(getattr(gen_cfg, "draft_quant_head", False))
+        dq_mlp = bool(getattr(gen_cfg, "draft_quant_mlp_only", False))
         fn = self._compiled(
             strategy, bucket, b, max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
@@ -1616,8 +1630,11 @@ class Engine:
             int(gen_cfg.pld_ngram or 0),
             tree_width,
             draft_quant,
+            dq_head,
+            dq_mlp,
         )
-        draft = (self._draft_params(exit_layer, draft_quant)
+        draft = (self._draft_params(exit_layer, draft_quant, dq_head,
+                                    dq_mlp)
                  if draft_quant else None)
         if rng is None:
             rng = jax.random.PRNGKey(0)
@@ -1646,6 +1663,8 @@ class Engine:
         hybrid: bool = False,
         tree_width: int = 0,
         draft_quant: int = 0,
+        draft_quant_head: bool = False,
+        draft_quant_mlp: bool = False,
     ):
         """(blank_state_fn, insert_fn, round_fn[, park_fn]) for in-flight
         batching.
@@ -1657,7 +1676,8 @@ class Engine:
         """
         key = ("cont", prompt_bucket, batch, max_steps, exit_layer,
                num_speculations, scfg, eos_ids, ngram, kv_quant, paged,
-               draft_exit_prob, pld_ngram, hybrid, tree_width, draft_quant)
+               draft_exit_prob, pld_ngram, hybrid, tree_width, draft_quant,
+               draft_quant_head, draft_quant_mlp)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = (2 * prompt_bucket + max_steps
@@ -1889,6 +1909,8 @@ class Engine:
         draft_quant = self._resolve_draft_quant(
             gen_cfg, gen_cfg.generation_strategy, tree_width
         )
+        dq_head = bool(getattr(gen_cfg, "draft_quant_head", False))
+        dq_mlp = bool(getattr(gen_cfg, "draft_quant_mlp_only", False))
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
@@ -1896,8 +1918,10 @@ class Engine:
             paged, float(gen_cfg.draft_exit_prob or 0.0), pld,
             hybrid=(gen_cfg.generation_strategy == "hybrid"),
             tree_width=tree_width, draft_quant=draft_quant,
+            draft_quant_head=dq_head, draft_quant_mlp=dq_mlp,
         )
-        draft = (self._draft_params(gen_cfg.exit_layer, draft_quant)
+        draft = (self._draft_params(gen_cfg.exit_layer, draft_quant, dq_head,
+                                    dq_mlp)
                  if draft_quant else None)
         return ContinuousSession(
             self, fns, gen_cfg, batch, prompt_bucket, eos, paged=paged,
@@ -1921,10 +1945,12 @@ class Engine:
         hybrid: bool = False,
         tree_width: int = 0,
         draft_quant: int = 0,
+        draft_quant_head: bool = False,
+        draft_quant_mlp: bool = False,
     ):
         key = (prompt_bucket, batch, max_steps, exit_layer, num_speculations,
                scfg, eos_ids, ngram, draft_exit_prob, pld_ngram, hybrid,
-               tree_width, draft_quant)
+               tree_width, draft_quant, draft_quant_head, draft_quant_mlp)
         if key in self._stepped_cache:
             return self._stepped_cache[key]
         max_cache_len = (prompt_bucket + max_steps
@@ -2003,6 +2029,8 @@ class Engine:
         draft_quant = self._resolve_draft_quant(
             gen_cfg, gen_cfg.generation_strategy, tree_width
         )
+        dq_head = bool(getattr(gen_cfg, "draft_quant_head", False))
+        dq_mlp = bool(getattr(gen_cfg, "draft_quant_mlp_only", False))
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
@@ -2012,8 +2040,10 @@ class Engine:
             else 0,
             hybrid=(gen_cfg.generation_strategy == "hybrid"),
             tree_width=tree_width, draft_quant=draft_quant,
+            draft_quant_head=dq_head, draft_quant_mlp=dq_mlp,
         )
-        draft = (self._draft_params(gen_cfg.exit_layer, draft_quant)
+        draft = (self._draft_params(gen_cfg.exit_layer, draft_quant, dq_head,
+                                    dq_mlp)
                  if draft_quant else None)
         if rng is None:
             rng = jax.random.PRNGKey(0)

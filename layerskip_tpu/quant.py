@@ -77,6 +77,11 @@ def quantize_tensor(
 
 _QUANT_FIELDS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 _K_LAST_FIELDS = ("wq", "wk", "wv")  # stored [out, in] — see models/llama.py
+# drafter fidelity variant (GenerationConfig.draft_quant_mlp_only): quantize
+# only the MLP triple (~2/3 of layer weight bytes) and keep attention bf16 —
+# draft-step KV entries within a speculation window are then exact, so the
+# compounding attention error that drives draft/verify divergence is gone.
+_MLP_FIELDS = ("w_gate", "w_up", "w_down")
 
 
 def quantize_llama_params(
@@ -108,6 +113,7 @@ def quantize_llama_params(
 
 def quantize_draft_params(
     params: LlamaParams, exit_layer: int, bits: int = 8, group: int = 0,
+    quantize_head: bool = True, fields: tuple = _QUANT_FIELDS,
 ) -> LlamaParams:
     """Quantized copy of ONLY the draft layer group [0, exit_layer).
 
@@ -123,19 +129,26 @@ def quantize_draft_params(
     drafts and verifies in one fp16 model, self_speculation_generator.py).
 
     Embeddings and norms are SHARED with ``params`` (same device arrays,
-    zero extra HBM). The LM head is quantized too when untied: the drafter
-    reads it once per draft step (262 MB bf16 at 7B — ~13% of an int8
-    draft step), and it only shapes *proposals* — the verify pass applies
-    the base bf16 head, so committed tokens are untouched. Tied heads
-    (lm_head None -> embed.T) stay shared/unquantized.
+    zero extra HBM). The LM head is quantized too when untied AND
+    ``quantize_head``: the drafter reads it once per draft step (262 MB
+    bf16 at 7B — ~13% of an int8 draft step), and it only shapes
+    *proposals* — the verify pass applies the base bf16 head, so committed
+    tokens are untouched. ``quantize_head=False`` shares the base bf16
+    head instead (zero extra HBM, +head read bandwidth per draft step):
+    argmax over the 32k-channel head is the most quantization-noise-
+    sensitive op in the draft, so a bf16 head recovers acceptance lost
+    to int8/int4 drafting (measured on-chip: see PROGRESS.md r4). Tied
+    heads (lm_head None -> embed.T) stay shared/unquantized either way.
 
     Jitted so XLA fuses the fp32 cast/amax/round chain into the int8/uint8
     output without materializing fp32 copies of the sliced stack (the
     transient would be ~1.4 GB per MLP tensor at 7B E=8).
     """
-    qlayers = _quantize_layer_slice(params.layers, exit_layer, bits, group)
+    qlayers = _quantize_layer_slice(params.layers, exit_layer, bits, group,
+                                    fields)
     lm_head = params.lm_head
-    if lm_head is not None and not isinstance(lm_head, QuantTensor):
+    if (quantize_head and lm_head is not None
+            and not isinstance(lm_head, QuantTensor)):
         lm_head = _quantize_head(lm_head, bits, group)
     return LlamaParams(
         embed=params.embed,
@@ -150,9 +163,10 @@ def _quantize_head(w: jnp.ndarray, bits: int, group: int) -> QuantTensor:
     return quantize_tensor(w, bits=bits, group=group)
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3))
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
 def _quantize_layer_slice(
-    layers: LayerParams, exit_layer: int, bits: int, group: int
+    layers: LayerParams, exit_layer: int, bits: int, group: int,
+    fields: tuple = _QUANT_FIELDS,
 ) -> LayerParams:
     # slice INSIDE the jit: XLA fuses the [0:E] slice into the quant
     # chain instead of materializing a bf16 copy of the group (3.2 GB
@@ -166,7 +180,7 @@ def _quantize_layer_slice(
         kw[f] = (
             quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=bits,
                             group=group)
-            if f in _QUANT_FIELDS else w
+            if f in fields else w
         )
     return LayerParams(**kw)
 

@@ -106,7 +106,7 @@ def _cfg_key(cfg: GenerationConfig):
         cfg.top_p, cfg.no_repeat_ngram_size, cfg.kv_quant,
         cfg.max_prompt_len, cfg.max_seq_len,
         cfg.draft_exit_prob, cfg.pld_ngram, cfg.spec_tree_width,
-        cfg.draft_quant,
+        cfg.draft_quant, cfg.draft_quant_head, cfg.draft_quant_mlp_only,
         tuple(cfg.stop_words or ()),
         tuple(cfg.stop_token_ids or ()),
     )

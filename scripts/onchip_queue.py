@@ -131,6 +131,59 @@ ITEMS = [
      [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
       "--draft-quant", "8", "--max-steps", "256", "--repeats", "2"],
      5400.0),
+    # --- round-4 fifth wave: drafter head precision A/B. The dq8 runs above
+    # quantized the drafter's 32k-channel exit head too; acceptance fell
+    # 0.98->0.73 at eps=0 (vs bf16 drafts), eating most of the bandwidth
+    # win (138 vs 130 tok/s). Hypothesis: head argmax is the quantization-
+    # noise-sensitive op — share the base bf16 head (draft_quant_head=0,
+    # now the default; zero extra HBM) and acceptance should mostly
+    # recover while drafts stay ~2x cheaper.
+    # NOTE: the prior dq8_7b_* runs predate the knob and used a QUANTIZED
+    # head (the then-hardwired behavior) — they are the head=1 leg.
+    ("dq8h16_7b_ceiling",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--draft-quant-head", "0",
+      "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    ("dq8h16_7b_eps0124",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--draft-quant-head", "0",
+      "--tail-eps", "0.0124", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    # cheaper drafts shift the optimal window length: sweep W at the honest
+    # operating point (headline uses spec=6)
+    ("dq8h16_7b_eps0124_spec8",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--draft-quant-head", "0", "--spec", "8",
+      "--tail-eps", "0.0124", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    # --- round-4 sixth wave: the head A/B showed acceptance is IDENTICAL
+    # (0.6392) with bf16 vs int8 head — the loss is in the quantized
+    # LAYERS. mlp-only drafts keep attention bf16 so in-window draft KV is
+    # exact; does acceptance recover enough to beat full-int8's 125.7?
+    ("dq8mlp_7b_eps0124",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--draft-quant-mlp", "1",
+      "--tail-eps", "0.0124", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    ("dq8mlp_7b_ceiling",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "8", "--draft-quant-mlp", "1",
+      "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    # the driver-headline dress rehearsal: full curve + the automatic dq8
+    # point at the bisected acc~0.8 eps (bench.py --headline-dq default)
+    ("headline_7b_curve_dq",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--curve",
+      "--deadline", "0"],
+     7200.0),
+    # int4 drafter at the honest point (compile is very long through the
+    # tunnel — run LAST; its first attempt died to an outer wall-clock cap)
+    ("dq4h16_7b_eps0124",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "4", "--draft-quant-head", "0",
+      "--tail-eps", "0.0124", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
 ]
 
 

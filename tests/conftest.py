@@ -24,6 +24,13 @@ jax.config.update("jax_platforms", "cpu")
 # This JAX build defaults matmuls to fast (bf16-accumulation) precision even
 # on CPU; parity tests need exact fp32.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Keep the persistent compile cache OUT of test runs: test_apps imports
+# cli.loading, which points jax_compilation_cache_dir at the CLI cache
+# (cli/loading.py) — and this jaxlib build SIGABRTs serializing CPU
+# executables into it (observed: Fatal Python error in
+# compilation_cache.put_executable_and_time during the suite). Tests must
+# be hermetic regardless of import order.
+jax.config.update("jax_enable_compilation_cache", False)
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert jax.device_count() == 8, jax.device_count()

@@ -26,7 +26,8 @@ from layerskip_tpu.config import GenerationConfig, tiny_config
 from layerskip_tpu.generation.engine import Engine, postprocess_output
 from layerskip_tpu.models.params import init_params
 from layerskip_tpu.ops.linear import QuantTensor
-from layerskip_tpu.quant import quantize_draft_params, quantize_llama_params
+from layerskip_tpu.quant import (_MLP_FIELDS, quantize_draft_params,
+                                 quantize_llama_params)
 
 
 @pytest.fixture(scope="module")
@@ -120,9 +121,9 @@ def test_draft_cache_reuse_and_invalidation(model):
     params, cfg = model
     eng = Engine(params, cfg)
     eng.generate([3, 5], _gc(8))
-    first = eng._draft_cache[(2, 8)]
+    first = eng._draft_cache[(2, 8, False, False)]
     eng.generate([3, 5, 7], _gc(8))
-    assert eng._draft_cache[(2, 8)] is first  # reused across calls
+    assert eng._draft_cache[(2, 8, False, False)] is first  # reused across calls
     # swapping params (bench tail_eps sweep) must drop the stale drafter
     eng.params = init_params(jax.random.PRNGKey(12), cfg)
     assert eng._draft_cache == {}
@@ -154,3 +155,67 @@ def test_serving_cfg_key_splits_on_draft_quant():
     a = _gc(0)
     b = _gc(8)
     assert _cfg_key(a) != _cfg_key(b)
+    # the head knob is output-affecting too (different draft distribution
+    # under sampling): must not batch together (VERDICT r2 #2 bug class)
+    c = _gc(8, draft_quant_head=True)
+    assert _cfg_key(b) != _cfg_key(c)
+
+
+def test_draft_head_shared_when_not_quantized(model):
+    """draft_quant_head=False (the default): the drafter's exit head IS
+    the base bf16 array — zero extra HBM — and only the layer stack is
+    quantized. quant.quantize_draft_params(quantize_head=False)."""
+    params, cfg = model
+    dp = quantize_draft_params(params, exit_layer=2, bits=8,
+                               quantize_head=False)
+    assert isinstance(dp.layers.wq, QuantTensor)
+    if params.lm_head is not None:
+        assert dp.lm_head is params.lm_head
+        assert not isinstance(dp.lm_head, QuantTensor)
+
+
+@pytest.mark.parametrize("head", [False, True])
+def test_greedy_draft_quant_head_matches_ar(model, head):
+    """Greedy output is bit-identical to bf16 AR for BOTH head modes (the
+    verify pass applies the base bf16 head either way)."""
+    params, cfg = model
+    eng = Engine(params, cfg)
+    prompt = [3, 5, 7, 9]
+    ar = _ar(eng, prompt)
+    sp = postprocess_output(
+        eng.generate(prompt, _gc(8, draft_quant_head=head)), (), 16)
+    assert sp == ar
+    assert (2, 8, head, False) in eng._draft_cache
+
+
+def test_draft_cache_splits_on_head(model):
+    params, cfg = model
+    eng = Engine(params, cfg)
+    eng.generate([3, 5], _gc(8, draft_quant_head=False))
+    eng.generate([3, 5], _gc(8, draft_quant_head=True))
+    assert (2, 8, False, False) in eng._draft_cache
+    assert (2, 8, True, False) in eng._draft_cache
+    assert (eng._draft_cache[(2, 8, False, False)].lm_head
+            is not eng._draft_cache[(2, 8, True, False)].lm_head)
+
+
+def test_draft_quant_mlp_only(model):
+    """draft_quant_mlp_only: attention weights stay bf16 (exact in-window
+    draft KV), only the MLP triple is quantized; greedy == bf16 AR."""
+    params, cfg = model
+    dp = quantize_draft_params(params, exit_layer=2, bits=8,
+                               quantize_head=False, fields=_MLP_FIELDS)
+    assert not isinstance(dp.layers.wq, QuantTensor)
+    assert isinstance(dp.layers.w_gate, QuantTensor)
+    eng = Engine(params, cfg)
+    prompt = [3, 5, 7, 9]
+    ar = _ar(eng, prompt)
+    sp = postprocess_output(
+        eng.generate(prompt, _gc(8, draft_quant_mlp_only=True)), (), 16)
+    assert sp == ar
+    assert (2, 8, False, True) in eng._draft_cache
+    dcp = eng._draft_cache[(2, 8, False, True)]
+    assert not isinstance(dcp.layers.wq, QuantTensor)
+
+    from layerskip_tpu.serving import _cfg_key
+    assert _cfg_key(_gc(8)) != _cfg_key(_gc(8, draft_quant_mlp_only=True))
