@@ -15,6 +15,10 @@ total-variation distance against a self-calibrated null: the TV between two
 independent AR runs. Seeds are fixed — no flakiness.
 """
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -26,6 +30,43 @@ from layerskip_tpu.models.params import init_params
 
 N = 2048  # rows per run (= samples per position)
 PROMPT = [3, 141, 59, 26, 5]
+
+# The tree-speculation programs are the largest XLA compiles in the suite,
+# and this jaxlib's CPU compiler sporadically dies (SIGSEGV in
+# backend_compile_and_load, once SIGABRT in the cache serializer) when they
+# compile late in a long-lived process that already holds hundreds of
+# executables — observed twice across full-suite runs, never when the file
+# runs alone. Workaround: run each tree test in a FRESH interpreter via an
+# inner pytest, retrying once on a crash signal. A real assertion failure
+# inside the subprocess still fails the outer test (non-signal rc, no
+# retry), so coverage is unchanged — only the compiler flake is contained.
+_INNER = os.environ.get("LAYERSKIP_STAT_INNER") == "1"
+_CRASH_RCS = (-11, -6, 134, 139)
+
+
+def _run_isolated(name: str) -> bool:
+    """True -> the body already ran (in a subprocess); False -> run inline."""
+    if _INNER:
+        return False
+    env = dict(os.environ, LAYERSKIP_STAT_INNER="1")
+    for attempt in (1, 2):
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", "-q", "-x",
+             f"{os.path.abspath(__file__)}::{name}"],
+            env=env, capture_output=True, timeout=1500,
+        )
+        if r.returncode == 0:
+            return True
+        crashed = r.returncode in _CRASH_RCS
+        if crashed and attempt == 1:
+            continue
+        tail = (r.stdout.decode(errors="replace")[-1500:]
+                + r.stderr.decode(errors="replace")[-500:])
+        raise AssertionError(
+            f"isolated {name} failed (rc={r.returncode}, "
+            f"attempt {attempt}):\n{tail}"
+        )
+    return True
 
 
 @pytest.fixture(scope="module")
@@ -137,6 +178,8 @@ def test_tree_sampling_matches_ar_distribution(engine):
     SpecInfer-style multi-round rejection over k i.i.d. draft candidates
     (engine.py::_tree_round) — committed tokens must still be
     AR-distributed at every position."""
+    if _run_isolated("test_tree_sampling_matches_ar_distribution"):
+        return
     _check_equivalence(
         engine, dict(temperature=0.9, top_k=0, top_p=1.0), max_steps=12,
         spec_tree_width=3,
@@ -146,6 +189,8 @@ def test_tree_sampling_matches_ar_distribution(engine):
 def test_tree_sampling_matches_ar_with_warpers(engine):
     """Tree sampling under top-k/top-p warping (candidates and targets both
     drawn from the warped distributions)."""
+    if _run_isolated("test_tree_sampling_matches_ar_with_warpers"):
+        return
     _check_equivalence(
         engine, dict(temperature=0.7, top_k=20, top_p=0.9), max_steps=12,
         spec_tree_width=2,
@@ -155,6 +200,8 @@ def test_tree_sampling_matches_ar_with_warpers(engine):
 def test_tree_sampling_clamp_branch(engine):
     """Tree sampling with max_steps barely above W (w_eff clamp => bonus
     draws instead of true rejections at the tail)."""
+    if _run_isolated("test_tree_sampling_clamp_branch"):
+        return
     _check_equivalence(
         engine, dict(temperature=0.9, top_k=0, top_p=0.95), max_steps=6,
         spec_tree_width=3,
