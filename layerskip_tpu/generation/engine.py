@@ -1620,8 +1620,13 @@ class Engine:
             # keep positions inside the model's trained RoPE range
             max_steps = max(cap - bucket, 1)
         draft_quant = self._resolve_draft_quant(gen_cfg, strategy, tree_width)
-        dq_head = bool(getattr(gen_cfg, "draft_quant_head", False))
-        dq_mlp = bool(getattr(gen_cfg, "draft_quant_mlp_only", False))
+        # fidelity knobs are no-ops without draft_quant: normalize them out
+        # of the cache key so configs differing only in dead knobs share one
+        # executable (one-executable-per-donated-state invariant)
+        dq_head = bool(draft_quant) and bool(
+            getattr(gen_cfg, "draft_quant_head", False))
+        dq_mlp = bool(draft_quant) and bool(
+            getattr(gen_cfg, "draft_quant_mlp_only", False))
         fn = self._compiled(
             strategy, bucket, b, max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
@@ -1909,8 +1914,10 @@ class Engine:
         draft_quant = self._resolve_draft_quant(
             gen_cfg, gen_cfg.generation_strategy, tree_width
         )
-        dq_head = bool(getattr(gen_cfg, "draft_quant_head", False))
-        dq_mlp = bool(getattr(gen_cfg, "draft_quant_mlp_only", False))
+        dq_head = bool(draft_quant) and bool(
+            getattr(gen_cfg, "draft_quant_head", False))
+        dq_mlp = bool(draft_quant) and bool(
+            getattr(gen_cfg, "draft_quant_mlp_only", False))
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
@@ -2029,8 +2036,10 @@ class Engine:
         draft_quant = self._resolve_draft_quant(
             gen_cfg, gen_cfg.generation_strategy, tree_width
         )
-        dq_head = bool(getattr(gen_cfg, "draft_quant_head", False))
-        dq_mlp = bool(getattr(gen_cfg, "draft_quant_mlp_only", False))
+        dq_head = bool(draft_quant) and bool(
+            getattr(gen_cfg, "draft_quant_head", False))
+        dq_mlp = bool(draft_quant) and bool(
+            getattr(gen_cfg, "draft_quant_mlp_only", False))
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),
