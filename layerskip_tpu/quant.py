@@ -174,14 +174,68 @@ def _quantize_layer_slice(
     # Module-level jit so repeated calls (bench tail_eps sweeps rebuild
     # params and requantize) reuse one executable.
     layers_slice = layers.slice(0, exit_layer)
-    kw = {}
-    for f in LayerParams.__dataclass_fields__:
-        w = getattr(layers_slice, f)
-        kw[f] = (
-            quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=bits,
-                            group=group)
-            if f in fields else w
+    if bits != 4:
+        kw = {}
+        for f in LayerParams.__dataclass_fields__:
+            w = getattr(layers_slice, f)
+            kw[f] = (
+                quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=bits,
+                                group=group)
+                if f in fields else w
+            )
+        return LayerParams(**kw)
+
+    # int4's group reshapes defeat XLA's fusion: quantizing the whole
+    # [E, ...] stack at once plans 2.69 GiB of fp32 temps at 7B E=8 —
+    # 12.31 (bf16 base) + 2.69 + 1.05 (output) = 16.05 GiB, an execution
+    # OOM on the 16 GB v5e (the dq4h16_7b_eps0124 failure in
+    # .onchip_queue_results.jsonl, surfacing asynchronously at the NEXT
+    # dispatch, i.e. the generate call). A fori_loop gathers ONE layer per
+    # step from the full stack (never materializing a bf16 copy of the
+    # slice — lax.map's xs would) and writes the packed result into
+    # preallocated buffers: transient = one layer's fp32 (~170 MB).
+    # Same pattern as bench.py's in-jit int4 param builder.
+    qfields = tuple(
+        f for f in LayerParams.__dataclass_fields__
+        if f in fields and getattr(layers, f) is not None
+    )
+
+    def quant_one(f: str, i) -> QuantTensor:
+        w = jax.lax.dynamic_index_in_dim(
+            getattr(layers, f), i, 0, keepdims=False
         )
+        return quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=4,
+                               group=group)
+
+    accs = {}
+    for f in qfields:
+        aval = jax.eval_shape(lambda i, f=f: quant_one(f, i), jnp.int32(0))
+        accs[f] = QuantTensor(
+            q=jnp.zeros((exit_layer,) + aval.q.shape, aval.q.dtype),
+            scale=jnp.zeros((exit_layer,) + aval.scale.shape,
+                            aval.scale.dtype),
+            k_last=aval.k_last, group=aval.group,
+        )
+
+    def body(i, accs):
+        out = {}
+        for f in qfields:
+            qt = quant_one(f, i)
+            acc = accs[f]
+            out[f] = QuantTensor(
+                q=jax.lax.dynamic_update_slice(
+                    acc.q, qt.q[None], (i,) + (0,) * qt.q.ndim),
+                scale=jax.lax.dynamic_update_slice(
+                    acc.scale, qt.scale[None], (i,) + (0,) * qt.scale.ndim),
+                k_last=acc.k_last, group=acc.group,
+            )
+        return out
+
+    accs = jax.lax.fori_loop(0, exit_layer, body, accs)
+    kw = {
+        f: accs[f] if f in accs else getattr(layers_slice, f)
+        for f in LayerParams.__dataclass_fields__
+    }
     return LayerParams(**kw)
 
 

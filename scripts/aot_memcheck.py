@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--spec", type=int, default=6)
     ap.add_argument("--exit-layer", type=int, default=8)
     ap.add_argument("--prompt-bucket", type=int, default=64)
+    ap.add_argument("--draft-quant", type=int, default=0, choices=(0, 8, 4),
+                    help="spec mode: AOT the quantized-drafter program "
+                         "(int8/int4 draft copy of layers [0, exit); the "
+                         "dq4 7B OOM diagnosis tool)")
     # train mode
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--seq-len", type=int, default=2048)
@@ -91,7 +95,28 @@ def main():
         print(f"total:          {(mem.argument_size_in_bytes+mem.temp_size_in_bytes)/2**30:.2f} GiB")
         return 0
 
-    if args.mode == "spec":
+    if args.mode == "spec" and args.draft_quant:
+        from layerskip_tpu.quant import quantize_draft_params
+
+        # abstract draft pytree from the same code that builds the real one
+        draft = jax.eval_shape(
+            lambda p: quantize_draft_params(
+                p, args.exit_layer, bits=args.draft_quant,
+                quantize_head=False,
+            ),
+            params,
+        )
+
+        def fn(params, draft, ids, true_len, rng):
+            return spec_generate(
+                params, cfg, ids, true_len, rng,
+                max_steps=args.max_steps, exit_layer=args.exit_layer,
+                num_speculations=args.spec, scfg=scfg, eos_ids=(2,),
+                max_cache_len=max_cache_len, draft_params=draft,
+            )
+
+        lowered = jax.jit(fn).lower(params, draft, ids, true_len, rng)
+    elif args.mode == "spec":
         def fn(params, ids, true_len, rng):
             return spec_generate(
                 params, cfg, ids, true_len, rng,
@@ -99,6 +124,8 @@ def main():
                 num_speculations=args.spec, scfg=scfg, eos_ids=(2,),
                 max_cache_len=max_cache_len,
             )
+
+        lowered = jax.jit(fn).lower(params, ids, true_len, rng)
     else:
         def fn(params, ids, true_len, rng):
             return ar_generate(
@@ -107,7 +134,7 @@ def main():
                 eos_ids=(2,), max_cache_len=max_cache_len,
             )
 
-    lowered = jax.jit(fn).lower(params, ids, true_len, rng)
+        lowered = jax.jit(fn).lower(params, ids, true_len, rng)
     print("lowered; compiling...", flush=True)
     try:
         compiled = lowered.compile()
