@@ -126,6 +126,35 @@ def _maybe_quantize(params: LlamaParams, quantize: str, dp: int, tp: int):
     return quantize_llama_params(params, bits=bits)
 
 
+def _scale_tail(params: LlamaParams, tail_eps: float, tail_from: int):
+    """Scale wo/w_down of layers >= tail_from by tail_eps (bench.py's
+    acceptance dial, applied post-init so CLI sweeps measure meaningful
+    acceptance tradeoffs on random weights). Donated: no second 7B copy."""
+    import dataclasses
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(2,), donate_argnums=(0,))
+    def scale(layers, eps, tail_from):
+        nl = layers.wo.shape[0] if not hasattr(layers.wo, "q") \
+            else layers.wo.q.shape[0]
+        factor = jnp.where(
+            jnp.arange(nl) >= tail_from, eps, 1.0
+        )
+
+        def app(w):
+            f = factor.reshape((nl,) + (1,) * (w.ndim - 1)).astype(w.dtype)
+            return w * f
+
+        return dataclasses.replace(
+            layers, wo=app(layers.wo), w_down=app(layers.w_down)
+        )
+
+    return dataclasses.replace(
+        params,
+        layers=scale(params.layers, jnp.float32(tail_eps), tail_from),
+    )
+
+
 def load_model_and_tokenizer(
     model: str, dtype=jnp.bfloat16, seed: int = 0, dp: int = 1, tp: int = 1,
     quantize: str = "none",
@@ -134,8 +163,26 @@ def load_model_and_tokenizer(
     ``dp``/``tp`` > 1 shards the weights over the local device mesh;
     ``quantize`` applies weight-only int8/int4 at load."""
     if model.startswith("random:"):
-        cfg = _preset_config(model.split(":", 1)[1])
+        # optional query params: random:7b?tail_eps=0.0124&tail_from=8
+        # scales the output projections (wo/w_down) of layers >= tail_from
+        # by tail_eps — the same acceptance dial bench.py uses (tail_eps=0
+        # makes the tail an identity map, so early-exit drafts are accepted
+        # ~always; larger values dial acceptance down continuously). This
+        # is what makes exit_layer x num_speculations sweeps on random
+        # weights produce trained-model-like tradeoff structure.
+        spec = model.split(":", 1)[1]
+        preset, _, query = spec.partition("?")
+        cfg = _preset_config(preset)
         params = init_params(jax.random.PRNGKey(seed), cfg)
+        if query:
+            kv = dict(p.split("=", 1) for p in query.split("&") if p)
+            if "tail_eps" in kv:
+                tail_from = int(kv.get(
+                    "tail_from", max(cfg.num_hidden_layers // 4, 1)
+                ))
+                params = _scale_tail(
+                    params, float(kv["tail_eps"]), tail_from
+                )
         params = _maybe_quantize(params, quantize, dp, tp)
         return maybe_shard(params, dp, tp), cfg, SimpleTokenizer(cfg.vocab_size)
 

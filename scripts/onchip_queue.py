@@ -184,6 +184,26 @@ ITEMS = [
       "--draft-quant", "4", "--draft-quant-head", "0",
       "--tail-eps", "0.0124", "--max-steps", "256", "--repeats", "2"],
      5400.0),
+    # --- round-5 wave ---
+    # dq4 retry after the per-layer quantize fix (the whole-stack int4
+    # quantize planned 16.05 GiB and OOM'd — see quant.py
+    # _quantize_layer_slice; AOT now plans 13.44 GiB peak)
+    ("dq4h16_7b_eps0124_v2",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--no-curve",
+      "--draft-quant", "4", "--draft-quant-head", "0",
+      "--tail-eps", "0.0124", "--max-steps", "256", "--repeats", "2"],
+     5400.0),
+    # headline dress rehearsal with the honest dq labeling (VERDICT r4 #1:
+    # the substituted metric is now named by the dq point's own acceptance)
+    ("headline_7b_curve_r5",
+     [sys.executable, "bench.py", "--config", "7b", "--single", "--curve",
+      "--deadline", "0"],
+     7200.0),
+    # the reference's signature artifact (VERDICT r4 #2): exit x spec grid
+    # at the headline operating eps, CSV + contour PDF committed in-tree
+    ("sweep_7b_grid",
+     [sys.executable, "scripts/sweep_7b_onchip.py"],
+     7200.0),
 ]
 
 
