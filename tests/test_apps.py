@@ -463,3 +463,31 @@ def test_cli_quantize_flag(tmp_path, capsys):
             generation_strategy="self_speculative", exit_layer=2,
             num_speculations=3)), (), 8)
         assert ar == sp and len(ar) == 8
+
+
+def test_random_loader_tail_eps_knob():
+    """random:<preset>?tail_eps=E&tail_from=F scales wo/w_down of layers
+    >= F by E (bench.py's acceptance dial, exposed to the CLI apps so
+    sweeps on random weights measure meaningful tradeoffs — the on-chip
+    sweep artifact, benchmarks/sweep_7b_onchip.csv)."""
+    import numpy as np
+
+    from layerskip_tpu.cli.loading import load_model_and_tokenizer
+
+    p0, cfg, _ = load_model_and_tokenizer("random:tiny", seed=0)
+    p1, _, _ = load_model_and_tokenizer(
+        "random:tiny?tail_eps=0.5&tail_from=2", seed=0
+    )
+    w0, w1 = np.asarray(p0.layers.wo), np.asarray(p1.layers.wo)
+    assert np.array_equal(w1[:2], w0[:2])
+    assert np.allclose(w1[2:], w0[2:] * 0.5, atol=1e-3)
+    d0 = np.asarray(p0.layers.w_down)
+    d1 = np.asarray(p1.layers.w_down)
+    assert np.allclose(d1[2:], d0[2:] * 0.5, atol=1e-3)
+    # attention inputs untouched (only the OUTPUT projections are scaled)
+    assert np.array_equal(
+        np.asarray(p0.layers.wq), np.asarray(p1.layers.wq)
+    )
+    # eps=0: identity tail — the acceptance~1 ceiling configuration
+    p2, _, _ = load_model_and_tokenizer("random:tiny?tail_eps=0", seed=0)
+    assert np.all(np.asarray(p2.layers.wo)[1:] == 0)

@@ -219,3 +219,27 @@ def test_draft_quant_mlp_only(model):
 
     from layerskip_tpu.serving import _cfg_key
     assert _cfg_key(_gc(8)) != _cfg_key(_gc(8, draft_quant_mlp_only=True))
+
+
+def test_int4_per_layer_quantize_matches_whole_stack(model):
+    """The r5 OOM fix (per-layer fori_loop int4 quantization,
+    quant._quantize_layer_slice) must be bit-identical to quantizing the
+    whole [E, ...] stack at once — same q bytes, scales, and static
+    metadata for every field. (The whole-stack form planned 16.05 GiB at
+    7B E=8 and OOM'd the v5e; the per-layer form plans 13.44.)"""
+    from layerskip_tpu.quant import _K_LAST_FIELDS, _QUANT_FIELDS, \
+        quantize_tensor
+
+    params, cfg = model
+    E = 2
+    dq = quantize_draft_params(params, E, bits=4, quantize_head=False)
+    sl = params.layers.slice(0, E)
+    for f in _QUANT_FIELDS:
+        w = getattr(sl, f)
+        if w is None:
+            continue
+        ref = quantize_tensor(w, k_last=f in _K_LAST_FIELDS, bits=4)
+        got = getattr(dq.layers, f)
+        assert np.array_equal(np.asarray(ref.q), np.asarray(got.q)), f
+        assert np.allclose(np.asarray(ref.scale), np.asarray(got.scale)), f
+        assert ref.group == got.group and ref.k_last == got.k_last, f

@@ -24,6 +24,13 @@ import pytest
 
 import jax
 
+# The TV-distance statistics need hundreds of sampled rows through several
+# compiled programs per test — minutes each. Slow tier only (run with
+# `pytest -m slow` / full suite `-m ""`); the greedy bit-exactness that
+# gates correctness lives in the fast tier (test_generation,
+# test_reference_equivalence, test_draft_quant).
+pytestmark = __import__("pytest").mark.slow
+
 from layerskip_tpu.config import GenerationConfig, tiny_config
 from layerskip_tpu.generation.engine import Engine
 from layerskip_tpu.models.params import init_params
