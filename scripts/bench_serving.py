@@ -30,6 +30,10 @@ def main():
                     help="multi-candidate speculation width (composes with "
                          "--paged/--kv-quant; greedy)")
     ap.add_argument("--quant", action="store_true")
+    ap.add_argument("--draft-quant", type=int, default=0, choices=(0, 8, 4),
+                    help="draft with an int8/int4 copy of the early "
+                         "layers; verify stays full precision (the "
+                         "headline engine, amortized over the batch)")
     ap.add_argument("--varied", action="store_true",
                     help="heterogeneous per-request token budgets (32..max)")
     ap.add_argument("--paged", action="store_true",
@@ -74,6 +78,7 @@ def main():
         generation_strategy="self_speculative",
         exit_layer=exit_layer, num_speculations=args.spec,
         kv_quant=args.kv_quant, spec_tree_width=args.tree_width,
+        draft_quant=args.draft_quant,
     )
     system = list(range(7, 7 + args.system_len))  # shared across requests
     prompts = [
