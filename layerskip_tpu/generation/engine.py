@@ -298,8 +298,6 @@ class Engine:
         if draft_quant:
             from layerskip_tpu.ops.linear import QuantTensor
 
-            assert not gen_cfg.draft_exit_prob, \
-                "draft_quant excludes adaptive drafting"
             if isinstance(self.params.layers.wq, QuantTensor):
                 return 0
         return draft_quant

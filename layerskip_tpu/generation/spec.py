@@ -250,9 +250,9 @@ def _spec_round(
     and sampling stays distribution-correct. Verification runs the
     stitched window through ALL layers via ``forward_split`` (there is no
     draft/exit split to exploit)."""
-    assert draft_params is None or (
-        draft_exit_prob <= 0.0 and pld_ngram == 0 and not hybrid
-    ), "draft_params applies only to the static early-exit draft path"
+    assert draft_params is None or (pld_ngram == 0 and not hybrid), \
+        "draft_params applies only to early-exit drafting (static or " \
+        "confidence-adaptive), not PLD/hybrid draft sources"
     b = s.next_tok.shape[0]
     e, w = exit_layer, num_speculations
     v_size = cfg.vocab_size
@@ -380,6 +380,11 @@ def _spec_round(
         # other rows' extra iterations (per-request reproducibility); its
         # early-KV junk writes land beyond its own w_dyn frontier.
         tau = jnp.float32(draft_exit_prob)
+        # adaptive + quantized drafter composes: the gate saves exactly the
+        # draft passes that would have been wasted, and they are the int8
+        # copy's passes; the verify below re-runs the full-precision stack
+        # either way, so committed tokens are invariant
+        dparams = params if draft_params is None else draft_params
         hid_dtype = params.embed.dtype
         carry0 = (
             s.early, s.next_tok, s.rng, s.hist,
@@ -397,7 +402,7 @@ def _spec_round(
         def dbody(c):
             (early, tok, rng, hist, i, drafting, w_dyn,
              d_toks, p_dr, ex_h) = c
-            r = llama.forward_early(params, cfg, tok, early, s.ctx + i, e)
+            r = llama.forward_early(dparams, cfg, tok, early, s.ctx + i, e)
             key, rng2 = _split_rows(rng)
             logits = ban(r.logits[:, -1], hist, hist_len0 + i)
             probs = token_distribution(logits, scfg)  # [B, V]
@@ -447,26 +452,42 @@ def _spec_round(
         # ---- verify phase: one pass over the stitched window
         # (reference self_speculation_generator.py:150-182; the pld and
         # static-draft paths verify inside their draft closures above) ----
-        # per-row stitched window: the last draft token's exit hidden goes
-        # at window position w_dyn (not the static W), garbage beyond it —
-        # position j's verifier logits depend only on tokens < j, so
-        # positions <= w_dyn are exactly the static semantics
-        r_last = llama.forward_early(
-            params, cfg, last_inp, early, s.ctx + w_dyn, e
-        )
-        h1 = r_last.hidden  # [B, 1, D]
-        win_h = jnp.concatenate(
-            [exit_hidden, jnp.zeros_like(exit_hidden[:, :1])], axis=1
-        )  # [B, W+1, D]
-        sel = jnp.arange(w + 1)[None, :, None] == w_dyn[:, None, None]
-        win_h = jnp.where(sel, h1.astype(win_h.dtype), win_h)
-        full_h, kf, vf = llama.run_layers(
-            cfg, params.layers, win_h, s.full.k, s.full.v, s.ctx,
-            layer_offset=e,
-        )
-        vlogits = llama.lm_logits(params, cfg, full_h)  # [B, W+1, V]
-        early_after = r_last.cache
-        full_after = KVCache(k=kf, v=vf)
+        if draft_params is not None:
+            # quantized drafts: the exit hiddens came through int8 layers,
+            # so the verify must NOT reuse them — re-run the stitched
+            # window through the FULL base stack from the pre-draft caches
+            # (identical to the static draft-quant verify; positions past
+            # a row's w_dyn hold garbage ids whose KV lands beyond the
+            # committed frontier and is legitimately overwritten)
+            window_ids = jnp.concatenate([s.next_tok, drafts], axis=1)
+            vres = llama.forward_split(
+                params, cfg, window_ids, s.early, s.full, s.ctx, e
+            )
+            vlogits = vres.logits
+            early_after = vres.early_cache
+            full_after = vres.full_cache
+        else:
+            # per-row stitched window: the last draft token's exit hidden
+            # goes at window position w_dyn (not the static W), garbage
+            # beyond it — position j's verifier logits depend only on
+            # tokens < j, so positions <= w_dyn are exactly the static
+            # semantics
+            r_last = llama.forward_early(
+                params, cfg, last_inp, early, s.ctx + w_dyn, e
+            )
+            h1 = r_last.hidden  # [B, 1, D]
+            win_h = jnp.concatenate(
+                [exit_hidden, jnp.zeros_like(exit_hidden[:, :1])], axis=1
+            )  # [B, W+1, D]
+            sel = jnp.arange(w + 1)[None, :, None] == w_dyn[:, None, None]
+            win_h = jnp.where(sel, h1.astype(win_h.dtype), win_h)
+            full_h, kf, vf = llama.run_layers(
+                cfg, params.layers, win_h, s.full.k, s.full.v, s.ctx,
+                layer_offset=e,
+            )
+            vlogits = llama.lm_logits(params, cfg, full_h)  # [B, W+1, V]
+            early_after = r_last.cache
+            full_after = KVCache(k=kf, v=vf)
     if ngram > 0:
         # position j verifies with history = committed + drafts < j (the
         # drafts are already in ``hist``), keeping greedy spec == greedy AR

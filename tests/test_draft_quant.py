@@ -243,3 +243,18 @@ def test_int4_per_layer_quantize_matches_whole_stack(model):
         assert np.array_equal(np.asarray(ref.q), np.asarray(got.q)), f
         assert np.allclose(np.asarray(ref.scale), np.asarray(got.scale)), f
         assert ref.group == got.group and ref.k_last == got.k_last, f
+
+
+def test_draft_quant_composes_with_adaptive(model):
+    """Adaptive drafting (draft_exit_prob) + quantized drafter (r5): the
+    confidence gate saves int8 draft passes; the verify re-runs the full
+    base stack from the pre-draft caches, so greedy == bf16 AR exactly."""
+    params, cfg = model
+    eng = Engine(params, cfg)
+    prompt = [3, 5, 7, 9]
+    ar = _ar(eng, prompt)
+    for bits in (8, 4):
+        sp = postprocess_output(
+            eng.generate(
+                prompt, _gc(bits, draft_exit_prob=0.3)), (), 16)
+        assert sp == ar, (bits, sp, ar)
