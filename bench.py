@@ -24,6 +24,15 @@ paper-realistic ~0.8 (the trained 7B's per-token acceptance regime where
 the paper reports its 2.16x); the headline metric is the speedup *at that
 operating point*, with the ceiling and the whole curve attached.
 
+Curve mode additionally measures one **int8-drafter** point at the
+bisected eps (``--headline-dq``, default 8 — pass 0 to opt out) and
+headlines the faster of {bf16 drafts, int8 drafts}: same model, same task
+difficulty, greedy output bit-identical either way (the verify re-runs
+the full bf16 stack — layerskip_tpu/quant.py). When the dq point wins,
+the metric is named by ITS measured acceptance (e.g. ``_acc66_dq8``) and
+the bf16 acc~0.8 point rides along in ``bf16_draft_*``/``eps_basis`` —
+the name never claims an acceptance the quoted point does not have.
+
 ``vs_baseline`` divides the measured speedup by the reference's published
 2.16x headline so >1.0 means we beat the reference's number.
 

@@ -58,7 +58,12 @@ def _run_isolated(name: str) -> bool:
     env = dict(os.environ, LAYERSKIP_STAT_INNER="1")
     for attempt in (1, 2):
         r = subprocess.run(
-            [sys.executable, "-m", "pytest", "-q", "-x",
+            # "-m ''" overrides the default addopts marker filter
+            # (-m 'not slow'): this whole file is slow-tier, and without
+            # the override the inner pytest would deselect the very test
+            # it was spawned to run (rc=5, no tests collected). "-n 0"
+            # disables xdist for the single-test inner run.
+            [sys.executable, "-m", "pytest", "-q", "-x", "-m", "", "-n", "0",
              f"{os.path.abspath(__file__)}::{name}"],
             env=env, capture_output=True, timeout=1500,
         )
