@@ -118,3 +118,40 @@ def test_fuzz_chunked_insert_equivalence():
             if got is not None:
                 break
         assert got == want, (trial, chunk, prompt, got, want)
+
+
+def test_fuzz_greedy_equivalence_draft_quant_adaptive():
+    """Random draws through the quantized drafter (int8/int4), alone and
+    composed with confidence-adaptive drafting (r5) and int8 KV — greedy
+    must equal greedy AR for every combination (the verify re-runs the
+    full-precision stack from the pre-draft caches either way)."""
+    cfg = tiny_config(num_hidden_layers=4, hidden_size=64, vocab_size=128)
+    rng = np.random.default_rng(555)
+    mismatches = []
+    for trial in range(8):
+        params = init_params(jax.random.PRNGKey(3000 + trial), cfg)
+        eng = Engine(params, cfg)
+        prompt = rng.integers(
+            0, cfg.vocab_size, size=rng.integers(2, 24)).tolist()
+        e = int(rng.integers(1, cfg.num_hidden_layers))
+        w = int(rng.integers(1, 6))
+        bits = 8 if trial % 2 else 4
+        tau = float(rng.choice([0.0, 0.2, 0.5]))
+        kvq = bool(trial % 3 == 1)
+        ar = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=14, sample=False, kv_quant=kvq,
+                generation_strategy="autoregressive")),
+            (), 14,
+        )
+        dq = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=14, sample=False, kv_quant=kvq,
+                generation_strategy="self_speculative",
+                exit_layer=e, num_speculations=w,
+                draft_quant=bits, draft_exit_prob=tau)),
+            (), 14,
+        )
+        if ar != dq:
+            mismatches.append((trial, e, w, bits, tau, kvq, ar, dq))
+    assert not mismatches, mismatches[:2]
