@@ -66,6 +66,14 @@ class SimpleTokenizer:
 def _preset_config(name: str) -> ModelConfig:
     if name == "tiny":
         return tiny_config(dtype=jnp.bfloat16)
+    if name == "gemma2":  # tiny Gemma-2: alternating windows + softcaps
+        return tiny_config(
+            dtype=jnp.bfloat16, hidden_act="gelu_pytorch_tanh",
+            rms_norm_offset=True, scale_embeddings=True,
+            tie_word_embeddings=True, attn_logit_softcap=50.0,
+            final_logit_softcap=30.0, query_pre_attn_scalar=32.0,
+            sliding_window=8, sliding_window_pattern=2, post_norms=True,
+        )
     if name == "moe":  # tiny Mixtral-style MoE for offline smoke runs
         return tiny_config(
             dtype=jnp.bfloat16, num_local_experts=4, num_experts_per_tok=2,

@@ -71,6 +71,16 @@ class ModelConfig:
     hidden_act: str = "silu"  # | "gelu_pytorch_tanh"
     rms_norm_offset: bool = False
     scale_embeddings: bool = False
+    # Gemma-2-family: logit soft-capping (cap * tanh(x / cap)) on attention
+    # scores and final logits, post-sublayer RMSNorms, a fixed query
+    # pre-attention scalar replacing head_dim**-0.5, and ALTERNATING
+    # sliding/global attention (layers with index % pattern == 0 use the
+    # sliding window; pattern 1 = every layer, the Mistral behavior)
+    attn_logit_softcap: float = 0.0
+    final_logit_softcap: float = 0.0
+    query_pre_attn_scalar: Optional[float] = None
+    sliding_window_pattern: int = 1
+    post_norms: bool = False
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
@@ -103,6 +113,7 @@ class ModelConfig:
             d["hidden_size"] // d["num_attention_heads"]
         )
         gemma = d.get("model_type", "").startswith("gemma")
+        gemma2 = d.get("model_type") == "gemma2"
         return ModelConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -133,6 +144,18 @@ class ModelConfig:
             ),
             rms_norm_offset=gemma,
             scale_embeddings=gemma,
+            attn_logit_softcap=float(
+                d.get("attn_logit_softcapping") or 0.0
+            ),
+            final_logit_softcap=float(
+                d.get("final_logit_softcapping") or 0.0
+            ),
+            query_pre_attn_scalar=(
+                float(d["query_pre_attn_scalar"])
+                if d.get("query_pre_attn_scalar") else None
+            ),
+            sliding_window_pattern=2 if gemma2 else 1,
+            post_norms=gemma2,
             tie_word_embeddings=d.get("tie_word_embeddings", gemma),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=d.get("eos_token_id", 2),

@@ -57,6 +57,10 @@ class LayerParams:
     bv: Optional[jnp.ndarray] = None  # [L, Hkv*Dh]
     # MoE router (Mixtral-family); None for dense models
     w_router: Optional[jnp.ndarray] = None  # [L, D, E]
+    # Gemma-2-family post-sublayer norms (applied to the sublayer OUTPUT
+    # before the residual add); None for every other family
+    post_attn_norm: Optional[jnp.ndarray] = None  # [L, D]
+    post_mlp_norm: Optional[jnp.ndarray] = None  # [L, D]
 
     def slice(self, start: int, end: int) -> "LayerParams":
         return jax.tree.map(lambda x: x[start:end], self)
@@ -100,6 +104,8 @@ def _one_layer(
     q_positions: jnp.ndarray,  # [B, T] absolute query positions
     past_scalar=None,  # scalar past when positions are shared+contiguous
     tree_meta=None,  # multi-candidate chains (see ops/attention.gqa_attention)
+    window=None,  # per-layer window override (Gemma-2 alternating pattern):
+    # a traced int32 scalar, 0 = global; None = cfg.sliding_window for all
 ):
     b, t, d = h.shape
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -120,14 +126,25 @@ def _one_layer(
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)
     attn = gqa_attention(
         q, k_layer, v_layer, q_positions, q_heads_per_kv=cfg.q_heads_per_kv,
-        past_scalar=past_scalar, sliding_window=cfg.sliding_window,
+        past_scalar=past_scalar,
+        sliding_window=cfg.sliding_window if window is None else window,
         tree_meta=tree_meta,
+        score_scale=(
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar else None
+        ),
+        logit_softcap=cfg.attn_logit_softcap,
     )
+    attn_out = apply_weight(attn.reshape(b, t, hq * dh), lp.wo)
+    if lp.post_attn_norm is not None:  # Gemma-2: norm the sublayer OUTPUT
+        attn_out = rms_norm(
+            attn_out, lp.post_attn_norm, cfg.rms_norm_eps, cfg.norm_offset
+        )
     # fused residual-add + norm: h += attn_out and rms_norm(h) in one kernel
-    # on TPU (ops/rmsnorm.py dispatch)
+    # on TPU (ops/rmsnorm.py dispatch). For Gemma-2, lp.mlp_norm holds the
+    # pre_feedforward norm (models/params.py mapping).
     x, h = rms_norm_residual(
-        apply_weight(attn.reshape(b, t, hq * dh), lp.wo), h,
-        lp.mlp_norm, cfg.rms_norm_eps, cfg.norm_offset,
+        attn_out, h, lp.mlp_norm, cfg.rms_norm_eps, cfg.norm_offset,
     )
     if lp.w_router is not None:  # Mixtral-family MoE MLP (ops/moe.py)
         from layerskip_tpu.ops.moe import moe_mlp
@@ -136,10 +153,14 @@ def _one_layer(
             x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
             cfg.num_experts_per_tok,
         )
-        h = h + mlp_out
     else:
         gated = _act(cfg)(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)
-        h = h + apply_weight(gated, lp.w_down)
+        mlp_out = apply_weight(gated, lp.w_down)
+    if lp.post_mlp_norm is not None:  # Gemma-2
+        mlp_out = rms_norm(
+            mlp_out, lp.post_mlp_norm, cfg.rms_norm_eps, cfg.norm_offset
+        )
+    h = h + mlp_out
     return h, k_layer, v_layer
 
 
@@ -194,9 +215,21 @@ def run_layers(
             lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
             layers,
         )
+        if cfg.sliding_window and cfg.sliding_window_pattern > 1:
+            # Gemma-2 alternating attention: layers with absolute index
+            # i % pattern == 0 use the sliding window, the rest are global
+            # — a traced per-layer scalar, one extra clause on the mask
+            # (the i is the scan's gathered layer index, so early/full
+            # layer groups keep the ABSOLUTE alternation)
+            win = jnp.where(
+                i % cfg.sliding_window_pattern == 0,
+                jnp.int32(cfg.sliding_window), jnp.int32(0),
+            )
+        else:
+            win = None
         h, k_layer, v_layer = _one_layer(
             cfg, lp, h, k_layer, v_layer, cos, sin, kv_write_pos, q_positions,
-            past_scalar=past_scalar, tree_meta=tree_meta,
+            past_scalar=past_scalar, tree_meta=tree_meta, window=win,
         )
         return h, (k_layer, v_layer)
 
@@ -209,8 +242,15 @@ def lm_logits(params: LlamaParams, cfg: ModelConfig, h: jnp.ndarray) -> jnp.ndar
     h = rms_norm(h, params.final_norm, cfg.rms_norm_eps, cfg.norm_offset)
     head = params.lm_head if params.lm_head is not None else params.embed.T
     if isinstance(head, QuantTensor):
-        return apply_weight(h.astype(jnp.float32), head)
-    return jnp.einsum("btd,dv->btv", h, head, preferred_element_type=jnp.float32)
+        logits = apply_weight(h.astype(jnp.float32), head)
+    else:
+        logits = jnp.einsum(
+            "btd,dv->btv", h, head, preferred_element_type=jnp.float32
+        )
+    if cfg.final_logit_softcap:
+        cap = jnp.float32(cfg.final_logit_softcap)
+        logits = cap * jnp.tanh(logits / cap)  # Gemma-2 soft-capping
+    return logits
 
 
 @struct.dataclass

@@ -61,6 +61,12 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
         w_router=(
             nrm(keys[8], (l, d, cfg.num_local_experts)) if cfg.is_moe else None
         ),
+        post_attn_norm=(
+            norm_init((l, d), cfg.dtype) if cfg.post_norms else None
+        ),
+        post_mlp_norm=(
+            norm_init((l, d), cfg.dtype) if cfg.post_norms else None
+        ),
     )
     embed = nrm(keys[7], (v, d))
     lm_head = None if cfg.tie_word_embeddings else jnp.transpose(embed)
@@ -113,7 +119,17 @@ def params_from_flat_dict(
     """
     l = cfg.num_hidden_layers
     n_exp = cfg.num_local_experts
-    layer_arrays: Dict[str, list] = {v[0]: [None] * l for v in _LAYER_KEY_MAP.values()}
+    key_map = dict(_LAYER_KEY_MAP)
+    if cfg.post_norms:
+        # Gemma-2 block has FOUR norms: input_layernorm (attn_norm),
+        # post_attention_layernorm (a true post-norm), pre_feedforward
+        # (our mlp_norm slot) and post_feedforward
+        key_map["post_attention_layernorm.weight"] = ("post_attn_norm", False)
+        key_map["pre_feedforward_layernorm.weight"] = ("mlp_norm", False)
+        key_map["post_feedforward_layernorm.weight"] = ("post_mlp_norm", False)
+    layer_arrays: Dict[str, list] = {v[0]: [None] * l for v in key_map.values()}
+    layer_arrays.setdefault("post_attn_norm", [None] * l)
+    layer_arrays.setdefault("post_mlp_norm", [None] * l)
     layer_arrays["w_router"] = [None] * l
     if cfg.is_moe:
         for f in ("w_gate", "w_up", "w_down"):
@@ -124,10 +140,10 @@ def params_from_flat_dict(
         m = pat.match(name)
         if m:
             i, sub = int(m.group(1)), m.group(2)
-            if sub in _LAYER_KEY_MAP and not (
+            if sub in key_map and not (
                 cfg.is_moe and sub.startswith("mlp.")
             ):
-                field, transpose = _LAYER_KEY_MAP[sub]
+                field, transpose = key_map[sub]
                 layer_arrays[field][i] = arr.T if transpose else arr
             elif sub == "block_sparse_moe.gate.weight":
                 layer_arrays["w_router"][i] = arr.T  # [E, D] -> [D, E]
@@ -145,8 +161,9 @@ def params_from_flat_dict(
 
     def stack(field):
         mats = layer_arrays[field]
-        if field in ("bq", "bk", "bv") and all(m is None for m in mats):
-            return None  # Llama-family: no attention biases
+        if field in ("bq", "bk", "bv", "post_attn_norm", "post_mlp_norm") \
+                and all(m is None for m in mats):
+            return None  # family-optional fields absent from the checkpoint
         if field == "w_router" and all(m is None for m in mats):
             return None  # dense-MLP families: no router
         if isinstance(mats[0], list):  # MoE: [l][e] -> stacked [L, E, ...]
@@ -207,7 +224,12 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
         tensors["lm_head.weight"] = np.ascontiguousarray(
             np.asarray(params.lm_head, np.float32).T
         )
-    inv_map = {field: (hf, tr) for hf, (field, tr) in _LAYER_KEY_MAP.items()}
+    save_map = dict(_LAYER_KEY_MAP)
+    if cfg.post_norms:
+        save_map["post_attention_layernorm.weight"] = ("post_attn_norm", False)
+        save_map["pre_feedforward_layernorm.weight"] = ("mlp_norm", False)
+        save_map["post_feedforward_layernorm.weight"] = ("post_mlp_norm", False)
+    inv_map = {field: (hf, tr) for hf, (field, tr) in save_map.items()}
     moe = cfg.is_moe
     inv_expert = {f: w for w, f in _EXPERT_FIELD.items()}
     for i in range(cfg.num_hidden_layers):
@@ -242,6 +264,8 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     # biases; Mistral the only one with a sliding window.
     if cfg.is_moe:
         model_type, arch = "mixtral", "MixtralForCausalLM"
+    elif cfg.post_norms:
+        model_type, arch = "gemma2", "Gemma2ForCausalLM"
     elif cfg.rms_norm_offset:
         model_type, arch = "gemma", "GemmaForCausalLM"
     elif cfg.attention_bias:
@@ -270,6 +294,12 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     }
     if cfg.sliding_window is not None:
         config_json["sliding_window"] = cfg.sliding_window
+    if cfg.attn_logit_softcap:
+        config_json["attn_logit_softcapping"] = cfg.attn_logit_softcap
+    if cfg.final_logit_softcap:
+        config_json["final_logit_softcapping"] = cfg.final_logit_softcap
+    if cfg.query_pre_attn_scalar:
+        config_json["query_pre_attn_scalar"] = cfg.query_pre_attn_scalar
     if cfg.is_moe:
         config_json["num_local_experts"] = cfg.num_local_experts
         config_json["num_experts_per_tok"] = cfg.num_experts_per_tok

@@ -105,6 +105,10 @@ def gqa_attention(
     # multi-candidate speculation — cache slots >= scratch_start hold
     # ``fanout`` interleaved draft chains (slot = scratch + depth*fanout +
     # chain); a query sees committed slots plus its OWN chain's ancestors
+    score_scale=None,  # None => head_dim**-0.5; Gemma-2 passes
+    # query_pre_attn_scalar**-0.5
+    logit_softcap: float = 0.0,  # Gemma-2 attention score soft-capping:
+    # scores = cap * tanh(scores / cap), applied pre-mask (0 disables)
 ) -> jnp.ndarray:
     """Returns attention output [B, T, Hq, Dh] in q.dtype.
 
@@ -128,8 +132,18 @@ def gqa_attention(
         q_positions.astype(jnp.int32), (b, t)
     )
     # windowed visibility is one extra clause on the masking rule, carried
-    # straight into every kernel (Mistral no longer falls back to dense)
-    _window = int(sliding_window) if sliding_window is not None else 0
+    # straight into every kernel (Mistral no longer falls back to dense).
+    # Gemma-2's ALTERNATING pattern passes the window as a traced per-layer
+    # scalar; the Pallas kernels take only static windows, so those models
+    # stay on the XLA masked path (together with softcap / custom scale).
+    _dyn_window = isinstance(sliding_window, jnp.ndarray)
+    _window = 0 if _dyn_window else (
+        int(sliding_window) if sliding_window is not None else 0
+    )
+    # non-standard score math (Gemma-2) has no kernel support: XLA path only
+    _kernels_ok = not (
+        _dyn_window or bool(logit_softcap) or score_scale is not None
+    )
     if tree_meta is not None:
         # per-query chain ids / per-row scratch start for the paged kernels
         # (they recover a key's (position, chain) from its slot in-kernel)
@@ -141,7 +155,7 @@ def gqa_attention(
     else:
         _tree_kw = {}
     if isinstance(k_cache, PagedKV):
-        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+        if _kernels_ok and _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention,
             )
@@ -156,7 +170,7 @@ def gqa_attention(
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)
     elif isinstance(k_cache, PagedQuantKV):
-        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+        if _kernels_ok and _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention_q8,
             )
@@ -187,9 +201,8 @@ def gqa_attention(
     # 7B the XLA path also wins (130.2 vs 127.0 spec tok/s). Pallas pays
     # only where XLA cannot express the access pattern: paged KV (above)
     # and long prefill (below).
-    if past_scalar is not None and tree_meta is None and _use_flash_prefill(
-        q.shape[1], k_cache.shape[1], q.shape[3]
-    ):
+    if past_scalar is not None and tree_meta is None and _kernels_ok \
+            and _use_flash_prefill(q.shape[1], k_cache.shape[1], q.shape[3]):
         from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
         return flash_prefill_attention(
@@ -206,7 +219,11 @@ def gqa_attention(
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k_cache, preferred_element_type=jnp.float32
     )
-    scores = scores * (1.0 / jnp.sqrt(dh).astype(jnp.float32))
+    _scale = (dh ** -0.5) if score_scale is None else float(score_scale)
+    scores = scores * jnp.float32(_scale)
+    if logit_softcap:
+        cap = jnp.float32(logit_softcap)
+        scores = cap * jnp.tanh(scores / cap)  # Gemma-2 soft-capping
 
     key_idx = jnp.arange(s, dtype=jnp.int32)
     if tree_meta is not None:
@@ -227,11 +244,21 @@ def gqa_attention(
             (key_chain[:, None, :] < 0)
             | (key_chain[:, None, :] == q_chain[:, :, None])
         )
-        if _window > 0:
+        if _dyn_window:
+            win = sliding_window.astype(jnp.int32)
+            mask &= (win <= 0) | (
+                key_pos[:, None, :] > (q_positions[:, :, None] - win)
+            )
+        elif _window > 0:
             mask &= key_pos[:, None, :] > (q_positions[:, :, None] - _window)
     else:
         mask = key_idx[None, None, :] <= q_positions[:, :, None]  # [B, T, S]
-        if _window > 0:
+        if _dyn_window:
+            win = sliding_window.astype(jnp.int32)
+            mask &= (win <= 0) | (
+                key_idx[None, None, :] > (q_positions[:, :, None] - win)
+            )
+        elif _window > 0:
             mask &= key_idx[None, None, :] > (q_positions[:, :, None] - _window)
     scores = jnp.where(mask[:, None, None], scores, NEG_INF)
 
