@@ -31,6 +31,7 @@ def layer_specs(
     attention_bias: bool = False,
     moe: bool = False,
     ep: bool = False,
+    post_norms: bool = False,
 ) -> LayerParams:
     """PartitionSpecs for the stacked [L, ...] layer weights.
 
@@ -68,6 +69,9 @@ def layer_specs(
         bv=P(l, "tp") if attention_bias else None,
         # router stays replicated: [D, E] is tiny and every device routes
         w_router=P(l, None, None) if moe else None,
+        # Gemma-2 post-sublayer norms: replicated like the other norms
+        post_attn_norm=P(l, None) if post_norms else None,
+        post_mlp_norm=P(l, None) if post_norms else None,
     )
 
 
@@ -77,10 +81,12 @@ def param_specs(
     attention_bias: bool = False,
     moe: bool = False,
     ep: bool = False,
+    post_norms: bool = False,
 ) -> LlamaParams:
     return LlamaParams(
         embed=P("tp", None),  # vocab-parallel embedding
-        layers=layer_specs(fsdp, attention_bias, moe=moe, ep=ep),
+        layers=layer_specs(fsdp, attention_bias, moe=moe, ep=ep,
+                           post_norms=post_norms),
         final_norm=P(None),
         lm_head=None if tie_word_embeddings else P(None, "tp"),
     )
@@ -123,6 +129,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             attention_bias=params.layers.bq is not None,
             moe=params.layers.w_router is not None,
             ep="ep" in mesh.axis_names,
+            post_norms=params.layers.post_attn_norm is not None,
         ),
     )
     return jax.tree.map(jax.device_put, params, shardings)

@@ -213,3 +213,30 @@ def test_gemma2_checkpoint_round_trip(tmp_path, torch_gemma2_and_cfg):
     a = fwd(params, cfg, ids, cache, jnp.int32(0)).logits
     b = fwd(params2, cfg2, ids, cache, jnp.int32(0)).logits
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gemma2_tp_sharded_matches_single_device():
+    """Gemma-2 under a tp=8 mesh: the post-norm fields must carry specs
+    (parallel/sharding.py post_norms) and the alternating-window decode
+    must emit the single-device stream under GSPMD."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.parallel.mesh import make_mesh
+    from layerskip_tpu.parallel.sharding import shard_params
+
+    cfg = _gemma2_cfg(dtype=jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    gc = GenerationConfig(
+        max_steps=14, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompt = [3, 17, 52, 9]
+    ref = postprocess_output(
+        Engine(params, cfg).generate(prompt, gc, jax.random.PRNGKey(0)),
+        (), 14,
+    )
+    mesh = make_mesh(dp=1, tp=8, devices=jax.devices())
+    got = postprocess_output(
+        Engine(shard_params(params, mesh), cfg).generate(
+            prompt, gc, jax.random.PRNGKey(0)), (), 14,
+    )
+    assert got == ref
