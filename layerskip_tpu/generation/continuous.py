@@ -291,6 +291,14 @@ class ContinuousSession:
         import numpy as np
 
         assert len(rows) == len(prompts) and rows
+        for r in rows:
+            # a row mid-chunked-prefill must not be plain-inserted over:
+            # the staged chunk passes would park its ctx into the trash
+            # zone and the queued finalize would resurrect the stale
+            # prompt — silently destroying the new request (same contract
+            # begin_chunked_insert enforces)
+            assert not self._pending[r], \
+                f"slot {r} has a chunked prefill in flight"
         mask = np.zeros(self.batch, bool)
         ids = np.zeros((self.batch, self.prompt_bucket), np.int32)
         lens = np.ones(self.batch, np.int32)

@@ -288,19 +288,28 @@ class Engine:
         self._draft_cache.clear()
 
     def _resolve_draft_quant(self, gen_cfg, strategy: str,
-                             tree_width: int) -> int:
-        """Effective draft_quant bits for this request: only the linear
-        early-exit draft path drafts with a separate weight copy, and a
-        base model that is ALREADY quantized drafts cheaply as-is."""
+                             tree_width: int):
+        """Effective ``(bits, quantize_head, mlp_only)`` for this request:
+        only the early-exit draft path drafts with a separate weight copy,
+        and a base model that is ALREADY quantized drafts cheaply as-is.
+        The fidelity knobs normalize to False whenever bits resolves to 0,
+        so configs differing only in dead knobs share one executable (the
+        one-executable-per-donated-state invariant) — this is the single
+        home of that rule for all three entry points."""
         draft_quant = int(getattr(gen_cfg, "draft_quant", 0) or 0)
         if strategy != "self_speculative" or tree_width > 1:
-            return 0
+            draft_quant = 0
         if draft_quant:
             from layerskip_tpu.ops.linear import QuantTensor
 
             if isinstance(self.params.layers.wq, QuantTensor):
-                return 0
-        return draft_quant
+                draft_quant = 0
+        on = bool(draft_quant)
+        return (
+            draft_quant,
+            on and bool(getattr(gen_cfg, "draft_quant_head", False)),
+            on and bool(getattr(gen_cfg, "draft_quant_mlp_only", False)),
+        )
 
     def _draft_params(self, exit_layer: int, bits: int, head: bool = False,
                       mlp_only: bool = False):
@@ -452,14 +461,9 @@ class Engine:
         if bucket + max_steps > cap:
             # keep positions inside the model's trained RoPE range
             max_steps = max(cap - bucket, 1)
-        draft_quant = self._resolve_draft_quant(gen_cfg, strategy, tree_width)
-        # fidelity knobs are no-ops without draft_quant: normalize them out
-        # of the cache key so configs differing only in dead knobs share one
-        # executable (one-executable-per-donated-state invariant)
-        dq_head = bool(draft_quant) and bool(
-            getattr(gen_cfg, "draft_quant_head", False))
-        dq_mlp = bool(draft_quant) and bool(
-            getattr(gen_cfg, "draft_quant_mlp_only", False))
+        draft_quant, dq_head, dq_mlp = self._resolve_draft_quant(
+            gen_cfg, strategy, tree_width
+        )
         fn = self._compiled(
             strategy, bucket, b, max_steps, exit_layer,
             max(gen_cfg.num_speculations, 1), scfg, eos,
@@ -744,13 +748,9 @@ class Engine:
         if tree_width > 1:
             assert not gen_cfg.draft_exit_prob, \
                 "tree speculation excludes adaptive drafting"
-        draft_quant = self._resolve_draft_quant(
+        draft_quant, dq_head, dq_mlp = self._resolve_draft_quant(
             gen_cfg, gen_cfg.generation_strategy, tree_width
         )
-        dq_head = bool(draft_quant) and bool(
-            getattr(gen_cfg, "draft_quant_head", False))
-        dq_mlp = bool(draft_quant) and bool(
-            getattr(gen_cfg, "draft_quant_mlp_only", False))
         fns = self._compiled_continuous(
             prompt_bucket, batch, gen_cfg.max_steps, gen_cfg.exit_layer,
             gen_cfg.num_speculations, scfg, eos,
@@ -866,13 +866,9 @@ class Engine:
             # adaptive drafting — fail loudly, never silently
             assert not gen_cfg.draft_exit_prob, \
                 "spec_tree_width excludes adaptive drafting"
-        draft_quant = self._resolve_draft_quant(
+        draft_quant, dq_head, dq_mlp = self._resolve_draft_quant(
             gen_cfg, gen_cfg.generation_strategy, tree_width
         )
-        dq_head = bool(draft_quant) and bool(
-            getattr(gen_cfg, "draft_quant_head", False))
-        dq_mlp = bool(draft_quant) and bool(
-            getattr(gen_cfg, "draft_quant_mlp_only", False))
         prefill, round_fn = self._compiled_stepped(
             bucket, b, gen_cfg.max_steps, gen_cfg.exit_layer, w, scfg, eos,
             int(gen_cfg.no_repeat_ngram_size or 0),

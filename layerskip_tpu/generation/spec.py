@@ -393,7 +393,14 @@ def _spec_round(
             jnp.zeros((b,), jnp.int32),  # w_dyn
             jnp.zeros((b, w), jnp.int32),  # drafts
             jnp.zeros((b, w, v_size), jnp.float32),  # p_draft
-            jnp.zeros((b, w, cfg.hidden_size), hid_dtype),  # exit_hidden
+            # exit_hidden: consumed only by the bf16 stitched verify; the
+            # quantized-draft verify re-runs forward_split instead, so a
+            # 1-element dummy avoids a dead [B, W, D] loop-carried buffer
+            # (while_loop carries cannot be DCE'd by XLA)
+            jnp.zeros(
+                (b, w, cfg.hidden_size) if draft_params is None else (1, 1, 1),
+                hid_dtype,
+            ),
         )
 
         def dcond(c):
@@ -416,10 +423,11 @@ def _spec_round(
                 col[None, :, None] & rec[:, None, None],
                 probs[:, None].astype(p_dr.dtype), p_dr,
             )
-            ex_h = jnp.where(
-                col[None, :, None] & rec[:, None, None],
-                r.hidden[:, :1].astype(ex_h.dtype), ex_h,
-            )
+            if draft_params is None:
+                ex_h = jnp.where(
+                    col[None, :, None] & rec[:, None, None],
+                    r.hidden[:, :1].astype(ex_h.dtype), ex_h,
+                )
             hist = jnp.where(
                 rec[:, None],
                 _row_update(hist, d_tok[:, None], hist_len0 + i), hist,

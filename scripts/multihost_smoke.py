@@ -130,11 +130,23 @@ def main() -> int:
         child(args.rank)
         return 0
 
+    # pick a free coordinator port unless the caller pinned one — a fixed
+    # default collides with concurrent runs (e.g. the slow-tier test while
+    # a manual smoke or an orphaned child from a timed-out run is alive)
+    port = os.environ.get("LAYERSKIP_SMOKE_PORT")
+    if port is None:
+        import socket
+
+        with socket.socket() as sk:
+            sk.bind(("127.0.0.1", 0))
+            port = str(sk.getsockname()[1])
+    env = dict(os.environ, LAYERSKIP_SMOKE_PORT=port)
     procs = []
     for r in range(NPROC):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "--rank", str(r)],
             cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env,
         ))
     ok = True
     for r, p in enumerate(procs):

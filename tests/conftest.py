@@ -11,6 +11,21 @@ tests at all — SURVEY §4).
 
 import os
 
+
+def pytest_addoption(parser):
+    # addopts carries "-n auto" (pytest-xdist). In an environment installed
+    # from the pre-xdist [test] extra, that would abort option parsing with
+    # "unrecognized arguments" before a single test runs — register a no-op
+    # fallback so the documented `pytest tests/ -q` still works (serially).
+    try:
+        import xdist  # noqa: F401
+    except ImportError:
+        parser.addoption(
+            "-n", "--numprocesses", action="store", default=None,
+            help="no-op fallback: pytest-xdist is not installed",
+        )
+
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

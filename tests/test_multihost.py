@@ -20,10 +20,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 @pytest.mark.slow
 def test_multihost_smoke():
+    # the parent self-selects a free coordinator port (no collision with
+    # concurrent manual runs or orphaned children)
     env = dict(os.environ)
-    # a port distinct from the script default, so a concurrently-running
-    # manual smoke cannot collide with the test's coordinator
-    env["LAYERSKIP_SMOKE_PORT"] = "47633"
+    env.pop("LAYERSKIP_SMOKE_PORT", None)
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "multihost_smoke.py")],
         cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
