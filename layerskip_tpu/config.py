@@ -62,6 +62,7 @@ class ModelConfig:
     rope_theta: float = 10000.0
     rope_scaling: RopeScaling = dataclasses.field(default_factory=RopeScaling)
     attention_bias: bool = False  # Qwen2-family QKV biases
+    qk_norm: bool = False  # Qwen3-family per-head RMSNorm on q/k (pre-RoPE)
     sliding_window: Optional[int] = None  # Mistral-family windowed attention
     # Mixtral-family mixture-of-experts MLP (0 => dense MLP)
     num_local_experts: int = 0
@@ -133,6 +134,7 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias", d.get("model_type") == "qwen2"
             ),
+            qk_norm=d.get("model_type") == "qwen3",
             sliding_window=d.get("sliding_window"),
             num_local_experts=d.get("num_local_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),

@@ -61,6 +61,9 @@ class LayerParams:
     # before the residual add); None for every other family
     post_attn_norm: Optional[jnp.ndarray] = None  # [L, D]
     post_mlp_norm: Optional[jnp.ndarray] = None  # [L, D]
+    # Qwen3-family per-head q/k RMSNorm over head_dim (pre-RoPE)
+    q_norm: Optional[jnp.ndarray] = None  # [L, Dh]
+    k_norm: Optional[jnp.ndarray] = None  # [L, Dh]
 
     def slice(self, start: int, end: int) -> "LayerParams":
         return jax.tree.map(lambda x: x[start:end], self)
@@ -121,6 +124,9 @@ def _one_layer(
     q = q.reshape(b, t, hq, dh)
     k = k.reshape(b, t, hkv, dh)
     v = v.reshape(b, t, hkv, dh)
+    if lp.q_norm is not None:  # Qwen3: per-head RMSNorm before RoPE
+        q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, cfg.norm_offset)
+        k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps, cfg.norm_offset)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     k_layer, v_layer = write_kv(k_layer, v_layer, k, v, write_pos)

@@ -67,6 +67,8 @@ def init_params(rng: jax.Array, cfg: ModelConfig) -> LlamaParams:
         post_mlp_norm=(
             norm_init((l, d), cfg.dtype) if cfg.post_norms else None
         ),
+        q_norm=norm_init((l, dh), cfg.dtype) if cfg.qk_norm else None,
+        k_norm=norm_init((l, dh), cfg.dtype) if cfg.qk_norm else None,
     )
     embed = nrm(keys[7], (v, d))
     lm_head = None if cfg.tie_word_embeddings else jnp.transpose(embed)
@@ -95,6 +97,9 @@ _LAYER_KEY_MAP = {
     "self_attn.k_proj.bias": ("bk", False),
     "self_attn.v_proj.bias": ("bv", False),
     "self_attn.o_proj.weight": ("wo", True),
+    # Qwen3-family per-head q/k norms ([Dh]; absent for other families)
+    "self_attn.q_norm.weight": ("q_norm", False),
+    "self_attn.k_norm.weight": ("k_norm", False),
     "post_attention_layernorm.weight": ("mlp_norm", False),
     "mlp.gate_proj.weight": ("w_gate", True),
     "mlp.up_proj.weight": ("w_up", True),
@@ -161,7 +166,8 @@ def params_from_flat_dict(
 
     def stack(field):
         mats = layer_arrays[field]
-        if field in ("bq", "bk", "bv", "post_attn_norm", "post_mlp_norm") \
+        if field in ("bq", "bk", "bv", "post_attn_norm", "post_mlp_norm",
+                     "q_norm", "k_norm") \
                 and all(m is None for m in mats):
             return None  # family-optional fields absent from the checkpoint
         if field == "w_router" and all(m is None for m in mats):
@@ -264,6 +270,8 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     # biases; Mistral the only one with a sliding window.
     if cfg.is_moe:
         model_type, arch = "mixtral", "MixtralForCausalLM"
+    elif cfg.qk_norm:
+        model_type, arch = "qwen3", "Qwen3ForCausalLM"
     elif cfg.post_norms:
         model_type, arch = "gemma2", "Gemma2ForCausalLM"
     elif cfg.rms_norm_offset:

@@ -32,6 +32,7 @@ def layer_specs(
     moe: bool = False,
     ep: bool = False,
     post_norms: bool = False,
+    qk_norm: bool = False,
 ) -> LayerParams:
     """PartitionSpecs for the stacked [L, ...] layer weights.
 
@@ -72,6 +73,9 @@ def layer_specs(
         # Gemma-2 post-sublayer norms: replicated like the other norms
         post_attn_norm=P(l, None) if post_norms else None,
         post_mlp_norm=P(l, None) if post_norms else None,
+        # Qwen3 per-head q/k norms ([L, Dh], tiny): replicated
+        q_norm=P(l, None) if qk_norm else None,
+        k_norm=P(l, None) if qk_norm else None,
     )
 
 
@@ -82,11 +86,12 @@ def param_specs(
     moe: bool = False,
     ep: bool = False,
     post_norms: bool = False,
+    qk_norm: bool = False,
 ) -> LlamaParams:
     return LlamaParams(
         embed=P("tp", None),  # vocab-parallel embedding
         layers=layer_specs(fsdp, attention_bias, moe=moe, ep=ep,
-                           post_norms=post_norms),
+                           post_norms=post_norms, qk_norm=qk_norm),
         final_norm=P(None),
         lm_head=None if tie_word_embeddings else P(None, "tp"),
     )
@@ -130,6 +135,7 @@ def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
             moe=params.layers.w_router is not None,
             ep="ep" in mesh.axis_names,
             post_norms=params.layers.post_attn_norm is not None,
+            qk_norm=params.layers.q_norm is not None,
         ),
     )
     return jax.tree.map(jax.device_put, params, shardings)
