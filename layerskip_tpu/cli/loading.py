@@ -66,6 +66,10 @@ class SimpleTokenizer:
 def _preset_config(name: str) -> ModelConfig:
     if name == "tiny":
         return tiny_config(dtype=jnp.bfloat16)
+    if name == "qwen3":  # tiny Qwen3: per-head q/k RMSNorm pre-RoPE
+        return tiny_config(
+            dtype=jnp.bfloat16, qk_norm=True, tie_word_embeddings=True,
+        )
     if name == "gemma2":  # tiny Gemma-2: alternating windows + softcaps
         return tiny_config(
             dtype=jnp.bfloat16, hidden_act="gelu_pytorch_tanh",
