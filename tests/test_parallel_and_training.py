@@ -349,3 +349,56 @@ def test_sharded_continuous_session_matches(cfg, params):
         if len(got) == 2:
             break
     assert got == want
+
+
+@pytest.mark.parametrize("family", ["gemma2", "qwen3"])
+def test_train_step_runs_on_new_families(family):
+    """The LayerSkip training recipe (layer dropout + rotational early-exit
+    loss) must run unchanged on the r5 model families — the optional
+    post-norm / qk-norm fields flow through grads and the optimizer."""
+    import jax.numpy as jnp
+
+    from layerskip_tpu.config import tiny_config
+    from layerskip_tpu.models.params import init_params
+    from layerskip_tpu.training.recipe import TrainConfig, make_train_step
+
+    if family == "gemma2":
+        fcfg = tiny_config(
+            dtype=jnp.bfloat16, hidden_act="gelu_pytorch_tanh",
+            rms_norm_offset=True, scale_embeddings=True,
+            tie_word_embeddings=True, attn_logit_softcap=50.0,
+            final_logit_softcap=30.0, query_pre_attn_scalar=32.0,
+            sliding_window=8, sliding_window_pattern=2, post_norms=True,
+        )
+    else:
+        fcfg = tiny_config(
+            dtype=jnp.bfloat16, qk_norm=True, tie_word_embeddings=True,
+        )
+    tcfg = TrainConfig(
+        p_max=0.1, early_exit_layers=(1, 2, 3), e_scale=0.5, rotational_r=2
+    )
+    step, init_opt = make_train_step(fcfg, tcfg)
+    params = init_params(jax.random.PRNGKey(0), fcfg)
+    opt = init_opt(params)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0,
+                             fcfg.vocab_size)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 0,
+                                fcfg.vocab_size)
+    p2, _, aux = jax.jit(step)(
+        params, opt, ids, labels, jax.random.PRNGKey(3), jnp.int32(0)
+    )
+    loss = float(aux["loss"])
+    assert loss == loss and loss > 0.0
+    # weights update (one bf16 step on norm weights near 1.0 can round to
+    # no visible change, so assert on the matmul weights at ~0.02 scale)
+    import numpy as np
+
+    assert not np.array_equal(
+        np.asarray(p2.layers.wq), np.asarray(params.layers.wq)
+    )
+    # the family-specific fields flow through the optimizer (same pytree)
+    if family == "gemma2":
+        assert p2.layers.post_attn_norm.shape \
+            == params.layers.post_attn_norm.shape
+    else:
+        assert p2.layers.q_norm.shape == params.layers.q_norm.shape
