@@ -78,6 +78,22 @@ def _preset_config(name: str) -> ModelConfig:
             final_logit_softcap=30.0, query_pre_attn_scalar=32.0,
             sliding_window=8, sliding_window_pattern=2, post_norms=True,
         )
+    if name == "gemma2-2b":
+        # Gemma-2-2b architecture (HF google/gemma-2-2b config.json):
+        # 26 layers, head_dim 256, GeGLU, alternating 4096-window
+        # attention, softcaps 50/30 — ~2.6B params, 5.2 GB bf16
+        return ModelConfig(
+            vocab_size=256128, hidden_size=2304, intermediate_size=9216,
+            num_hidden_layers=26, num_attention_heads=8,
+            num_key_value_heads=4, head_dim=256,
+            max_position_embeddings=8192, rms_norm_eps=1e-6,
+            rope_theta=10000.0, hidden_act="gelu_pytorch_tanh",
+            rms_norm_offset=True, scale_embeddings=True,
+            tie_word_embeddings=True, attn_logit_softcap=50.0,
+            final_logit_softcap=30.0, query_pre_attn_scalar=256.0,
+            sliding_window=4096, sliding_window_pattern=2, post_norms=True,
+            dtype=jnp.bfloat16,
+        )
     if name == "moe":  # tiny Mixtral-style MoE for offline smoke runs
         return tiny_config(
             dtype=jnp.bfloat16, num_local_experts=4, num_experts_per_tok=2,
