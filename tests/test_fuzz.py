@@ -155,3 +155,52 @@ def test_fuzz_greedy_equivalence_draft_quant_adaptive():
         if ar != dq:
             mismatches.append((trial, e, w, bits, tau, kvq, ar, dq))
     assert not mismatches, mismatches[:2]
+
+
+def test_fuzz_greedy_equivalence_new_families():
+    """Random draws through the r5 families: Gemma-2 (alternating
+    sliding/global attention, softcaps, post-norms) and Qwen3 (per-head
+    qk-norm), across linear and tree speculation — greedy must equal
+    greedy AR for every draw (exercises the traced per-layer window and
+    the family-specific block math under the split layer groups)."""
+    gemma2 = tiny_config(
+        num_hidden_layers=4, hidden_size=64, vocab_size=128,
+        hidden_act="gelu_pytorch_tanh", rms_norm_offset=True,
+        scale_embeddings=True, tie_word_embeddings=True,
+        attn_logit_softcap=50.0, final_logit_softcap=30.0,
+        query_pre_attn_scalar=32.0, sliding_window=6,
+        sliding_window_pattern=2, post_norms=True,
+    )
+    qwen3 = tiny_config(
+        num_hidden_layers=4, hidden_size=64, vocab_size=128,
+        qk_norm=True, tie_word_embeddings=True,
+    )
+    rng = np.random.default_rng(777)
+    mismatches = []
+    for trial in range(8):
+        cfg = gemma2 if trial % 2 == 0 else qwen3
+        params = init_params(jax.random.PRNGKey(4000 + trial), cfg)
+        eng = Engine(params, cfg)
+        prompt = rng.integers(
+            0, cfg.vocab_size, size=rng.integers(2, 20)).tolist()
+        e = int(rng.integers(1, cfg.num_hidden_layers))
+        w = int(rng.integers(1, 5))
+        tree = int(rng.choice([0, 2, 3]))
+        ar = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=14, sample=False,
+                generation_strategy="autoregressive")),
+            (), 14,
+        )
+        sp = postprocess_output(
+            eng.generate(prompt, GenerationConfig(
+                max_steps=14, sample=False,
+                generation_strategy="self_speculative",
+                exit_layer=e, num_speculations=w, spec_tree_width=tree)),
+            (), 14,
+        )
+        if ar != sp:
+            mismatches.append(
+                (trial, cfg is gemma2 and "gemma2" or "qwen3", e, w, tree,
+                 ar, sp))
+    assert not mismatches, mismatches[:2]
