@@ -81,7 +81,13 @@ class ModelConfig:
     final_logit_softcap: float = 0.0
     query_pre_attn_scalar: Optional[float] = None
     sliding_window_pattern: int = 1
+    # explicit per-layer sliding flags (Gemma-3 ``layer_types``); overrides
+    # the pattern rule when set. Tuple so the frozen config stays hashable.
+    sliding_layers: Optional[tuple] = None
     post_norms: bool = False
+    # Gemma-3: sliding layers use their own RoPE base frequency (the
+    # global layers keep rope_theta + rope_scaling)
+    rope_local_theta: Optional[float] = None
     tie_word_embeddings: bool = False
     bos_token_id: int = 1
     eos_token_id: Any = 2  # int or list[int] (llama3 uses a list)
@@ -104,6 +110,24 @@ class ModelConfig:
         return self.num_local_experts > 0
 
     @property
+    def sliding_layer_flags(self) -> Optional[tuple]:
+        """Per-layer sliding-attention flags, or None when the window (if
+        any) applies to every layer. Explicit ``sliding_layers`` wins;
+        otherwise ``sliding_window_pattern`` p > 1 gives the Gemma rule
+        ``layer i slides iff (i + 1) % p != 0`` (p=2: even layers slide —
+        Gemma-2; p=6: 5-of-6 slide — Gemma-3)."""
+        if self.sliding_window is None:
+            return None
+        if self.sliding_layers is not None:
+            return tuple(bool(x) for x in self.sliding_layers)
+        if self.sliding_window_pattern > 1:
+            p = self.sliding_window_pattern
+            return tuple(
+                (i + 1) % p != 0 for i in range(self.num_hidden_layers)
+            )
+        return None
+
+    @property
     def norm_offset(self) -> float:
         """RMSNorm weight offset: 1.0 for Gemma ((1 + w) convention)."""
         return 1.0 if self.rms_norm_offset else 0.0
@@ -115,6 +139,12 @@ class ModelConfig:
         )
         gemma = d.get("model_type", "").startswith("gemma")
         gemma2 = d.get("model_type") == "gemma2"
+        gemma3 = d.get("model_type", "").startswith("gemma3")
+        layer_types = d.get("layer_types")
+        sliding_layers = (
+            tuple(t == "sliding_attention" for t in layer_types)
+            if layer_types else None
+        )
         return ModelConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -134,7 +164,7 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias", d.get("model_type") == "qwen2"
             ),
-            qk_norm=d.get("model_type") == "qwen3",
+            qk_norm=d.get("model_type") == "qwen3" or gemma3,
             sliding_window=d.get("sliding_window"),
             num_local_experts=d.get("num_local_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
@@ -156,8 +186,16 @@ class ModelConfig:
                 float(d["query_pre_attn_scalar"])
                 if d.get("query_pre_attn_scalar") else None
             ),
-            sliding_window_pattern=2 if gemma2 else 1,
-            post_norms=gemma2,
+            sliding_window_pattern=int(
+                d.get("sliding_window_pattern")
+                or (2 if gemma2 else 6 if gemma3 else 1)
+            ),
+            sliding_layers=sliding_layers,
+            post_norms=gemma2 or gemma3,
+            rope_local_theta=(
+                float(d["rope_local_base_freq"])
+                if d.get("rope_local_base_freq") else None
+            ),
             tie_word_embeddings=d.get("tie_word_embeddings", gemma),
             bos_token_id=d.get("bos_token_id", 1),
             eos_token_id=d.get("eos_token_id", 2),

@@ -213,6 +213,21 @@ def run_layers(
     kv_write_pos = past_len if write_pos is None else write_pos
     inv_freq = rope_inv_freq(cfg)
     cos, sin = rope_cos_sin(q_positions, inv_freq)  # [B, T, Dh]
+    # Gemma-3: sliding layers use a separate RoPE base (no scaling); the
+    # per-layer select below picks between the two precomputed tables
+    if cfg.rope_local_theta:
+        import dataclasses as _dc
+
+        from layerskip_tpu.config import RopeScaling
+
+        local_cfg = _dc.replace(
+            cfg, rope_theta=cfg.rope_local_theta, rope_scaling=RopeScaling()
+        )
+        cos_l, sin_l = rope_cos_sin(q_positions, rope_inv_freq(local_cfg))
+    flags = cfg.sliding_layer_flags  # per-layer sliding attention (or None)
+    flags_arr = (
+        jnp.asarray(flags, bool) if flags is not None else None
+    )
     layer_idx = jnp.arange(layer_offset, layer_offset + n_sub, dtype=jnp.int32)
 
     def body(h, xs):
@@ -221,21 +236,27 @@ def run_layers(
             lambda x: jax.lax.dynamic_index_in_dim(x, i, 0, keepdims=False),
             layers,
         )
-        if cfg.sliding_window and cfg.sliding_window_pattern > 1:
-            # Gemma-2 alternating attention: layers with absolute index
-            # i % pattern == 0 use the sliding window, the rest are global
-            # — a traced per-layer scalar, one extra clause on the mask
-            # (the i is the scan's gathered layer index, so early/full
-            # layer groups keep the ABSOLUTE alternation)
+        if flags_arr is not None:
+            # Gemma-2/3 mixed attention: the gathered ABSOLUTE layer index
+            # selects this layer's window (a traced scalar — one extra
+            # clause on the mask rule), so the early/full layer-group
+            # split preserves the per-layer layout
+            sliding_i = flags_arr[i]
             win = jnp.where(
-                i % cfg.sliding_window_pattern == 0,
-                jnp.int32(cfg.sliding_window), jnp.int32(0),
+                sliding_i, jnp.int32(cfg.sliding_window), jnp.int32(0)
             )
         else:
             win = None
+        if cfg.rope_local_theta and flags_arr is not None:
+            sel = flags_arr[i]
+            cos_i = jnp.where(sel, cos_l, cos)
+            sin_i = jnp.where(sel, sin_l, sin)
+        else:
+            cos_i, sin_i = cos, sin
         h, k_layer, v_layer = _one_layer(
-            cfg, lp, h, k_layer, v_layer, cos, sin, kv_write_pos, q_positions,
-            past_scalar=past_scalar, tree_meta=tree_meta, window=win,
+            cfg, lp, h, k_layer, v_layer, cos_i, sin_i, kv_write_pos,
+            q_positions, past_scalar=past_scalar, tree_meta=tree_meta,
+            window=win,
         )
         return h, (k_layer, v_layer)
 

@@ -270,6 +270,8 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
     # biases; Mistral the only one with a sliding window.
     if cfg.is_moe:
         model_type, arch = "mixtral", "MixtralForCausalLM"
+    elif cfg.post_norms and cfg.qk_norm:
+        model_type, arch = "gemma3_text", "Gemma3ForCausalLM"
     elif cfg.qk_norm:
         model_type, arch = "qwen3", "Qwen3ForCausalLM"
     elif cfg.post_norms:
@@ -308,6 +310,15 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
         config_json["final_logit_softcapping"] = cfg.final_logit_softcap
     if cfg.query_pre_attn_scalar:
         config_json["query_pre_attn_scalar"] = cfg.query_pre_attn_scalar
+    if cfg.sliding_window_pattern > 1:
+        config_json["sliding_window_pattern"] = cfg.sliding_window_pattern
+    if cfg.sliding_layers is not None:
+        config_json["layer_types"] = [
+            "sliding_attention" if f else "full_attention"
+            for f in cfg.sliding_layers
+        ]
+    if cfg.rope_local_theta:
+        config_json["rope_local_base_freq"] = cfg.rope_local_theta
     if cfg.is_moe:
         config_json["num_local_experts"] = cfg.num_local_experts
         config_json["num_experts_per_tok"] = cfg.num_experts_per_tok
