@@ -94,6 +94,15 @@ def _preset_config(name: str) -> ModelConfig:
             sliding_window=4096, sliding_window_pattern=2, post_norms=True,
             dtype=jnp.bfloat16,
         )
+    if name == "gemma3":  # tiny Gemma-3: 5-of-6 sliding + local rope
+        return tiny_config(
+            dtype=jnp.bfloat16, num_hidden_layers=6,
+            hidden_act="gelu_pytorch_tanh", rms_norm_offset=True,
+            scale_embeddings=True, tie_word_embeddings=True, qk_norm=True,
+            post_norms=True, query_pre_attn_scalar=32.0, sliding_window=8,
+            sliding_window_pattern=6, rope_theta=100000.0,
+            rope_local_theta=10000.0,
+        )
     if name == "moe":  # tiny Mixtral-style MoE for offline smoke runs
         return tiny_config(
             dtype=jnp.bfloat16, num_local_experts=4, num_experts_per_tok=2,

@@ -175,10 +175,19 @@ def test_fuzz_greedy_equivalence_new_families():
         num_hidden_layers=4, hidden_size=64, vocab_size=128,
         qk_norm=True, tie_word_embeddings=True,
     )
+    gemma3 = tiny_config(
+        num_hidden_layers=6, hidden_size=64, vocab_size=128,
+        hidden_act="gelu_pytorch_tanh", rms_norm_offset=True,
+        scale_embeddings=True, tie_word_embeddings=True, qk_norm=True,
+        post_norms=True, query_pre_attn_scalar=32.0, sliding_window=6,
+        sliding_window_pattern=6, rope_theta=100000.0,
+        rope_local_theta=10000.0,
+    )
     rng = np.random.default_rng(777)
     mismatches = []
-    for trial in range(8):
-        cfg = gemma2 if trial % 2 == 0 else qwen3
+    fams = (gemma2, qwen3, gemma3)
+    for trial in range(9):
+        cfg = fams[trial % 3]
         params = init_params(jax.random.PRNGKey(4000 + trial), cfg)
         eng = Engine(params, cfg)
         prompt = rng.integers(
@@ -201,6 +210,6 @@ def test_fuzz_greedy_equivalence_new_families():
         )
         if ar != sp:
             mismatches.append(
-                (trial, cfg is gemma2 and "gemma2" or "qwen3", e, w, tree,
-                 ar, sp))
+                (trial, ("gemma2", "qwen3", "gemma3")[trial % 3], e, w,
+                 tree, ar, sp))
     assert not mismatches, mismatches[:2]
