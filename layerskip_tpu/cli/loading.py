@@ -83,7 +83,7 @@ def _preset_config(name: str) -> ModelConfig:
         # 26 layers, head_dim 256, GeGLU, alternating 4096-window
         # attention, softcaps 50/30 — ~2.6B params, 5.2 GB bf16
         return ModelConfig(
-            vocab_size=256128, hidden_size=2304, intermediate_size=9216,
+            vocab_size=256000, hidden_size=2304, intermediate_size=9216,
             num_hidden_layers=26, num_attention_heads=8,
             num_key_value_heads=4, head_dim=256,
             max_position_embeddings=8192, rms_norm_eps=1e-6,

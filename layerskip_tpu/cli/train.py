@@ -134,10 +134,10 @@ def main(args: Arguments, targs: TrainArguments):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from layerskip_tpu.parallel.mesh import make_train_mesh
-        from layerskip_tpu.parallel.sharding import param_specs, to_named
+        from layerskip_tpu.parallel.sharding import param_specs_from, to_named
 
         mesh = make_train_mesh(dp=args.dp, fsdp=targs.fsdp, tp=args.tp)
-        shardings = to_named(mesh, param_specs(params.lm_head is None, fsdp=True))
+        shardings = to_named(mesh, param_specs_from(params, fsdp=True))
         params = jax.tree.map(jax.device_put, params, shardings)
         batch_sharding = NamedSharding(mesh, P("dp", "fsdp"))
     else:

@@ -119,7 +119,11 @@ class ModelConfig:
         if self.sliding_window is None:
             return None
         if self.sliding_layers is not None:
-            return tuple(bool(x) for x in self.sliding_layers)
+            flags = tuple(bool(x) for x in self.sliding_layers)
+            # all-True collapses to the uniform static window (keeps the
+            # Pallas kernels engaged); all-False stays explicit so the
+            # per-layer rule (0 = global) disables the window everywhere
+            return None if all(flags) else flags
         if self.sliding_window_pattern > 1:
             p = self.sliding_window_pattern
             return tuple(
@@ -145,6 +149,16 @@ class ModelConfig:
             tuple(t == "sliding_attention" for t in layer_types)
             if layer_types else None
         )
+        sliding_window = d.get("sliding_window")
+        # newer transformers serializes layer_types for UNIFORM models too
+        # (e.g. a re-saved Mistral: all "sliding_attention") — collapse the
+        # uniform cases so the window stays a STATIC kernel parameter and
+        # the Pallas paged/flash kernels keep engaging (_kernels_ok)
+        if sliding_layers is not None:
+            if all(sliding_layers):
+                sliding_layers = None  # every layer slides: static window
+            elif not any(sliding_layers):
+                sliding_layers, sliding_window = None, None  # no window
         return ModelConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
@@ -165,7 +179,7 @@ class ModelConfig:
                 "attention_bias", d.get("model_type") == "qwen2"
             ),
             qk_norm=d.get("model_type") == "qwen3" or gemma3,
-            sliding_window=d.get("sliding_window"),
+            sliding_window=sliding_window,
             num_local_experts=d.get("num_local_experts", 0),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
             # Gemma checkpoints may carry hidden_activation (new key) or

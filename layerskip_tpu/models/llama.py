@@ -251,6 +251,10 @@ def run_layers(
             sel = flags_arr[i]
             cos_i = jnp.where(sel, cos_l, cos)
             sin_i = jnp.where(sel, sin_l, sin)
+        elif cfg.rope_local_theta and cfg.sliding_window:
+            # uniform-sliding collapse (all layers slide): every layer
+            # uses the local RoPE base
+            cos_i, sin_i = cos_l, sin_l
         else:
             cos_i, sin_i = cos, sin
         h, k_layer, v_layer = _one_layer(

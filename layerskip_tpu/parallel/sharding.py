@@ -125,17 +125,27 @@ def to_named(mesh: Mesh, spec_tree: Any) -> Any:
     )
 
 
+def param_specs_from(
+    params: LlamaParams, fsdp: bool = False, ep: bool = False
+) -> LlamaParams:
+    """``param_specs`` with every family flag inferred from the pytree —
+    the single safe way to build specs for an arbitrary model (a flag
+    threaded by hand at one call site WILL be forgotten at the next; the
+    r5 families crashed cli/train's device_put exactly that way)."""
+    return param_specs(
+        tie_word_embeddings=params.lm_head is None,
+        fsdp=fsdp,
+        attention_bias=params.layers.bq is not None,
+        moe=params.layers.w_router is not None,
+        ep=ep,
+        post_norms=params.layers.post_attn_norm is not None,
+        qk_norm=params.layers.q_norm is not None,
+    )
+
+
 def shard_params(params: LlamaParams, mesh: Mesh) -> LlamaParams:
     """Place a (host or single-device) param pytree onto the mesh."""
     shardings = to_named(
-        mesh,
-        param_specs(
-            params.lm_head is None,
-            attention_bias=params.layers.bq is not None,
-            moe=params.layers.w_router is not None,
-            ep="ep" in mesh.axis_names,
-            post_norms=params.layers.post_attn_norm is not None,
-            qk_norm=params.layers.q_norm is not None,
-        ),
+        mesh, param_specs_from(params, ep="ep" in mesh.axis_names)
     )
     return jax.tree.map(jax.device_put, params, shardings)

@@ -168,12 +168,18 @@ def _ce_from_hidden(
 def _one_layer_dropped(
     cfg: ModelConfig, lp, h, cos, sin, keep: jnp.ndarray,
     ring: Optional[Tuple] = None,  # (mesh, axis) => ring attention
+    window=None,  # traced per-layer sliding window (0/None = global)
 ):
     """One decoder layer without KV cache (full-sequence training pass).
 
     ``keep`` is a [B] 0/1 mask implementing per-sample layer dropout: dropped
     samples pass ``h`` through unchanged (identity skip — this is what makes
     early exits viable at inference, the paper's core insight).
+
+    Carries the full family block math so training optimizes EXACTLY the
+    architecture inference runs: Qwen2 biases, Qwen3/Gemma-3 qk-norm,
+    Gemma-2 softcap/post-norms/query scale, per-layer sliding windows
+    (the per-layer RoPE select happens in the caller's cos/sin).
     """
     b, t, d = h.shape
     hq, hkv, dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -189,12 +195,19 @@ def _one_layer_dropped(
     q = q.reshape(b, t, hq, dh)
     k = k.reshape(b, t, hkv, dh)
     v = v.reshape(b, t, hkv, dh)
+    if lp.q_norm is not None:  # Qwen3/Gemma-3 per-head qk-norm (pre-RoPE)
+        q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, cfg.norm_offset)
+        k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps, cfg.norm_offset)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     # causal self-attention over the sequence itself
     if ring is not None:
         from layerskip_tpu.ops.ring_attention import ring_attention_sharded
 
+        assert window is None and not cfg.attn_logit_softcap \
+            and cfg.query_pre_attn_scalar is None, \
+            "ring attention does not support windows/softcap/query scale " \
+            "(Gemma-family training must not set ring_axis)"
         mesh, axis = ring
         attn = ring_attention_sharded(q, k, v, mesh, axis=axis)
         h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
@@ -204,15 +217,32 @@ def _one_layer_dropped(
         scores = jnp.einsum(
             "bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32
         )
-        scores = scores / jnp.sqrt(jnp.float32(dh))
-        causal = jnp.tril(jnp.ones((t, t), bool))
-        scores = jnp.where(causal[None, None, None], scores, -1e30)
+        scale = (
+            cfg.query_pre_attn_scalar ** -0.5
+            if cfg.query_pre_attn_scalar else dh ** -0.5
+        )
+        scores = scores * jnp.float32(scale)
+        if cfg.attn_logit_softcap:  # Gemma-2 score soft-capping
+            cap = jnp.float32(cfg.attn_logit_softcap)
+            scores = cap * jnp.tanh(scores / cap)
+        mask = jnp.tril(jnp.ones((t, t), bool))
+        if window is not None:
+            idx = jnp.arange(t, dtype=jnp.int32)
+            win = jnp.asarray(window, jnp.int32)
+            mask = mask & (
+                (win <= 0) | (idx[None, :] > idx[:, None] - win)
+            )
+        scores = jnp.where(mask[None, None, None], scores, -1e30)
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
         attn = jnp.einsum(
             "bhgts,bshd->bthgd", probs, v, preferred_element_type=jnp.float32
         )
         h_attn = attn.reshape(b, t, hq * dh).astype(h.dtype) @ lp.wo
 
+    if lp.post_attn_norm is not None:  # Gemma-2/3 post-sublayer norm
+        h_attn = rms_norm(
+            h_attn, lp.post_attn_norm, cfg.rms_norm_eps, cfg.norm_offset
+        )
     h1 = h + h_attn
     x = rms_norm(h1, lp.mlp_norm, cfg.rms_norm_eps, cfg.norm_offset)
     if lp.w_router is not None:  # Mixtral-family MoE MLP
@@ -222,11 +252,15 @@ def _one_layer_dropped(
             x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
             cfg.num_experts_per_tok,
         )
-        h2 = h1 + mlp_out
     else:
         act = llama._act(cfg)
-        h2 = h1 + (act(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
+        mlp_out = (act(x @ lp.w_gate) * (x @ lp.w_up)) @ lp.w_down
         aux = jnp.float32(0.0)
+    if lp.post_mlp_norm is not None:  # Gemma-2/3
+        mlp_out = rms_norm(
+            mlp_out, lp.post_mlp_norm, cfg.rms_norm_eps, cfg.norm_offset
+        )
+    h2 = h1 + mlp_out
 
     keep = keep.astype(h.dtype)[:, None, None]
     return keep * h2 + (1.0 - keep) * h, aux
@@ -273,6 +307,21 @@ def layerskip_loss(
     cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg))
     cos = jnp.broadcast_to(cos[None], (b, t, cfg.head_dim))
     sin = jnp.broadcast_to(sin[None], (b, t, cfg.head_dim))
+    # Gemma-3: sliding layers train on their own RoPE base, exactly as
+    # inference runs them (models/llama.py run_layers)
+    flags = cfg.sliding_layer_flags
+    if cfg.rope_local_theta:
+        import dataclasses as _dc
+
+        from layerskip_tpu.config import RopeScaling
+
+        local_cfg = _dc.replace(
+            cfg, rope_theta=cfg.rope_local_theta, rope_scaling=RopeScaling()
+        )
+        cos_l, sin_l = rope_cos_sin(positions, rope_inv_freq(local_cfg))
+        cos_l = jnp.broadcast_to(cos_l[None], (b, t, cfg.head_dim))
+        sin_l = jnp.broadcast_to(sin_l[None], (b, t, cfg.head_dim))
+    flags_arr = jnp.asarray(flags, bool) if flags is not None else None
 
     # per-layer, per-sample keep masks
     l_idx = jnp.arange(nl, dtype=jnp.int32)
@@ -282,11 +331,31 @@ def layerskip_loss(
     ring = (mesh, tcfg.ring_axis) if tcfg.ring_axis else None
 
     def body(h, xs):
-        lp, keep_l = xs
-        h, aux = _one_layer_dropped(cfg, lp, h, cos, sin, keep_l, ring=ring)
+        lp, keep_l, i = xs
+        if flags_arr is not None:
+            sliding_i = flags_arr[i]
+            win = jnp.where(
+                sliding_i, jnp.int32(cfg.sliding_window), jnp.int32(0)
+            )
+        elif cfg.sliding_window:
+            win = jnp.int32(cfg.sliding_window)  # uniform (Mistral)
+        else:
+            win = None
+        if cfg.rope_local_theta:
+            sel = flags_arr[i] if flags_arr is not None \
+                else jnp.bool_(cfg.sliding_window is not None)
+            cos_i = jnp.where(sel, cos_l, cos)
+            sin_i = jnp.where(sel, sin_l, sin)
+        else:
+            cos_i, sin_i = cos, sin
+        h, aux = _one_layer_dropped(
+            cfg, lp, h, cos_i, sin_i, keep_l, ring=ring, window=win
+        )
         return h, (h, aux)
 
-    h_final, (h_all, moe_aux) = jax.lax.scan(body, h, (params.layers, keep))
+    h_final, (h_all, moe_aux) = jax.lax.scan(
+        body, h, (params.layers, keep, l_idx)
+    )
     if tcfg.act_spec is not None:
         h_final = jax.lax.with_sharding_constraint(
             h_final, PartitionSpec(*tcfg.act_spec)

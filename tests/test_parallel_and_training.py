@@ -402,3 +402,68 @@ def test_train_step_runs_on_new_families(family):
             == params.layers.post_attn_norm.shape
     else:
         assert p2.layers.q_norm.shape == params.layers.q_norm.shape
+
+
+@pytest.mark.parametrize("family", ["llama", "mistral", "gemma2", "gemma3",
+                                    "qwen3"])
+def test_training_forward_matches_inference(family):
+    """The training pass must compute EXACTLY the inference architecture
+    (r5 code-review finding: qk-norm / per-layer windows / local RoPE /
+    post-norms were missing from _one_layer_dropped, so training would
+    have optimized a different model than inference runs). With layer
+    dropout off and no exit losses, the training final CE must equal the
+    CE of the inference forward's logits."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from layerskip_tpu.config import tiny_config
+    from layerskip_tpu.models import llama as llama_mod
+    from layerskip_tpu.models.params import init_params
+    from layerskip_tpu.ops.kv_cache import init_kv_cache
+    from layerskip_tpu.training.recipe import (
+        TrainConfig,
+        layerskip_loss,
+        token_cross_entropy,
+    )
+
+    kw = dict(num_hidden_layers=6, vocab_size=128)
+    fcfg = {
+        "llama": tiny_config(**kw),
+        "mistral": tiny_config(sliding_window=5, **kw),
+        "gemma2": tiny_config(
+            hidden_act="gelu_pytorch_tanh", rms_norm_offset=True,
+            scale_embeddings=True, tie_word_embeddings=True,
+            attn_logit_softcap=50.0, final_logit_softcap=30.0,
+            query_pre_attn_scalar=32.0, sliding_window=5,
+            sliding_window_pattern=2, post_norms=True, **kw,
+        ),
+        "gemma3": tiny_config(
+            hidden_act="gelu_pytorch_tanh", rms_norm_offset=True,
+            scale_embeddings=True, tie_word_embeddings=True, qk_norm=True,
+            post_norms=True, query_pre_attn_scalar=32.0, sliding_window=5,
+            sliding_window_pattern=6, rope_theta=100000.0,
+            rope_local_theta=10000.0, **kw,
+        ),
+        "qwen3": tiny_config(qk_norm=True, tie_word_embeddings=True, **kw),
+    }[family]
+    params = init_params(jax.random.PRNGKey(5), fcfg)
+    rng = np.random.default_rng(9)
+    t = 12  # > sliding_window so the windowed layers genuinely mask
+    ids = jnp.asarray(rng.integers(0, fcfg.vocab_size, (2, t)), jnp.int32)
+    labels = jnp.concatenate(
+        [ids[:, 1:], jnp.full((2, 1), -100, jnp.int32)], axis=1
+    )
+    tcfg = TrainConfig(p_max=0.0, early_exit_layers=(99,))  # filtered empty
+    total, aux = layerskip_loss(
+        params, fcfg, tcfg, ids, labels, jax.random.PRNGKey(0),
+        jnp.int32(0),
+    )
+    cache = init_kv_cache(fcfg, batch=2, max_len=t + 2)
+    res = jax.jit(llama_mod.forward, static_argnums=(1,))(
+        params, fcfg, ids, cache, jnp.int32(0)
+    )
+    ref = token_cross_entropy(res.logits, labels)
+    np.testing.assert_allclose(
+        float(aux["final_loss"]), float(ref), rtol=1e-5,
+        err_msg=f"{family}: training forward != inference forward",
+    )
