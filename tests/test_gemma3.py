@@ -221,3 +221,40 @@ def test_gemma3_checkpoint_round_trip(tmp_path, torch_gemma3_and_cfg):
     a = fwd(params, cfg, ids, cache, jnp.int32(0)).logits
     b = fwd(params2, cfg2, ids, cache, jnp.int32(0)).logits
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_gemma3_paged_serving_and_kv_quant_match_solo():
+    """Gemma-3 composes with the serving stack: a paged + prefix-cache
+    continuous session (the XLA fallback reads through gather_view with
+    the traced per-layer window) and the int8 KV cache both reproduce
+    the solo greedy stream."""
+    import dataclasses
+
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+
+    cfg = _gemma3_cfg(dtype=jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    eng = Engine(params, cfg)
+    gc = GenerationConfig(
+        max_steps=10, sample=False, generation_strategy="self_speculative",
+        exit_layer=3, num_speculations=3,
+    )
+    p0 = [3, 17, 52, 9, 30, 11, 7]
+    ref = postprocess_output(
+        eng.generate(p0, gc, jax.random.PRNGKey(0)), (), 10)
+    sess = eng.continuous_session(
+        gc, batch=2, prompt_bucket=16, paged_pool_pages=32, page_size=16,
+        prefix_cache=True,
+    )
+    sess.insert([0], [p0], seeds=[0])
+    got = {}
+    for _ in range(30):
+        for r, toks, _a in sess.step():
+            got[r] = toks
+        if got:
+            break
+    assert got[0] == ref
+    gq = dataclasses.replace(gc, kv_quant=True)
+    q = postprocess_output(
+        eng.generate(p0, gq, jax.random.PRNGKey(0)), (), 10)
+    assert q == ref
