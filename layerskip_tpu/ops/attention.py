@@ -133,16 +133,22 @@ def gqa_attention(
     )
     # windowed visibility is one extra clause on the masking rule, carried
     # straight into every kernel (Mistral no longer falls back to dense).
-    # Gemma-2's ALTERNATING pattern passes the window as a traced per-layer
-    # scalar; the Pallas kernels take only static windows, so those models
-    # stay on the XLA masked path (together with softcap / custom scale).
+    # Gemma-2/3's ALTERNATING pattern passes the window as a traced
+    # per-layer scalar: the PAGED kernels take it as a runtime operand
+    # (plus static softcap / score scale), so Gemma serving runs on the
+    # kernel path too; only the flash PREFILL kernel still requires
+    # standard score math and falls back to XLA for these models.
     _dyn_window = isinstance(sliding_window, jnp.ndarray)
     _window = 0 if _dyn_window else (
         int(sliding_window) if sliding_window is not None else 0
     )
-    # non-standard score math (Gemma-2) has no kernel support: XLA path only
-    _kernels_ok = not (
-        _dyn_window or bool(logit_softcap) or score_scale is not None
+    _kernel_window = sliding_window if _dyn_window else _window
+    _softcap = float(logit_softcap or 0.0)
+    _kscale = 0.0 if score_scale is None else float(score_scale)  # 0 =>
+    # the kernels default to head_dim**-0.5 themselves
+    # the flash prefill kernel has no softcap/scale/dyn-window support
+    _prefill_kernel_ok = not (
+        _dyn_window or _softcap or score_scale is not None
     )
     if tree_meta is not None:
         # per-query chain ids / per-row scratch start for the paged kernels
@@ -155,14 +161,15 @@ def gqa_attention(
     else:
         _tree_kw = {}
     if isinstance(k_cache, PagedKV):
-        if _kernels_ok and _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention,
             )
 
             return paged_decode_attention(
                 q, k_cache.pool, v_cache.pool, k_cache.table, q_positions,
-                q_heads_per_kv=q_heads_per_kv, sliding_window=_window,
+                q_heads_per_kv=q_heads_per_kv, sliding_window=_kernel_window,
+                score_scale=_kscale, logit_softcap=_softcap,
                 **_tree_kw,
             )
         # XLA fallback (CPU tests / long-query): materialize the logical
@@ -170,7 +177,7 @@ def gqa_attention(
         k_cache = k_cache.gather_view(q.dtype)
         v_cache = v_cache.gather_view(q.dtype)
     elif isinstance(k_cache, PagedQuantKV):
-        if _kernels_ok and _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
+        if _use_pallas(t, k_cache.max_pages * k_cache.page_size, dh):
             from layerskip_tpu.ops.pallas.paged_decode import (
                 paged_decode_attention_q8,
             )
@@ -178,7 +185,8 @@ def gqa_attention(
             return paged_decode_attention_q8(
                 q, k_cache.pool, k_cache.scale, v_cache.pool, v_cache.scale,
                 k_cache.table, q_positions,
-                q_heads_per_kv=q_heads_per_kv, sliding_window=_window,
+                q_heads_per_kv=q_heads_per_kv, sliding_window=_kernel_window,
+                score_scale=_kscale, logit_softcap=_softcap,
                 **_tree_kw,
             )
         k_cache = k_cache.gather_view(q.dtype)
@@ -201,7 +209,7 @@ def gqa_attention(
     # 7B the XLA path also wins (130.2 vs 127.0 spec tok/s). Pallas pays
     # only where XLA cannot express the access pattern: paged KV (above)
     # and long prefill (below).
-    if past_scalar is not None and tree_meta is None and _kernels_ok \
+    if past_scalar is not None and tree_meta is None and _prefill_kernel_ok \
             and _use_flash_prefill(q.shape[1], k_cache.shape[1], q.shape[3]):
         from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
@@ -219,7 +227,9 @@ def gqa_attention(
     scores = jnp.einsum(
         "bthgd,bshd->bhgts", qg, k_cache, preferred_element_type=jnp.float32
     )
-    _scale = (dh ** -0.5) if score_scale is None else float(score_scale)
+    # 0/None => head_dim**-0.5 (same convention as the paged kernels —
+    # a literal 0 scale is never meaningful)
+    _scale = float(score_scale) if score_scale else dh ** -0.5
     scores = scores * jnp.float32(_scale)
     if logit_softcap:
         cap = jnp.float32(logit_softcap)

@@ -47,8 +47,13 @@ def _key_coords(start, tg, page, fanout, scr):
     return key_pos, key_chain
 
 
-def _block_visible(start, page, fanout, scr, pos, window):
-    """Conservative block-level skip test (per-key masking is exact)."""
+def _block_visible(start, page, fanout, scr, pos, win):
+    """Conservative block-level skip test (per-key masking is exact).
+
+    ``win`` is a TRACED int32 scalar (0 = no window): Gemma-2/3's
+    per-layer alternation makes the window a runtime value inside the
+    layer scan, so the skip test composes it with jnp ops instead of a
+    static Python branch."""
     pos_max = jnp.max(pos)
     if fanout > 1:
         # the smallest mapped position in this block (tree slots compress:
@@ -59,9 +64,11 @@ def _block_visible(start, page, fanout, scr, pos, window):
     else:
         blk_min = start
     visible = blk_min <= pos_max
-    if window > 0:
-        pos_min = jnp.min(pos)
-        visible = jnp.logical_and(visible, start + page > pos_min - window + 1)
+    pos_min = jnp.min(pos)
+    visible = jnp.logical_and(
+        visible,
+        jnp.logical_or(win <= 0, start + page > pos_min - win + 1),
+    )
     return visible
 
 
@@ -70,6 +77,8 @@ def _paged_kernel(
     pos_ref,  # [1, TG, 1] int32 per-q-row absolute positions
     chain_ref,  # [1, TG, 1] int32 per-q-row chain ids (-1 outside trees)
     scr_ref,  # [1, TG, 1] int32 per-row scratch start (tree slots region)
+    win_ref,  # [1, TG, 1] int32 sliding window (0 = global; a runtime
+    # OPERAND so Gemma-2/3's per-layer alternation reaches the kernel)
     q_ref,  # [1, 1, TG, Dh]
     k_ref,  # [1, 1, pg, Dh] — pool page table_ref[i, n], head j
     v_ref,  # [1, 1, pg, Dh]
@@ -79,8 +88,8 @@ def _paged_kernel(
     acc_scr,  # [TG, Dh] f32
     *,
     scale: float,
+    softcap: float,
     page: int,
-    window: int,
     fanout: int,
 ):
     nb = pl.program_id(2)
@@ -95,7 +104,8 @@ def _paged_kernel(
     pos = pos_ref[0]  # [TG, 1]
     start = nb * page  # logical key offset of this page
     scr = scr_ref[0][0, 0]  # per-row scalar (replicated across TG)
-    visible = _block_visible(start, page, fanout, scr, pos, window)
+    win = win_ref[0][0, 0]  # per-call scalar (replicated across TG)
+    visible = _block_visible(start, page, fanout, scr, pos, win)
 
     @pl.when(visible)
     def _compute():
@@ -109,6 +119,8 @@ def _paged_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [TG, pg]
+        if softcap:  # Gemma-2 score soft-capping (static)
+            scores = softcap * jnp.tanh(scores / softcap)
         key_pos, key_chain = _key_coords(start, tg, page, fanout, scr)
         mask = key_pos <= pos
         if fanout > 1:
@@ -116,8 +128,9 @@ def _paged_kernel(
             mask = jnp.logical_and(
                 mask, jnp.logical_or(key_chain < 0, key_chain == qchain)
             )
-        if window > 0:
-            mask = jnp.logical_and(mask, key_pos > pos - window)
+        mask = jnp.logical_and(
+            mask, jnp.logical_or(win <= 0, key_pos > pos - win)
+        )
         scores = jnp.where(mask, scores, NEG_INF)
         _online_block(scores, v_ref[0, 0], m_scr, l_scr, acc_scr)
 
@@ -131,6 +144,7 @@ def _paged_kernel_q8(
     pos_ref,  # [1, TG, 1] int32
     chain_ref,  # [1, TG, 1] int32 per-q-row chain ids (-1 outside trees)
     scr_ref,  # [1, TG, 1] int32 per-row scratch start
+    win_ref,  # [1, TG, 1] int32 sliding window (0 = global; runtime operand)
     q_ref,  # [1, 1, TG, Dh]
     k_ref,  # [1, 1, pg, Dh] int8 — pool page table_ref[i, n], head j
     ks_ref,  # [1, 1, pg, 1] bf16 scales
@@ -142,8 +156,8 @@ def _paged_kernel_q8(
     acc_scr,
     *,
     scale: float,
+    softcap: float,
     page: int,
-    window: int,
     fanout: int,
 ):
     """int8 paged variant: pages arrive quantized with per-(token, head)
@@ -161,7 +175,8 @@ def _paged_kernel_q8(
     pos = pos_ref[0]
     start = nb * page
     scr = scr_ref[0][0, 0]
-    visible = _block_visible(start, page, fanout, scr, pos, window)
+    win = win_ref[0][0, 0]
+    visible = _block_visible(start, page, fanout, scr, pos, win)
 
     @pl.when(visible)
     def _compute():
@@ -172,6 +187,8 @@ def _paged_kernel_q8(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        if softcap:  # Gemma-2 score soft-capping (static)
+            scores = softcap * jnp.tanh(scores / softcap)
         key_pos, key_chain = _key_coords(start, tg, page, fanout, scr)
         mask = key_pos <= pos
         if fanout > 1:
@@ -179,8 +196,9 @@ def _paged_kernel_q8(
             mask = jnp.logical_and(
                 mask, jnp.logical_or(key_chain < 0, key_chain == qchain)
             )
-        if window > 0:
-            mask = jnp.logical_and(mask, key_pos > pos - window)
+        mask = jnp.logical_and(
+            mask, jnp.logical_or(win <= 0, key_pos > pos - win)
+        )
         scores = jnp.where(mask, scores, NEG_INF)
         v = v_ref[0, 0].astype(jnp.float32) * vs_ref[0, 0].astype(jnp.float32)
         _online_block(scores, v, m_scr, l_scr, acc_scr)
@@ -214,8 +232,8 @@ def _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window",
-                              "tree_fanout", "interpret")
+    jax.jit, static_argnames=("q_heads_per_kv", "tree_fanout",
+                              "score_scale", "logit_softcap", "interpret")
 )
 def paged_decode_attention_q8(
     q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
@@ -227,10 +245,12 @@ def paged_decode_attention_q8(
     q_positions: jnp.ndarray,  # [T] or [B, T] int32 logical positions
     *,
     q_heads_per_kv: int,
-    sliding_window: int = 0,
+    sliding_window=0,  # int OR traced int32 scalar (Gemma per-layer window)
     tree_chain: jnp.ndarray = None,  # [B, T] per-query chain ids (tree)
     tree_scratch: jnp.ndarray = None,  # [] or [B] scratch region start
     tree_fanout: int = 0,  # chains per depth (static); 0 = no tree
+    score_scale: float = 0.0,  # 0 => head_dim**-0.5 (Gemma query scale)
+    logit_softcap: float = 0.0,  # Gemma-2 score soft-capping (static)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused short-query GQA attention over an int8 paged KV pool."""
@@ -252,11 +272,15 @@ def paged_decode_attention_q8(
     ks = k_scale[..., None]
     vs = v_scale[..., None]
     chains, scrs = _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos)
+    wins = jnp.broadcast_to(
+        jnp.asarray(sliding_window, jnp.int32).reshape(1, 1, 1), (b, tg, 1)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b, hkv, maxp),
         in_specs=[
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
@@ -279,8 +303,10 @@ def paged_decode_attention_q8(
     )
     out = pl.pallas_call(
         functools.partial(
-            _paged_kernel_q8, scale=1.0 / (dh ** 0.5), page=page,
-            window=int(sliding_window or 0), fanout=int(tree_fanout or 0),
+            _paged_kernel_q8,
+            scale=float(score_scale) or 1.0 / (dh ** 0.5),
+            softcap=float(logit_softcap or 0.0),
+            page=page, fanout=int(tree_fanout or 0),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, tg, dh), q.dtype),
@@ -290,7 +316,7 @@ def paged_decode_attention_q8(
             bytes_accessed=2 * b * maxp * page * hkv * dh,
             transcendentals=b * hkv * tg * maxp * page,
         ),
-    )(table, rowpos, chains, scrs, q_rows, k_pool, ks, v_pool, vs)
+    )(table, rowpos, chains, scrs, wins, q_rows, k_pool, ks, v_pool, vs)
 
     return (
         out.reshape(b, hkv, t, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, dh)
@@ -298,8 +324,8 @@ def paged_decode_attention_q8(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("q_heads_per_kv", "sliding_window",
-                              "tree_fanout", "interpret")
+    jax.jit, static_argnames=("q_heads_per_kv", "tree_fanout",
+                              "score_scale", "logit_softcap", "interpret")
 )
 def paged_decode_attention(
     q: jnp.ndarray,  # [B, T, Hq, Dh] post-RoPE
@@ -309,10 +335,12 @@ def paged_decode_attention(
     q_positions: jnp.ndarray,  # [T] or [B, T] int32 logical positions
     *,
     q_heads_per_kv: int,
-    sliding_window: int = 0,
+    sliding_window=0,  # int OR traced int32 scalar (Gemma per-layer window)
     tree_chain: jnp.ndarray = None,  # [B, T] per-query chain ids (tree)
     tree_scratch: jnp.ndarray = None,  # [] or [B] scratch region start
     tree_fanout: int = 0,  # chains per depth (static); 0 = no tree
+    score_scale: float = 0.0,  # 0 => head_dim**-0.5 (Gemma query scale)
+    logit_softcap: float = 0.0,  # Gemma-2 score soft-capping (static)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused short-query GQA attention over a paged KV pool; [B, T, Hq, Dh]."""
@@ -330,11 +358,15 @@ def paged_decode_attention(
     rowpos = _row_positions(q_positions, b, t, g)
     tg = t * g
     chains, scrs = _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos)
+    wins = jnp.broadcast_to(
+        jnp.asarray(sliding_window, jnp.int32).reshape(1, 1, 1), (b, tg, 1)
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the page table
         grid=(b, hkv, maxp),
         in_specs=[
+            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
@@ -353,8 +385,10 @@ def paged_decode_attention(
     )
     out = pl.pallas_call(
         functools.partial(
-            _paged_kernel, scale=1.0 / (dh ** 0.5), page=page,
-            window=int(sliding_window or 0), fanout=int(tree_fanout or 0),
+            _paged_kernel,
+            scale=float(score_scale) or 1.0 / (dh ** 0.5),
+            softcap=float(logit_softcap or 0.0),
+            page=page, fanout=int(tree_fanout or 0),
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, tg, dh), q.dtype),
@@ -365,7 +399,7 @@ def paged_decode_attention(
             * k_pool.dtype.itemsize,
             transcendentals=b * hkv * tg * maxp * page,
         ),
-    )(table, rowpos, chains, scrs, q_rows, k_pool, v_pool)
+    )(table, rowpos, chains, scrs, wins, q_rows, k_pool, v_pool)
 
     return (
         out.reshape(b, hkv, t, g, dh).transpose(0, 2, 1, 3, 4).reshape(b, t, hq, dh)

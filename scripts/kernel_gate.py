@@ -86,7 +86,8 @@ def check_flash_prefill(interpret: bool, t: int = 256, s: int = 512,
     return _maxerr(got, want)
 
 
-def check_paged(interpret: bool, t: int, g: int = 2, window: int = 0) -> float:
+def check_paged(interpret: bool, t: int, g: int = 2, window: int = 0,
+                gemma: bool = False) -> float:
     from layerskip_tpu.ops import attention as attn_mod
     from layerskip_tpu.ops.pallas.paged_decode import paged_decode_attention
 
@@ -101,12 +102,16 @@ def check_paged(interpret: bool, t: int, g: int = 2, window: int = 0) -> float:
     q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
     qpos = jnp.asarray([np.arange(150, 150 + t), np.arange(90, 90 + t)],
                        jnp.int32)
+    # gemma=True: Gemma-2 score math — soft-capping + query scale + the
+    # window as a TRACED operand (the per-layer alternation path)
+    kw = dict(score_scale=32.0 ** -0.5, logit_softcap=50.0) if gemma else {}
+    win = jnp.int32(window) if gemma else window
     got = paged_decode_attention(
         q, kv_k.pool, kv_v.pool, kv_k.table, qpos,
-        q_heads_per_kv=g, sliding_window=window, interpret=interpret)
+        q_heads_per_kv=g, sliding_window=win, interpret=interpret, **kw)
     want = attn_mod.gqa_attention(
         q, kv_k.gather_view(), kv_v.gather_view(), qpos,
-        q_heads_per_kv=g, sliding_window=window)
+        q_heads_per_kv=g, sliding_window=win, **kw)
     return _maxerr(got, want)
 
 
@@ -290,6 +295,15 @@ def main() -> int:
         ("paged_decode_t7", lambda: check_paged(args.interpret, t=7), args.tol),
         ("paged_decode_sliding",
          lambda: check_paged(args.interpret, t=4, g=1, window=9), args.tol),
+        # Gemma-2 score math: softcap + query scale + traced window
+        # operand. Tolerance 2x the default: the larger query scale
+        # (query_pre_attn_scalar 32 vs head_dim 128) amplifies the score
+        # dynamic range, and the online-softmax-vs-one-shot divergence
+        # scales with it (measured 4.3e-3 even WITHOUT softcap; the
+        # softcap itself adds ~1e-3 — attribution A/B in PROGRESS r5).
+        ("paged_decode_gemma",
+         lambda: check_paged(args.interpret, t=4, g=2, window=48,
+                             gemma=True), 0.01),
         # int8 KV quantization itself costs ~1% relative error
         ("paged_decode_q8_t1",
          lambda: check_paged_q8(args.interpret, t=1), 0.2),

@@ -624,3 +624,54 @@ def test_paged_kernel_tree_matches_dense(quant):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_paged_kernel_gemma_score_math_matches_fallback(quant):
+    """Gemma support in the paged kernels (r5): score soft-capping, a
+    custom query scale, and a TRACED sliding window (the per-layer
+    alternation) must match the XLA dense path exactly. The window is
+    passed as a traced scalar — the kernel reads it from an operand."""
+    from layerskip_tpu.ops.pallas.paged_decode import (
+        paged_decode_attention,
+        paged_decode_attention_q8,
+    )
+
+    t, g = 4, 2
+    b, hkv, dh, pg, cap = 2, 2, 128, 128, 256
+    rng = np.random.default_rng(11)
+    mk = _mk_paged_q8 if quant else _mk_paged
+    kv_k = mk(b=b, pool_pages=6, pg=pg, cap=cap, hkv=hkv, seed=5)
+    kv_v = mk(b=b, pool_pages=6, pg=pg, cap=cap, hkv=hkv, seed=5)
+    kb = jnp.asarray(rng.standard_normal((b, 200, hkv, dh)), jnp.float32)
+    vb = jnp.asarray(rng.standard_normal((b, 200, hkv, dh)), jnp.float32)
+    kv_k = kv_k.write(kb, jnp.asarray([0, 0], jnp.int32))
+    kv_v = kv_v.write(vb, jnp.asarray([0, 0], jnp.int32))
+
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    qpos = jnp.asarray(
+        [np.arange(150, 150 + t), np.arange(90, 90 + t)], jnp.int32
+    )
+    softcap, scale = 50.0, 32.0 ** -0.5
+    win = jnp.int32(48)  # traced, like the per-layer scan value
+    if quant:
+        got = paged_decode_attention_q8(
+            q, kv_k.pool, kv_k.scale, kv_v.pool, kv_v.scale, kv_k.table,
+            qpos, q_heads_per_kv=g, sliding_window=win,
+            score_scale=scale, logit_softcap=softcap, interpret=True,
+        )
+        tol = dict(atol=2e-2, rtol=2e-2)  # int8 pages
+    else:
+        got = paged_decode_attention(
+            q, kv_k.pool, kv_v.pool, kv_k.table, qpos, q_heads_per_kv=g,
+            sliding_window=win, score_scale=scale, logit_softcap=softcap,
+            interpret=True,
+        )
+        tol = dict(atol=2e-5, rtol=1e-5)
+    k_dense = kv_k.gather_view(jnp.float32)
+    v_dense = kv_v.gather_view(jnp.float32)
+    want = attn_mod.gqa_attention(
+        q, k_dense, v_dense, qpos, q_heads_per_kv=g, sliding_window=win,
+        score_scale=scale, logit_softcap=softcap,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **tol)
