@@ -134,10 +134,9 @@ def gqa_attention(
     # windowed visibility is one extra clause on the masking rule, carried
     # straight into every kernel (Mistral no longer falls back to dense).
     # Gemma-2/3's ALTERNATING pattern passes the window as a traced
-    # per-layer scalar: the PAGED kernels take it as a runtime operand
-    # (plus static softcap / score scale), so Gemma serving runs on the
-    # kernel path too; only the flash PREFILL kernel still requires
-    # standard score math and falls back to XLA for these models.
+    # per-layer scalar: the paged AND flash-prefill kernels take it as a
+    # runtime operand (plus static softcap / score scale), so Gemma
+    # models run every kernel path.
     _dyn_window = isinstance(sliding_window, jnp.ndarray)
     _window = 0 if _dyn_window else (
         int(sliding_window) if sliding_window is not None else 0
@@ -146,10 +145,6 @@ def gqa_attention(
     _softcap = float(logit_softcap or 0.0)
     _kscale = 0.0 if score_scale is None else float(score_scale)  # 0 =>
     # the kernels default to head_dim**-0.5 themselves
-    # the flash prefill kernel has no softcap/scale/dyn-window support
-    _prefill_kernel_ok = not (
-        _dyn_window or _softcap or score_scale is not None
-    )
     if tree_meta is not None:
         # per-query chain ids / per-row scratch start for the paged kernels
         # (they recover a key's (position, chain) from its slot in-kernel)
@@ -209,13 +204,15 @@ def gqa_attention(
     # 7B the XLA path also wins (130.2 vs 127.0 spec tok/s). Pallas pays
     # only where XLA cannot express the access pattern: paged KV (above)
     # and long prefill (below).
-    if past_scalar is not None and tree_meta is None and _prefill_kernel_ok \
-            and _use_flash_prefill(q.shape[1], k_cache.shape[1], q.shape[3]):
+    if past_scalar is not None and tree_meta is None and _use_flash_prefill(
+        q.shape[1], k_cache.shape[1], q.shape[3]
+    ):
         from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
         return flash_prefill_attention(
             q, k_cache, v_cache, past_scalar, q_heads_per_kv=q_heads_per_kv,
-            sliding_window=_window,
+            sliding_window=_kernel_window,
+            score_scale=_kscale, logit_softcap=_softcap,
         )
     s = k_cache.shape[1]
     hkv = k_cache.shape[2]

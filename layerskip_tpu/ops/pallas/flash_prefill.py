@@ -28,6 +28,9 @@ NEG_INF = -1e30
 
 def _flash_kernel(
     past_ref,  # SMEM (1, 1) int32: past length
+    win_ref,  # SMEM (1, 1) int32: sliding window (0 = dense causal) — a
+    # runtime operand so Gemma-2/3's per-layer alternation reaches the
+    # kernel from inside the layer scan
     q_ref,  # VMEM [1, 1, BQ, Dh]
     k_ref,  # VMEM [1, 1, BK, Dh]
     v_ref,  # VMEM [1, 1, BK, Dh]
@@ -37,9 +40,9 @@ def _flash_kernel(
     acc_ref,  # scratch [BQ, Dh] fp32
     *,
     scale: float,
+    softcap: float,
     block_q: int,
     block_k: int,
-    window: int = 0,  # Mistral-style sliding window (0 = dense causal)
 ):
     iq = pl.program_id(2)
     kb = pl.program_id(3)
@@ -52,6 +55,7 @@ def _flash_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     past = past_ref[0, 0]
+    win = win_ref[0, 0]
     q_pos = past + iq * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0
     )
@@ -62,10 +66,12 @@ def _flash_kernel(
     # blocks whose every key is older than any query's window)
     first_q_pos = past + iq * block_q
     run = kb * block_k <= first_q_pos + block_q - 1
-    if window > 0:
-        run = jnp.logical_and(
-            run, kb * block_k + block_k - 1 > first_q_pos - window
-        )
+    run = jnp.logical_and(
+        run,
+        jnp.logical_or(
+            win <= 0, kb * block_k + block_k - 1 > first_q_pos - win
+        ),
+    )
 
     @pl.when(run)
     def _():
@@ -76,9 +82,12 @@ def _flash_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # [BQ, BK]
+        if softcap:  # Gemma-2 score soft-capping (static)
+            s = softcap * jnp.tanh(s / softcap)
         s = jnp.where(k_pos <= q_pos, s, NEG_INF)
-        if window > 0:
-            s = jnp.where(k_pos > q_pos - window, s, NEG_INF)
+        s = jnp.where(
+            jnp.logical_or(win <= 0, k_pos > q_pos - win), s, NEG_INF
+        )
 
         m_prev = m_ref[:]
         m_cur = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -106,7 +115,8 @@ def _flash_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "q_heads_per_kv", "sliding_window", "block_q", "block_k", "interpret"
+        "q_heads_per_kv", "block_q", "block_k", "score_scale",
+        "logit_softcap", "interpret"
     ),
 )
 def flash_prefill_attention(
@@ -116,9 +126,11 @@ def flash_prefill_attention(
     past_len: jnp.ndarray,  # [] int32 (shared prefill offset; usually 0)
     *,
     q_heads_per_kv: int,
-    sliding_window: int = 0,
+    sliding_window=0,  # int OR traced int32 scalar (Gemma per-layer window)
     block_q: int = 256,
     block_k: int = 512,
+    score_scale: float = 0.0,  # 0 => head_dim**-0.5 (Gemma query scale)
+    logit_softcap: float = 0.0,  # Gemma-2 score soft-capping (static)
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Returns [B, T, Hq, Dh] in q.dtype. Requires BQ | T and BK | S."""
@@ -134,11 +146,14 @@ def flash_prefill_attention(
     k_t = k_cache.transpose(0, 2, 1, 3)  # [B, Hkv, S, Dh]
     v_t = v_cache.transpose(0, 2, 1, 3)
     past = jnp.reshape(past_len.astype(jnp.int32), (1, 1))
+    win = jnp.reshape(jnp.asarray(sliding_window, jnp.int32), (1, 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(b, hq, t // bq, s // bk),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j, iq, kb: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1), lambda i, j, iq, kb: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, bq, dh), lambda i, j, iq, kb: (i, j, iq, 0),
@@ -160,8 +175,10 @@ def flash_prefill_attention(
     )
     out = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=1.0 / (dh ** 0.5), block_q=bq, block_k=bk,
-            window=int(sliding_window or 0),
+            _flash_kernel,
+            scale=float(score_scale) or 1.0 / (dh ** 0.5),
+            softcap=float(logit_softcap or 0.0),
+            block_q=bq, block_k=bk,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hq, t, dh), q.dtype),
@@ -174,5 +191,5 @@ def flash_prefill_attention(
             ),
             transcendentals=b * hq * t * s,
         ),
-    )(past, q_t, k_t, v_t)
+    )(past, win, q_t, k_t, v_t)
     return out.transpose(0, 2, 1, 3)  # [B, T, Hq, Dh]

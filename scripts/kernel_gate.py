@@ -68,7 +68,8 @@ def _maxerr(got, want) -> float:
 
 
 def check_flash_prefill(interpret: bool, t: int = 256, s: int = 512,
-                        past: int = 100, window: int = 0) -> float:
+                        past: int = 100, window: int = 0,
+                        gemma: bool = False) -> float:
     from layerskip_tpu.ops import attention as attn_mod
     from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
 
@@ -78,11 +79,14 @@ def check_flash_prefill(interpret: bool, t: int = 256, s: int = 512,
     k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
     v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
     qpos = jnp.asarray(np.arange(past, past + t), jnp.int32)
+    # gemma=True: softcap + query scale + the window as a TRACED operand
+    kw = dict(score_scale=32.0 ** -0.5, logit_softcap=50.0) if gemma else {}
+    win = jnp.int32(window) if gemma else window
     want = attn_mod.gqa_attention(
-        q, k, v, qpos, q_heads_per_kv=g, sliding_window=window)
+        q, k, v, qpos, q_heads_per_kv=g, sliding_window=win, **kw)
     got = flash_prefill_attention(
-        q, k, v, jnp.int32(past), q_heads_per_kv=g, sliding_window=window,
-        block_q=128, block_k=128, interpret=interpret)
+        q, k, v, jnp.int32(past), q_heads_per_kv=g, sliding_window=win,
+        block_q=128, block_k=128, interpret=interpret, **kw)
     return _maxerr(got, want)
 
 
@@ -291,6 +295,11 @@ def main() -> int:
         ("flash_prefill", lambda: check_flash_prefill(args.interpret), args.tol),
         ("flash_prefill_sliding",
          lambda: check_flash_prefill(args.interpret, window=64), args.tol),
+        # Gemma score math in the prefill kernel (tol as the paged gemma
+        # case: the larger query scale amplifies online-softmax divergence)
+        ("flash_prefill_gemma",
+         lambda: check_flash_prefill(args.interpret, window=64,
+                                     gemma=True), 0.01),
         ("paged_decode_t1", lambda: check_paged(args.interpret, t=1), args.tol),
         ("paged_decode_t7", lambda: check_paged(args.interpret, t=7), args.tol),
         ("paged_decode_sliding",

@@ -199,3 +199,30 @@ def test_int4_matmul_bf16_activation():
                                  interpret=True)).astype(np.float32)
     # bf16 output rounding (~0.4% relative) + bf16 dequant operand rounding
     np.testing.assert_allclose(got, want, atol=np.abs(want).max() * 2e-2)
+
+
+def test_flash_prefill_gemma_score_math():
+    """Gemma support in the flash prefill kernel (r5): score soft-capping,
+    custom query scale, and a TRACED sliding window (the per-layer
+    alternation reaches the kernel as an SMEM operand)."""
+    from layerskip_tpu.ops.pallas.flash_prefill import flash_prefill_attention
+
+    b, t, s, hkv, g, dh, past = 1, 256, 512, 2, 2, 128, 100
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.standard_normal((b, t, hkv * g, dh)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hkv, dh)), jnp.float32)
+    qpos = jnp.asarray(np.arange(past, past + t), jnp.int32)
+    win = jnp.int32(64)  # traced
+    kw = dict(score_scale=32.0 ** -0.5, logit_softcap=50.0)
+
+    ref = attn_mod.gqa_attention(
+        q, k, v, qpos, q_heads_per_kv=g, sliding_window=win, **kw
+    )
+    got = flash_prefill_attention(
+        q, k, v, jnp.int32(past), q_heads_per_kv=g, sliding_window=win,
+        block_q=128, block_k=128, interpret=True, **kw,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-5, rtol=5e-5
+    )
