@@ -144,7 +144,8 @@ def check_paged_q8(interpret: bool, t: int, g: int = 2) -> float:
 
 
 def check_paged_tree(interpret: bool, quant: bool = False,
-                     w: int = 3, k: int = 3, g: int = 2) -> float:
+                     w: int = 3, k: int = 3, g: int = 2,
+                     gemma: bool = False) -> float:
     """Tree-clause paged attention (verify-window shape) vs the dense XLA
     tree-mask path on the gathered view."""
     from layerskip_tpu.ops import attention as attn_mod
@@ -178,19 +179,26 @@ def check_paged_tree(interpret: bool, quant: bool = False,
     q_chain = jnp.broadcast_to(jnp.concatenate([
         -jnp.ones((1,), jnp.int32),
         jnp.tile(jnp.arange(k, dtype=jnp.int32), w)])[None], (b, t))
+    # gemma=True: tree clause composed with the Gemma score math (softcap
+    # + query scale + traced window) — the serving tree-round path for
+    # Gemma-family models
+    kw = dict(score_scale=32.0 ** -0.5, logit_softcap=50.0) if gemma else {}
+    win = jnp.int32(64) if gemma else 0
     if quant:
         got = paged_decode_attention_q8(
             q, kv_k.pool, kv_k.scale, kv_v.pool, kv_v.scale, kv_k.table,
             qpos, q_heads_per_kv=g, tree_chain=q_chain,
-            tree_scratch=scratch, tree_fanout=k, interpret=interpret)
+            tree_scratch=scratch, tree_fanout=k, sliding_window=win,
+            interpret=interpret, **kw)
     else:
         got = paged_decode_attention(
             q, kv_k.pool, kv_v.pool, kv_k.table, qpos,
             q_heads_per_kv=g, tree_chain=q_chain, tree_scratch=scratch,
-            tree_fanout=k, interpret=interpret)
+            tree_fanout=k, sliding_window=win, interpret=interpret, **kw)
     want = attn_mod.gqa_attention(
         q, kv_k.gather_view(jnp.float32), kv_v.gather_view(jnp.float32),
-        qpos, q_heads_per_kv=g, tree_meta=(q_chain, scratch, k))
+        qpos, q_heads_per_kv=g, tree_meta=(q_chain, scratch, k),
+        sliding_window=win, **kw)
     return _maxerr(got, want)
 
 
@@ -322,6 +330,13 @@ def main() -> int:
          lambda: check_paged_tree(args.interpret), args.tol),
         ("paged_decode_tree_q8",
          lambda: check_paged_tree(args.interpret, quant=True), 0.2),
+        # tree x Gemma score math (bf16 + int8 KV): the Gemma serving
+        # tree-round path, compiled
+        ("paged_decode_tree_gemma",
+         lambda: check_paged_tree(args.interpret, gemma=True), 0.01),
+        ("paged_decode_tree_gemma_q8",
+         lambda: check_paged_tree(args.interpret, quant=True, gemma=True),
+         0.2),
         ("quant_matmul", lambda: check_quant_matmul(args.interpret), 0.05),
         ("quant_matmul_t", lambda: check_quant_matmul_t(args.interpret), 0.05),
         # int4: bf16 activations; tolerance covers bf16 rounding of the
