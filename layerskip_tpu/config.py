@@ -67,6 +67,9 @@ class ModelConfig:
     # Mixtral-family mixture-of-experts MLP (0 => dense MLP)
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # renormalize the top-k routing weights to sum 1 (Mixtral always does;
+    # Qwen3-MoE makes it a config switch, norm_topk_prob)
+    norm_topk_prob: bool = True
     # Gemma-family: gelu-tanh MLP activation, RMSNorm multiplies by
     # (1 + weight), and embeddings are scaled by sqrt(hidden_size)
     hidden_act: str = "silu"  # | "gelu_pytorch_tanh"
@@ -142,6 +145,13 @@ class ModelConfig:
             d["hidden_size"] // d["num_attention_heads"]
         )
         gemma = d.get("model_type", "").startswith("gemma")
+        qwen3moe = d.get("model_type") == "qwen3_moe"
+        if qwen3moe:
+            # supported shape: every layer MoE with moe_intermediate_size
+            # experts (the released Qwen3-MoE checkpoints' layout)
+            assert int(d.get("decoder_sparse_step", 1)) <= 1 and not \
+                d.get("mlp_only_layers"), \
+                "qwen3_moe with dense layers interleaved is not supported"
         gemma2 = d.get("model_type") == "gemma2"
         gemma3 = d.get("model_type", "").startswith("gemma3")
         layer_types = d.get("layer_types")
@@ -162,7 +172,9 @@ class ModelConfig:
         return ModelConfig(
             vocab_size=d["vocab_size"],
             hidden_size=d["hidden_size"],
-            intermediate_size=d["intermediate_size"],
+            intermediate_size=(
+                d.get("moe_intermediate_size") or d["intermediate_size"]
+            ) if qwen3moe else d["intermediate_size"],
             num_hidden_layers=d["num_hidden_layers"],
             num_attention_heads=d["num_attention_heads"],
             num_key_value_heads=d.get(
@@ -178,10 +190,14 @@ class ModelConfig:
             attention_bias=d.get(
                 "attention_bias", d.get("model_type") == "qwen2"
             ),
-            qk_norm=d.get("model_type") == "qwen3" or gemma3,
+            qk_norm=d.get("model_type", "").startswith("qwen3") or gemma3,
             sliding_window=sliding_window,
-            num_local_experts=d.get("num_local_experts", 0),
+            num_local_experts=d.get(
+                "num_local_experts", d.get("num_experts", 0) if qwen3moe
+                else 0
+            ),
             num_experts_per_tok=d.get("num_experts_per_tok", 2),
+            norm_topk_prob=bool(d.get("norm_topk_prob", True)),
             # Gemma checkpoints may carry hidden_activation (new key) or
             # hidden_act; default to gelu-tanh for the family
             hidden_act=(

@@ -157,7 +157,7 @@ def _one_layer(
 
         mlp_out, _ = moe_mlp(
             x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
-            cfg.num_experts_per_tok,
+            cfg.num_experts_per_tok, norm_topk=cfg.norm_topk_prob,
         )
     else:
         gated = _act(cfg)(apply_weight(x, lp.w_gate)) * apply_weight(x, lp.w_up)

@@ -112,6 +112,13 @@ _LAYER_KEY_MAP = {
 # transposed into our [in, out] einsum orientation)
 _EXPERT_PAT = re.compile(r"^block_sparse_moe\.experts\.(\d+)\.(w[123])\.weight$")
 _EXPERT_FIELD = {"w1": "w_gate", "w3": "w_up", "w2": "w_down"}
+# Qwen3-MoE naming: mlp.gate (router) + mlp.experts.{e}.{gate,up,down}_proj
+_QWEN_EXPERT_PAT = re.compile(
+    r"^mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight$"
+)
+_QWEN_EXPERT_FIELD = {
+    "gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down",
+}
 
 
 def params_from_flat_dict(
@@ -150,13 +157,17 @@ def params_from_flat_dict(
             ):
                 field, transpose = key_map[sub]
                 layer_arrays[field][i] = arr.T if transpose else arr
-            elif sub == "block_sparse_moe.gate.weight":
+            elif sub in ("block_sparse_moe.gate.weight", "mlp.gate.weight"):
                 layer_arrays["w_router"][i] = arr.T  # [E, D] -> [D, E]
             else:
                 me = _EXPERT_PAT.match(sub)
+                mq = _QWEN_EXPERT_PAT.match(sub)
                 if me:
                     e, w = int(me.group(1)), me.group(2)
                     layer_arrays[_EXPERT_FIELD[w]][i][e] = arr.T
+                elif mq:
+                    e, w = int(mq.group(1)), mq.group(2)
+                    layer_arrays[_QWEN_EXPERT_FIELD[w]][i][e] = arr.T
         elif name == "model.embed_tokens.weight":
             embed = arr
         elif name == "model.norm.weight":
@@ -250,25 +261,36 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
                 np.ascontiguousarray(w.T) if transpose else w
             )
         if moe:
+            qwen_moe = cfg.qk_norm  # Qwen3-MoE naming vs Mixtral naming
             gate = np.asarray(params.layers.w_router[i], np.float32)
-            tensors[f"model.layers.{i}.block_sparse_moe.gate.weight"] = (
+            gate_key = "mlp.gate.weight" if qwen_moe \
+                else "block_sparse_moe.gate.weight"
+            tensors[f"model.layers.{i}.{gate_key}"] = (
                 np.ascontiguousarray(gate.T)
             )
+            inv_qwen = {f: w for w, f in _QWEN_EXPERT_FIELD.items()}
             for field in ("w_gate", "w_up", "w_down"):
                 stacked = getattr(params.layers, field)
                 for e in range(cfg.num_local_experts):
                     w = np.asarray(stacked[i, e], np.float32)
-                    tensors[
-                        f"model.layers.{i}.block_sparse_moe.experts.{e}."
+                    key = (
+                        f"mlp.experts.{e}.{inv_qwen[field]}.weight"
+                        if qwen_moe else
+                        f"block_sparse_moe.experts.{e}."
                         f"{inv_expert[field]}.weight"
-                    ] = np.ascontiguousarray(w.T)
+                    )
+                    tensors[f"model.layers.{i}.{key}"] = (
+                        np.ascontiguousarray(w.T)
+                    )
     path = os.path.join(model_dir, "model.safetensors")
     save_file(tensors, path)
     # model_type/architectures: infer the HF family from the distinguishing
     # architecture features so a re-load (here or in HF) reconstructs the
     # same attention/RoPE behavior. Qwen2 is the only family with QKV
     # biases; Mistral the only one with a sliding window.
-    if cfg.is_moe:
+    if cfg.is_moe and cfg.qk_norm:
+        model_type, arch = "qwen3_moe", "Qwen3MoeForCausalLM"
+    elif cfg.is_moe:
         model_type, arch = "mixtral", "MixtralForCausalLM"
     elif cfg.post_norms and cfg.qk_norm:
         model_type, arch = "gemma3_text", "Gemma3ForCausalLM"
@@ -321,7 +343,11 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
         config_json["rope_local_base_freq"] = cfg.rope_local_theta
     if cfg.is_moe:
         config_json["num_local_experts"] = cfg.num_local_experts
+        config_json["num_experts"] = cfg.num_local_experts
         config_json["num_experts_per_tok"] = cfg.num_experts_per_tok
+        config_json["norm_topk_prob"] = cfg.norm_topk_prob
+        if cfg.qk_norm:  # qwen3_moe: experts sized moe_intermediate_size
+            config_json["moe_intermediate_size"] = cfg.intermediate_size
     if cfg.hidden_act != "silu":
         config_json["hidden_activation"] = cfg.hidden_act
         config_json["hidden_act"] = cfg.hidden_act

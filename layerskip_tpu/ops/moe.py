@@ -57,6 +57,8 @@ def route(
     x2: jnp.ndarray,  # [N, D]
     w_router: jnp.ndarray,  # [D, E]
     k: int,
+    norm_topk: bool = True,  # Mixtral renormalizes; Qwen3-MoE's
+    # norm_topk_prob=False keeps the raw softmax'd top-k weights
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Mixtral top-k routing: (weights [N, k], expert ids [N, k], aux scalar).
 
@@ -70,7 +72,8 @@ def route(
     logits = x2 @ w_router  # model dtype, like HF's nn.Linear gate
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)  # [N, E]
     topv, topi = jax.lax.top_k(probs, k)
-    topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
+    if norm_topk:
+        topv = topv / jnp.sum(topv, axis=-1, keepdims=True)
     # load-balance aux: one-hot assignment fractions x mean router probs
     assign = jnp.sum(jax.nn.one_hot(topi, e, dtype=jnp.float32), axis=1)  # [N, E]
     f = jnp.mean(assign, axis=0)  # [E], sums to k
@@ -167,6 +170,7 @@ def moe_mlp(
     w_up,  # [E, D, F]
     w_down,  # [E, F, D]
     num_experts_per_tok: int,
+    norm_topk: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """MoE feed-forward. Returns (output [B, T, D], load-balance aux scalar).
 
@@ -177,7 +181,7 @@ def moe_mlp(
     b, t, d = x.shape
     n_experts = w_router.shape[-1]
     x2 = x.reshape(b * t, d)
-    topv, topi, aux = route(x2, w_router, num_experts_per_tok)
+    topv, topi, aux = route(x2, w_router, num_experts_per_tok, norm_topk)
 
     impl = os.environ.get("LAYERSKIP_MOE_IMPL", "auto")
     n, k = b * t, num_experts_per_tok

@@ -250,7 +250,7 @@ def _one_layer_dropped(
 
         mlp_out, aux = moe_mlp(
             x, lp.w_router, lp.w_gate, lp.w_up, lp.w_down,
-            cfg.num_experts_per_tok,
+            cfg.num_experts_per_tok, norm_topk=cfg.norm_topk_prob,
         )
     else:
         act = llama._act(cfg)
