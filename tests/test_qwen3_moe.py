@@ -181,3 +181,30 @@ def test_qwen3_moe_checkpoint_round_trip(tmp_path, torch_qwen3moe_and_cfg):
     a = fwd(params, cfg, ids, cache, jnp.int32(0)).logits
     b = fwd(params2, cfg2, ids, cache, jnp.int32(0)).logits
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_qwen3_moe_ep_sharded_matches_single_device():
+    """Qwen3-MoE under an (ep=2, tp=4) mesh: the qk-norm fields and the
+    expert-sharded MLP both carry specs, and the expert-parallel decode
+    emits the single-device stream."""
+    from layerskip_tpu.generation.engine import Engine, postprocess_output
+    from layerskip_tpu.parallel.mesh import make_mesh
+    from layerskip_tpu.parallel.sharding import shard_params
+
+    cfg = _qwen3moe_cfg(norm_topk=False, dtype=jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(7), cfg)
+    gc = GenerationConfig(
+        max_steps=12, sample=False, generation_strategy="self_speculative",
+        exit_layer=2, num_speculations=3,
+    )
+    prompt = [3, 17, 52, 9]
+    ref = postprocess_output(
+        Engine(params, cfg).generate(prompt, gc, jax.random.PRNGKey(0)),
+        (), 12,
+    )
+    mesh = make_mesh(dp=1, ep=2, tp=4)
+    got = postprocess_output(
+        Engine(shard_params(params, mesh), cfg).generate(
+            prompt, gc, jax.random.PRNGKey(0)), (), 12,
+    )
+    assert got == ref
