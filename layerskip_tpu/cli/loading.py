@@ -103,6 +103,12 @@ def _preset_config(name: str) -> ModelConfig:
             sliding_window_pattern=6, rope_theta=100000.0,
             rope_local_theta=10000.0,
         )
+    if name == "qwen3moe":  # tiny Qwen3-MoE: qk-norm x top-k experts
+        return tiny_config(
+            dtype=jnp.bfloat16, qk_norm=True, tie_word_embeddings=True,
+            num_local_experts=4, num_experts_per_tok=2,
+            norm_topk_prob=False,
+        )
     if name == "moe":  # tiny Mixtral-style MoE for offline smoke runs
         return tiny_config(
             dtype=jnp.bfloat16, num_local_experts=4, num_experts_per_tok=2,

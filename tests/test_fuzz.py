@@ -183,11 +183,16 @@ def test_fuzz_greedy_equivalence_new_families():
         sliding_window_pattern=6, rope_theta=100000.0,
         rope_local_theta=10000.0,
     )
+    qwen3moe = tiny_config(
+        num_hidden_layers=4, hidden_size=64, vocab_size=128,
+        qk_norm=True, tie_word_embeddings=True, num_local_experts=4,
+        num_experts_per_tok=2, norm_topk_prob=False,
+    )
     rng = np.random.default_rng(777)
     mismatches = []
-    fams = (gemma2, qwen3, gemma3)
-    for trial in range(9):
-        cfg = fams[trial % 3]
+    fams = (gemma2, qwen3, gemma3, qwen3moe)
+    for trial in range(8):
+        cfg = fams[trial % 4]
         params = init_params(jax.random.PRNGKey(4000 + trial), cfg)
         eng = Engine(params, cfg)
         prompt = rng.integers(
@@ -210,6 +215,6 @@ def test_fuzz_greedy_equivalence_new_families():
         )
         if ar != sp:
             mismatches.append(
-                (trial, ("gemma2", "qwen3", "gemma3")[trial % 3], e, w,
-                 tree, ar, sp))
+                (trial, ("gemma2", "qwen3", "gemma3", "qwen3moe")[trial % 4],
+                 e, w, tree, ar, sp))
     assert not mismatches, mismatches[:2]
