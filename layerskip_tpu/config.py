@@ -162,8 +162,9 @@ class ModelConfig:
         sliding_window = d.get("sliding_window")
         # newer transformers serializes layer_types for UNIFORM models too
         # (e.g. a re-saved Mistral: all "sliding_attention") — collapse the
-        # uniform cases so the window stays a STATIC kernel parameter and
-        # the Pallas paged/flash kernels keep engaging (_kernels_ok)
+        # uniform cases so the window stays static where it can (cheaper
+        # masks; the kernels accept traced windows but a static 0 means
+        # no window clause at all)
         if sliding_layers is not None:
             if all(sliding_layers):
                 sliding_layers = None  # every layer slides: static window
@@ -192,12 +193,18 @@ class ModelConfig:
             ),
             qk_norm=d.get("model_type", "").startswith("qwen3") or gemma3,
             sliding_window=sliding_window,
+            # HF to_diff_dict omits fields equal to the class default, so
+            # the fallbacks must MATCH each family's HF defaults:
+            # Qwen3MoeConfig: num_experts=128, num_experts_per_tok=8,
+            # norm_topk_prob=False; Mixtral: 8 / 2 / always-renormalize
             num_local_experts=d.get(
-                "num_local_experts", d.get("num_experts", 0) if qwen3moe
-                else 0
+                "num_local_experts",
+                d.get("num_experts", 128) if qwen3moe else 0
             ),
-            num_experts_per_tok=d.get("num_experts_per_tok", 2),
-            norm_topk_prob=bool(d.get("norm_topk_prob", True)),
+            num_experts_per_tok=d.get(
+                "num_experts_per_tok", 8 if qwen3moe else 2
+            ),
+            norm_topk_prob=bool(d.get("norm_topk_prob", not qwen3moe)),
             # Gemma checkpoints may carry hidden_activation (new key) or
             # hidden_act; default to gelu-tanh for the family
             hidden_act=(

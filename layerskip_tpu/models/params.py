@@ -247,6 +247,8 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
         save_map["pre_feedforward_layernorm.weight"] = ("mlp_norm", False)
         save_map["post_feedforward_layernorm.weight"] = ("post_mlp_norm", False)
     inv_map = {field: (hf, tr) for hf, (field, tr) in save_map.items()}
+    qwen_moe = cfg.is_moe and cfg.qk_norm  # Qwen3-MoE vs Mixtral naming
+    inv_qwen = {f: w for w, f in _QWEN_EXPERT_FIELD.items()}
     moe = cfg.is_moe
     inv_expert = {f: w for w, f in _EXPERT_FIELD.items()}
     for i in range(cfg.num_hidden_layers):
@@ -261,14 +263,12 @@ def save_params(params: LlamaParams, model_dir: str, cfg: ModelConfig) -> str:
                 np.ascontiguousarray(w.T) if transpose else w
             )
         if moe:
-            qwen_moe = cfg.qk_norm  # Qwen3-MoE naming vs Mixtral naming
             gate = np.asarray(params.layers.w_router[i], np.float32)
             gate_key = "mlp.gate.weight" if qwen_moe \
                 else "block_sparse_moe.gate.weight"
             tensors[f"model.layers.{i}.{gate_key}"] = (
                 np.ascontiguousarray(gate.T)
             )
-            inv_qwen = {f: w for w, f in _QWEN_EXPERT_FIELD.items()}
             for field in ("w_gate", "w_up", "w_down"):
                 stacked = getattr(params.layers, field)
                 for e in range(cfg.num_local_experts):

@@ -77,8 +77,8 @@ def _paged_kernel(
     pos_ref,  # [1, TG, 1] int32 per-q-row absolute positions
     chain_ref,  # [1, TG, 1] int32 per-q-row chain ids (-1 outside trees)
     scr_ref,  # [1, TG, 1] int32 per-row scratch start (tree slots region)
-    win_ref,  # [1, TG, 1] int32 sliding window (0 = global; a runtime
-    # OPERAND so Gemma-2/3's per-layer alternation reaches the kernel)
+    win_ref,  # SMEM (1, 1) int32 sliding window (0 = global; a runtime
+    # operand so Gemma-2/3's per-layer alternation reaches the kernel)
     q_ref,  # [1, 1, TG, Dh]
     k_ref,  # [1, 1, pg, Dh] — pool page table_ref[i, n], head j
     v_ref,  # [1, 1, pg, Dh]
@@ -104,7 +104,7 @@ def _paged_kernel(
     pos = pos_ref[0]  # [TG, 1]
     start = nb * page  # logical key offset of this page
     scr = scr_ref[0][0, 0]  # per-row scalar (replicated across TG)
-    win = win_ref[0][0, 0]  # per-call scalar (replicated across TG)
+    win = win_ref[0, 0]  # per-call scalar
     visible = _block_visible(start, page, fanout, scr, pos, win)
 
     @pl.when(visible)
@@ -144,7 +144,7 @@ def _paged_kernel_q8(
     pos_ref,  # [1, TG, 1] int32
     chain_ref,  # [1, TG, 1] int32 per-q-row chain ids (-1 outside trees)
     scr_ref,  # [1, TG, 1] int32 per-row scratch start
-    win_ref,  # [1, TG, 1] int32 sliding window (0 = global; runtime operand)
+    win_ref,  # SMEM (1, 1) int32 sliding window (0 = global; runtime operand)
     q_ref,  # [1, 1, TG, Dh]
     k_ref,  # [1, 1, pg, Dh] int8 — pool page table_ref[i, n], head j
     ks_ref,  # [1, 1, pg, 1] bf16 scales
@@ -175,7 +175,7 @@ def _paged_kernel_q8(
     pos = pos_ref[0]
     start = nb * page
     scr = scr_ref[0][0, 0]
-    win = win_ref[0][0, 0]
+    win = win_ref[0, 0]
     visible = _block_visible(start, page, fanout, scr, pos, win)
 
     @pl.when(visible)
@@ -272,9 +272,9 @@ def paged_decode_attention_q8(
     ks = k_scale[..., None]
     vs = v_scale[..., None]
     chains, scrs = _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos)
-    wins = jnp.broadcast_to(
-        jnp.asarray(sliding_window, jnp.int32).reshape(1, 1, 1), (b, tg, 1)
-    )
+    # the window is a per-call SCALAR: ship it as a (1, 1) SMEM block
+    # (the flash kernel's pattern) rather than a broadcast VMEM row
+    wins = jnp.reshape(jnp.asarray(sliding_window, jnp.int32), (1, 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -283,7 +283,8 @@ def paged_decode_attention_q8(
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
-            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j, n, tbl: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, page, dh),
                          lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),
@@ -358,9 +359,8 @@ def paged_decode_attention(
     rowpos = _row_positions(q_positions, b, t, g)
     tg = t * g
     chains, scrs = _tree_rows(tree_chain, tree_scratch, b, t, g, rowpos)
-    wins = jnp.broadcast_to(
-        jnp.asarray(sliding_window, jnp.int32).reshape(1, 1, 1), (b, tg, 1)
-    )
+    # per-call scalar window as a (1, 1) SMEM block (flash pattern)
+    wins = jnp.reshape(jnp.asarray(sliding_window, jnp.int32), (1, 1))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # the page table
@@ -369,7 +369,8 @@ def paged_decode_attention(
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
             pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
-            pl.BlockSpec((1, tg, 1), lambda i, j, n, tbl: (i, 0, 0)),
+            pl.BlockSpec((1, 1), lambda i, j, n, tbl: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, tg, dh), lambda i, j, n, tbl: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, page, dh),
                          lambda i, j, n, tbl: (tbl[i, n], j, 0, 0)),

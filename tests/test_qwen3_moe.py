@@ -208,3 +208,29 @@ def test_qwen3_moe_ep_sharded_matches_single_device():
             prompt, gc, jax.random.PRNGKey(0)), (), 12,
     )
     assert got == ref
+
+
+def test_from_hf_dict_matches_hf_defaults_when_keys_omitted():
+    """HF to_diff_dict omits config fields equal to the class default, so
+    a qwen3_moe config.json may carry NONE of num_experts /
+    num_experts_per_tok / norm_topk_prob — the parser must reproduce the
+    HF Qwen3MoeConfig defaults (128 / 8 / False), not Mixtral's (r5
+    review finding: the old fallbacks silently flipped the routing
+    convention and dropped the expert axis)."""
+    cfg = ModelConfig.from_hf_dict({
+        "model_type": "qwen3_moe",
+        "vocab_size": 256, "hidden_size": 64, "intermediate_size": 128,
+        "moe_intermediate_size": 96, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2, "head_dim": 16,
+    })
+    assert cfg.num_local_experts == 128
+    assert cfg.num_experts_per_tok == 8
+    assert cfg.norm_topk_prob is False
+    # Mixtral keeps its own defaults and always renormalizes
+    cfg2 = ModelConfig.from_hf_dict({
+        "model_type": "mixtral",
+        "vocab_size": 256, "hidden_size": 64, "intermediate_size": 128,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "head_dim": 16, "num_local_experts": 8,
+    })
+    assert cfg2.num_experts_per_tok == 2 and cfg2.norm_topk_prob is True
