@@ -213,6 +213,12 @@ def load_model_and_tokenizer(
         # ~always; larger values dial acceptance down continuously). This
         # is what makes exit_layer x num_speculations sweeps on random
         # weights produce trained-model-like tradeoff structure.
+        # CAVEAT (measured on-chip): the dial is INERT for post-norm
+        # families (Gemma-2/3) — their post-sublayer RMSNorms renormalize
+        # the scaled outputs, so a uniform wo/w_down scale preserves
+        # direction and is normalized away (gemma2-2b stayed at
+        # acceptance 1.0 from eps 0.012 through 0.08). Use ceiling
+        # (eps=0-equivalent) measurements for those families.
         spec = model.split(":", 1)[1]
         preset, _, query = spec.partition("?")
         cfg = _preset_config(preset)
