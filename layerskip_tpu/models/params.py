@@ -157,6 +157,19 @@ def params_from_flat_dict(
             ):
                 field, transpose = key_map[sub]
                 layer_arrays[field][i] = arr.T if transpose else arr
+            elif sub == "self_attn.qkv_proj.weight":
+                # Phi-3 fused QKV [(Hq+2Hkv)*Dh, D]: split by output rows
+                # (HF Phi3Attention chunks q, then k, then v)
+                nq = cfg.num_attention_heads * cfg.head_dim
+                nkv = cfg.num_key_value_heads * cfg.head_dim
+                layer_arrays["wq"][i] = arr[:nq]
+                layer_arrays["wk"][i] = arr[nq:nq + nkv]
+                layer_arrays["wv"][i] = arr[nq + nkv:nq + 2 * nkv]
+            elif sub == "mlp.gate_up_proj.weight":
+                # Phi-3 fused gate/up [2F, D]: first F rows gate, rest up
+                f = cfg.intermediate_size
+                layer_arrays["w_gate"][i] = arr[:f].T
+                layer_arrays["w_up"][i] = arr[f:].T
             elif sub in ("block_sparse_moe.gate.weight", "mlp.gate.weight"):
                 layer_arrays["w_router"][i] = arr.T  # [E, D] -> [D, E]
             else:
